@@ -1,0 +1,400 @@
+"""Corpus: scans, filters, projections, scalar functions (SURVEY §2.1, §2.2, §2.8).
+
+Every query here is the declarative Spark expression of a reference
+operator; Catalyst pushes the filters/projections into the parquet scan
+(verified via .explain PushedFilters/ReadSchema), which is the engine's
+replacement for the reference's hand-built source-side pagination and
+query-DSL predicate compilation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.corpus import query, t
+from es_to_clickhouse_spark.flatten import flatten_es, flatten_mongo
+from es_to_clickhouse_spark.functions import glob_filter_column, ts_seconds
+from es_to_clickhouse_spark.incremental import detect_time_field
+
+# ---------------------------------------------------------------- scans
+
+
+@query(
+    "s1_full_scan",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           user_id, event_type, value, props
+    FROM events
+    """,
+)
+def s1_full_scan(spark, sf_dir):
+    """Full table scan + stable projection (ES scroll full sync,
+    es/es_to_bytehouse.py:577-673 → one distributed parquet scan)."""
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        ts_seconds(F.col("ts")).alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@query(
+    "s2_incremental_scan",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type, value
+    FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def s2_incremental_scan(spark, sf_dir):
+    """Watermark range scan with pushdown (es/es_to_bytehouse.py:825-961)."""
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(
+            "event_id", ts_seconds(F.col("ts")).alias("ts_s"), "event_type", "value"
+        )
+    )
+
+
+@query(
+    "s3_sampled_scan",
+    """
+    SELECT event_id, event_type, user_id FROM events WHERE event_id % 20 = 0
+    """,
+)
+def s3_sampled_scan(spark, sf_dir):
+    """Deterministic sampled scan (schema-sampling analog of the reference's
+    5000-doc scroll sample, es/es_to_bytehouse.py:338-395)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") % 20 == 0).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+@query(
+    "s6_paged_scan",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey > 100
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def s6_paged_scan(spark, sf_dir):
+    """One page of a keyset-ordered scan — replaces the reference's O(n²)
+    LIMIT/OFFSET pagination (clickhouse/clickhouse_to_bytehouse.py:303-306)
+    with seekable ranges (order-preserving, pushdown-friendly)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") > 100)
+        .orderBy("o_orderkey")
+        .limit(1000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "s10_keyset_scan",
+    """
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE c_custkey > 40 ORDER BY c_custkey LIMIT 500
+    """,
+)
+def s10_keyset_scan(spark, sf_dir):
+    """Mongo-style keyset page: _id > last, sorted ascending
+    (mongodb/mongodb_to_bytehouse.py:524-532)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") > 40)
+        .orderBy("c_custkey")
+        .limit(500)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+# ------------------------------------------------ projections / filters
+
+
+@query(
+    "p1_flatten_json",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events
+    """,
+)
+def p1_flatten_json(spark, sf_dir):
+    """JSON document flatten via the engine's schema-driven flatten
+    (es/es_to_bytehouse.py:544-575): parse props → struct → one generated
+    select, no UDF."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.from_json(F.col("props"), "struct<k:bigint>").alias("props"),
+    )
+    return flatten_es(ev, stringify=False)
+
+
+@query(
+    "p4_column_projection",
+    """
+    SELECT event_id, event_type, CAST(NULL AS VARCHAR) AS extra_col FROM events
+    """,
+)
+def p4_column_projection(spark, sf_dir):
+    """Projection onto a target column set: missing columns → NULL
+    (es/es_to_bytehouse.py:681-688)."""
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.lit(None).cast("string").alias("extra_col"),
+    )
+
+
+@query(
+    "p5_watermark_or_ranges",
+    """
+    SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+       OR (event_type = 'purchase' AND ts > TIMESTAMP '2024-01-10 00:00:00')
+    """,
+)
+def p5_watermark_or_ranges(spark, sf_dir):
+    """OR-of-ranges watermark (insert-time ∪ update-time re-fetch,
+    es/es_to_bytehouse.py:841-861)."""
+    ev = t(spark, sf_dir, "events")
+    pred = (F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp")) | (
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") > F.lit("2024-01-10 00:00:00").cast("timestamp"))
+    )
+    return ev.where(pred).select(
+        "event_id", "event_type", ts_seconds(F.col("ts")).alias("ts_s")
+    )
+
+
+@query(
+    "p8_equality_filter",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'error'",
+)
+def p8_equality_filter(spark, sf_dir):
+    """Equality predicate (state-table lookup shape, es/es_to_bytehouse.py:437-440)."""
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "p9_null_empty_filter",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE text IS NOT NULL AND text != ''
+    """,
+)
+def p9_null_empty_filter(spark, sf_dir):
+    """NULL/empty guard (es/es_to_bytehouse.py:1117-1119)."""
+    d = t(spark, sf_dir, "documents")
+    return d.where(F.col("text").isNotNull() & (F.col("text") != "")).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "p10_system_filter",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE source NOT LIKE '.%' AND source NOT LIKE 'system.%'
+    """,
+)
+def p10_system_filter(spark, sf_dir):
+    """System-object filter (es/es_to_bytehouse.py:250-253,
+    mongodb/mongodb_to_bytehouse.py:303-304)."""
+    d = t(spark, sf_dir, "documents")
+    return d.where(
+        ~F.col("source").startswith(".") & ~F.col("source").startswith("system.")
+    ).select("doc_id", "source")
+
+
+@query(
+    "p11_wildcard_filter",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment LIKE 'BUILD%' OR c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def p11_wildcard_filter(spark, sf_dir):
+    """Comma-separated glob patterns → Column predicate
+    (clickhouse/clickhouse_to_bytehouse.py:83-98 fnmatch semantics)."""
+    c = t(spark, sf_dir, "customer")
+    return c.where(glob_filter_column(F.col("c_mktsegment"), "BUILD*,AUTOMOBILE")).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "p12_time_field_detection",
+    """
+    SELECT * FROM (VALUES
+      ('customer', CAST(NULL AS VARCHAR)),
+      ('documents', CAST(NULL AS VARCHAR)),
+      ('embeddings', CAST(NULL AS VARCHAR)),
+      ('events', 'ts'),
+      ('lineitem', 'l_shipdate'),
+      ('nation', CAST(NULL AS VARCHAR)),
+      ('orders', 'o_orderdate'),
+      ('part', CAST(NULL AS VARCHAR)),
+      ('region', CAST(NULL AS VARCHAR)),
+      ('supplier', CAST(NULL AS VARCHAR))
+    ) AS v(tbl, time_field)
+    """,
+)
+def p12_time_field_detection(spark, sf_dir):
+    """Time-field autodetection against real schemas
+    (es/es_to_bytehouse.py:467-496 candidate walk)."""
+    tables = [
+        "customer",
+        "documents",
+        "embeddings",
+        "events",
+        "lineitem",
+        "nation",
+        "orders",
+        "part",
+        "region",
+        "supplier",
+    ]
+    rows = [
+        (name, detect_time_field(t(spark, sf_dir, name).columns)) for name in tables
+    ]
+    return spark.createDataFrame(rows, "tbl string, time_field string")
+
+
+# ------------------------------------------------------ scalar functions
+
+
+@query(
+    "f1_py_str_fidelity",
+    """
+    SELECT event_id,
+           CASE WHEN value > 50 THEN 'True' ELSE 'False' END AS flag_str,
+           substring(event_type, 1, 3) AS type_prefix
+    FROM events
+    """,
+)
+def f1_py_str_fidelity(spark, sf_dir):
+    """Python str() fidelity: booleans render True/False
+    (es/es_to_bytehouse.py:573-574), substring truncation (F12)."""
+    from es_to_clickhouse_spark.functions import py_str
+    from pyspark.sql import types as T
+
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        py_str(F.col("value") > 50, T.BooleanType()).alias("flag_str"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+    )
+
+
+@query(
+    "f2_json_roundtrip",
+    """
+    SELECT event_id,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS props_json
+    FROM events
+    """,
+)
+def f2_json_roundtrip(spark, sf_dir):
+    """json.dumps fidelity: parse → re-serialize compact
+    (es/es_to_bytehouse.py:565,569)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.from_json(F.col("props"), "struct<k:bigint>")).alias("props_json"),
+    )
+
+
+@query(
+    "f6_isoformat",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+    FROM events WHERE event_id < 1000
+    """,
+)
+def f6_isoformat(spark, sf_dir):
+    """datetime.isoformat() T-separator fidelity
+    (mongodb/mongodb_to_bytehouse.py:322-324)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") < 1000).select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso")
+    )
+
+
+@query(
+    "f7_hex_lower",
+    """
+    SELECT doc_id, lower(hex(substring(text, 1, 8))) AS text_hex
+    FROM documents
+    """,
+)
+def f7_hex_lower(spark, sf_dir):
+    """bytes.hex() lowercase fidelity (mongodb/mongodb_to_bytehouse.py:325-327)."""
+    from es_to_clickhouse_spark.functions import hex_lower
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", hex_lower(F.substring("text", 1, 8)).alias("text_hex"))
+
+
+@query(
+    "f14_progress_math",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(count(*) / 60.0, 4) AS speed,
+           round(count(*) * 100.0 / (SELECT count(*) FROM events), 4) AS progress
+    FROM events GROUP BY event_type
+    """,
+)
+def f14_progress_math(spark, sf_dir):
+    """The reference's progress/ETA arithmetic as columns
+    (es/es_to_bytehouse.py:639-643)."""
+    ev = t(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("n") / 60.0, 4).alias("speed"),
+            F.round(F.col("n") * 100.0 / F.col("total"), 4).alias("progress"),
+        )
+    )
+
+
+@query(
+    "flat2_mongo_stringify",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           '{"user_id":' || user_id || ',"event_type":"' || event_type || '"}'
+             AS profile,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts,
+           CAST(value AS VARCHAR) AS value
+    FROM events WHERE event_id < 2000
+    """,
+)
+def flat2_mongo_stringify(spark, sf_dir):
+    """Mongo stringify dialect end-to-end: struct→JSON, timestamp→isoformat,
+    scalars→str (mongodb/mongodb_to_bytehouse.py:306-333)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.struct("user_id", "event_type").alias("profile"),
+            "ts",
+            "value",
+        )
+    )
+    return flatten_mongo(ev)

@@ -1,0 +1,387 @@
+"""Corpus: LLM-data-pipeline operators (dedup d*, similarity sim*, text
+txt*, multimodal mm*) — each built on es_to_clickhouse_spark.operators and
+oracle-checked in DuckDB wherever SQL can express it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.corpus import query, t
+from es_to_clickhouse_spark.operators import multimodal, similarity, text
+from es_to_clickhouse_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_buckets,
+    minhash_signature,
+    ngram_jaccard_pairs,
+)
+
+# ------------------------------------------------------------------ dedup
+
+
+@query(
+    "d1_exact_dedup",
+    """
+    SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def d1_exact_dedup(spark, sf_dir):
+    """Exact dedup by content: deterministic winner per duplicate group."""
+    return exact_dedup(t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "d2_fingerprint_dedup",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def d2_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup by md5 fingerprint — the shuffle key is a uniform
+    128-bit hash, the only skew-proof exact-dedup strategy at 100 TB."""
+    fp = text.fingerprint(t(spark, sf_dir, "documents"))
+    return exact_dedup(fp, ["fingerprint"], "doc_id")
+
+
+@query(
+    "d3_minhash_signature",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min') AS mh0,
+           list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min') AS mh1,
+           list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min') AS mh2,
+           list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min') AS mh3
+    FROM tok
+    """,
+)
+def d3_minhash_signature(spark, sf_dir):
+    """MinHash signatures (k=4) as pure Column expressions — md5-based so
+    the oracle reproduces them bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", *minhash_signature(F.col("text"), k=4))
+
+
+@query(
+    "d4_lsh_band_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min') AS mh0,
+             list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min') AS mh1,
+             list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min') AS mh2,
+             list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min') AS mh3
+      FROM tok
+    ), banded AS (
+      SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sig
+      UNION ALL
+      SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key, doc_id FROM sig
+    )
+    SELECT band_id, band_key, count(*) AS bucket_size, min(doc_id) AS min_doc
+    FROM banded GROUP BY band_id, band_key
+    """,
+)
+def d4_lsh_band_buckets(spark, sf_dir):
+    """MinHash-LSH banding: bucket sizes per (band, key). Near-dup search
+    joins within buckets only — the quadratic pair explosion never happens."""
+    d = t(spark, sf_dir, "documents")
+    buckets = minhash_lsh_buckets(d, "text", k=4, bands=2)
+    return buckets.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@query(
+    "d5_ngram_jaccard_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ts, b.ts))
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4)
+             AS jaccard
+    FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ts, b.ts))
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.7
+    """,
+)
+def d5_ngram_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs, blocked by lang (at scale the
+    block key is an LSH band from d4)."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", "lang", threshold=0.7
+    )
+
+
+@query(
+    "d6_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.9
+    """,
+)
+def d6_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by label (coarse cluster)."""
+    return embedding_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.9
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+
+@query(
+    "sim1_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])), 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cos DESC, e.vec_id LIMIT 10
+    """,
+)
+def sim1_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast query vector, map-side scoring,
+    TakeOrderedAndProject — the exact-ANN baseline with zero shuffles."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return similarity.brute_force_topk(
+        e.where(F.col("vec_id") != 0), qv, "vec_id", "embedding", k=10
+    )
+
+
+@query(
+    "sim2_lsh_bucket_probe",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), q AS (SELECT embedding AS qv, bucket AS q_bucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, bucket,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        CAST(qv AS DOUBLE[])), 4) AS cos
+    FROM b, q WHERE b.bucket = q.q_bucket
+    ORDER BY cos DESC, vec_id LIMIT 5
+    """,
+)
+def sim2_lsh_bucket_probe(spark, sf_dir):
+    """ANN probe: search only the query's sign-LSH bucket (partition-pruned
+    scan at scale)."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return similarity.bucketed_topk(e, qv, "vec_id", "embedding", k=5, n_bits=6)
+
+
+@query(
+    "sim3_bucket_histogram",
+    """
+    SELECT concat(
+             CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket,
+           count(*) AS n
+    FROM embeddings GROUP BY 1
+    """,
+)
+def sim3_bucket_histogram(spark, sf_dir):
+    """IVF/LSH bucket balance check — the operational query behind choosing
+    n_bits (skewed buckets = slow probes)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        similarity.sign_lsh_bucket(F.col("embedding"), 6).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------------------------------- text
+
+
+@query(
+    "txt1_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+           len(list_distinct(list_filter(string_split(text, ' '), x -> x != '')))
+             AS n_uniq_tokens
+    FROM documents
+    """,
+)
+def txt1_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer)."""
+    return text.token_stats(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_uniq_tokens"
+    )
+
+
+@query(
+    "txt2_quality_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(ts) AS n_tokens,
+           round(length(replace(text, ' ', '')) * 1.0 / len(ts), 4) AS mean_word_len,
+           round(len(list_filter(ts,
+             x -> x IN ('the', 'a', 'is', 'of', 'and'))) * 1.0 / len(ts), 4)
+             AS stopword_ratio,
+           round(len(list_distinct(ts)) * 1.0 / len(ts), 4) AS uniq_ratio
+    FROM tok
+    """,
+)
+def txt2_quality_score(spark, sf_dir):
+    """Pre-training quality heuristics (length / word-length / stopword /
+    uniqueness ratios)."""
+    return text.quality_score(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_m", "n_tokens", "mean_word_len", "stopword_ratio", "uniq_ratio"
+    )
+
+
+@query(
+    "txt3_lang_id",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, lang,
+        len(list_filter(ts, x -> x IN ('the','a','is','of','and'))) AS v_en,
+        len(list_filter(ts, x -> x IN ('le','la','et','un','est'))) AS v_fr,
+        len(list_filter(ts, x -> x IN ('der','die','und','ein','ist'))) AS v_de,
+        len(list_filter(ts, x -> x IN ('el','la','es','un','y'))) AS v_es
+      FROM tok
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(v_en, v_fr, v_de, v_es) = 0 THEN 'unk'
+                WHEN v_en = greatest(v_en, v_fr, v_de, v_es) THEN 'en'
+                WHEN v_fr = greatest(v_en, v_fr, v_de, v_es) THEN 'fr'
+                WHEN v_de = greatest(v_en, v_fr, v_de, v_es) THEN 'de'
+                ELSE 'es' END AS pred_lang
+    FROM votes
+    """,
+)
+def txt3_lang_id(spark, sf_dir):
+    """Stopword-vote language ID (deterministic tie precedence)."""
+    return text.lang_id(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "pred_lang"
+    )
+
+
+@query(
+    "txt4_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def txt4_fingerprint(spark, sf_dir):
+    """Normalized md5 document fingerprint."""
+    return text.fingerprint(t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "txt5_bigram_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    ), bigrams AS (
+      SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))
+               AS bigram
+      FROM tok
+    )
+    SELECT bigram, count(*) AS n FROM bigrams
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def txt5_bigram_topk(spark, sf_dir):
+    """Word-bigram term stats: explode + count + top-k (the n-gram profile
+    behind corpus analysis)."""
+    d = t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@query(
+    "mm1_asset_metadata",
+    """
+    SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+           length(text) AS n_bytes, md5(text) AS checksum
+    FROM documents
+    """,
+)
+def mm1_asset_metadata(spark, sf_dir):
+    """Multimodal asset table: binary payload + typed metadata; this query
+    is the metadata-only projection that never deserializes payloads."""
+    assets = multimodal.to_assets(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return multimodal.meta_projection(assets)
+
+
+@query(
+    "mm2_frame_sample",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(unnest(range(doc_id % 3 + 1)) AS INT) AS frame_idx,
+           length(text) AS n_bytes
+    FROM documents
+    """,
+)
+def mm2_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing via Arrow-batched mapInPandas (decode body
+    stubbed deterministically; batch shape + binary transfer are real)."""
+    assets = multimodal.to_assets(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return multimodal.sample_frames(assets, frames_mod=3)

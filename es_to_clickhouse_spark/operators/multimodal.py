@@ -1,0 +1,99 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake or NotImplementedError) — but everything Spark-side is
+real and tested: the schema (binary payload + metadata struct), the
+Arrow-batched ``mapInPandas`` plumbing, the batch shapes, and the
+partitioning story (payloads hash-partition by id; metadata projections
+never deserialize the payload column thanks to parquet column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of a multimodal asset table
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("checksum", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAME_SCHEMA = "asset_id long, frame_idx int, n_bytes long"
+
+
+def to_assets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Wrap a text column as a binary asset table (the testbed stand-in for
+    real media ingestion): payload = utf-8 bytes, typed metadata struct."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("text/plain").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(F.col(text_col)).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode would use PIL/libvips — not in this container.
+
+    Deliberately stubbed; callers use :func:`sample_frames` (deterministic
+    fake) for plumbing tests.
+    """
+    raise NotImplementedError("image decode requires codec libs (not installed)")
+
+
+def sample_frames(df: DataFrame, frames_mod: int = 3) -> DataFrame:
+    """Frame-sampling plumbing over mapInPandas: each asset yields
+    ``asset_id % frames_mod + 1`` deterministic fake frames.
+
+    The Arrow batch shape, schema contract, and executor-side iteration are
+    exactly what a real ffmpeg/PIL extractor uses — only the decode body is
+    fake. Payload bytes ARE read (length check) to prove binary transfer.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_bytes = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = int(asset_id) % frames_mod + 1
+                size = len(payload) if payload is not None else 0
+                for i in range(n):
+                    out_ids.append(int(asset_id))
+                    out_idx.append(i)
+                    out_bytes.append(size)
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_idx": out_idx, "n_bytes": out_bytes}
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(extract, FRAME_SCHEMA)
+
+
+def meta_projection(df: DataFrame) -> DataFrame:
+    """Metadata-only projection: never touches ``payload`` — at scale this
+    is the column-pruned scan that makes metadata queries cheap."""
+    return df.select(
+        "asset_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )

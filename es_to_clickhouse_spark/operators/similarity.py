@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine`` is a pure Column expression (zip_with product + sequential
+  aggregate fold in DOUBLE — the same fold order DuckDB's
+  list_cosine_similarity uses, so results are oracle-stable).
+- ``brute_force_topk`` broadcasts the query vector and computes one score
+  per row — a single map-side pass + TakeOrdered; the correct baseline at
+  any scale (no shuffle).
+- ``sign_lsh_bucket`` is the scale path: a coarse quantizer from the sign
+  bits of leading dimensions (deterministic, engine-independent). Search
+  touches only the query's bucket — the IVF/LSH probe pattern. Real
+  deployments raise ``n_bits`` / add multi-probe; the plumbing is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query-vector DataFrame
+    (column ``q``). Broadcast + map-side score + TakeOrderedAndProject."""
+    scored = df.crossJoin(F.broadcast(query_vec)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q")), 4).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def sign_lsh_bucket(vec: Column, n_bits: int = 6) -> Column:
+    """Coarse bucket id: sign bits of the first ``n_bits`` dimensions,
+    packed as a string key (deterministic; no learned centroids needed)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+def bucketed_topk(
+    df: DataFrame,
+    query_vec: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 6,
+) -> DataFrame:
+    """ANN-style probe: score only rows in the query's sign-LSH bucket.
+    At 100 TB the bucket column is a partition/bucketing key, so the probe
+    is a partition-pruned scan, not a full pass."""
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_lsh_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    q = query_vec.select(
+        F.col("q"), sign_lsh_bucket(F.col("q"), n_bits).alias("q_bucket")
+    )
+    probed = bucketed.join(
+        F.broadcast(q), bucketed.bucket == q.q_bucket
+    ).select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.round(cosine(F.col(vec_col), F.col("q")), 4).alias("cos"),
+    )
+    return probed.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

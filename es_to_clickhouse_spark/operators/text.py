@@ -1,0 +1,81 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting.
+
+All pure Column expressions — no Python in the data path, so these run at
+full codegen speed over 100 TB of documents. Deterministic by construction
+(stable hash functions, no RNG) so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "is", "of", "and"],
+    "fr": ["le", "la", "et", "un", "est"],
+    "de": ["der", "die", "und", "ein", "ist"],
+    "es": ["el", "la", "es", "un", "y"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties dropped (single projection)."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: total, distinct, char/token ratio."""
+    tok = tokens(F.col(text_col))
+    # BIGINT casts: the sizes feed oracle-compared outputs (DuckDB len() is BIGINT)
+    return df.select(
+        "*",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_uniq_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, mean word length, stopword ratio,
+    uniqueness ratio — the standard pre-training quality filters."""
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    n_uniq = F.size(F.array_distinct(tok))
+    stop_en = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS["en"])))
+    nospace_len = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    return df.select(
+        "*",
+        F.length(text_col).cast("long").alias("n_chars_m"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(nospace_len / n_tok, 4).alias("mean_word_len"),
+        F.round(stop_en / n_tok, 4).alias("stopword_ratio"),
+        F.round(n_uniq / n_tok, 4).alias("uniq_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID. Votes = count of language-marker tokens;
+    argmax with fixed precedence (en>fr>de>es) for determinism; 'unk' when
+    all votes are zero."""
+    tok = tokens(F.col(text_col))
+
+    # factory, not a default-arg lambda (PySpark arity pitfall — see dedup.py)
+    def in_list(ws: list[str]):
+        return lambda x: x.isin(ws)
+
+    votes = {
+        lang: F.size(F.filter(tok, in_list(ws))) for lang, ws in STOPWORDS.items()
+    }
+    best = F.greatest(*votes.values())
+    pred = F.when(best == 0, F.lit("unk"))
+    for lang in ["en", "fr", "de", "es"]:  # fixed precedence on ties
+        pred = pred.when(votes[lang] == best, F.lit(lang))
+    return df.select("*", pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key at scale (one hash per doc, no shuffle)."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select("*", F.md5(normalized).alias("fingerprint"))
