@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full distributed
+compute, no driver-side materialization cost), after a warm-up of the JVM
+with a trivial job. Timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from es_to_clickhouse_spark.corpus import all_queries
+from es_to_clickhouse_spark.session import get_spark
+
+#: headline set: one per operator family, weighted toward scan/join/agg
+HEADLINE = [
+    "q1_pricing_summary",
+    "j5_star_join",
+    "j1_inner_join_agg",
+    "a4_sum_accumulators",
+    "a5_distinct_count",
+    "w1_latest_per_key",
+    "w2_rank_topn_per_group",
+    "t7_tumbling_window",
+    "t8_session_window",
+    "s1_full_scan",
+    "s2_incremental_scan",
+    "p1_flatten_json",
+    "d2_fingerprint_dedup",
+    "d4_lsh_band_buckets",
+    "sim1_cosine_topk",
+    "txt2_quality_score",
+    "st1_union_all",
+    "o4_topk_recent",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # JVM/codegen warm-up on a tiny unrelated job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,7 +50,12 @@ class ParquetCatalog:
         return [TableInfo(n, os.path.join(self.root, f"{n}.parquet")) for n in names]
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, f"{name}.parquet"))
+        """mergeSchema=true: source batches may evolve their schema
+        mid-stream (SURVEY S18); the union-of-file-schemas read is the
+        declared ∪ sampled schema union (es/es_to_bytehouse.py:762-771)."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(self.root, f"{name}.parquet")
+        )
 
     def row_count(self, name: str) -> int:
         """Source row total for progress/ETA (SURVEY A3)."""

@@ -66,9 +66,11 @@ def flatten_columns_es(
             # (es/es_to_bytehouse.py:556-565), capped with JSON overflow.
             elem = dtype.elementType
             for i in range(array_cap):
+                # F.get: NULL for out-of-bounds (ANSI-safe), matching the
+                # reference's missing-index → NULL behavior
                 out.extend(
                     flatten_columns_es(
-                        elem, f"{flat}_{i}", col[i], array_cap, stringify
+                        elem, f"{flat}_{i}", F.get(col, i), array_cap, stringify
                     )
                 )
             out.append(

@@ -1,0 +1,135 @@
+"""End-to-end sync tests: full → incremental → auto → status (SURVEY §3, §5.3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.catalog import ParquetCatalog
+from es_to_clickhouse_spark.engine import SyncEngine
+from es_to_clickhouse_spark.sink import WarehouseTarget
+from es_to_clickhouse_spark.state import StateStore
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    source = tmp_path / "source"
+    warehouse = tmp_path / "warehouse"
+    os.makedirs(source)
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (2, "2024-01-02 00:00:00", "b"),
+            (3, "2024-01-03 00:00:00", "c"),
+        ],
+        "event_id long, created_at string, payload string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    base.write.parquet(str(source / "logs.parquet"))
+    engine = SyncEngine(
+        spark=spark,
+        catalog=ParquetCatalog(spark, str(source)),
+        target=WarehouseTarget(spark, str(warehouse)),
+        state=StateStore(spark, str(warehouse)),
+        id_field="event_id",
+    )
+    return engine, source
+
+
+def _append_rows(spark, source, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, created_at string, payload string"
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    df.write.mode("append").parquet(str(source / "logs.parquet"))
+
+
+def test_full_sync(pipeline, spark):
+    engine, _ = pipeline
+    reports = engine.sync_full()
+    assert [r.table for r in reports] == ["logs"]
+    assert reports[0].rows == 3
+    target = engine.target.read("logs")
+    assert target.count() == 3
+    assert "_timestamp" in target.columns and "_id" in target.columns
+    st = engine.state.get("logs")
+    assert st is not None
+    assert st.time_field == "created_at"
+    assert st.last_sync_time.startswith("2024-01-03")
+
+
+def test_incremental_requires_full_first(pipeline):
+    engine, _ = pipeline
+    # ES refuses incremental before full (es/es_to_bytehouse.py:968-971)
+    assert engine.sync_incremental_once() == []
+
+
+def test_incremental_picks_only_new_rows(pipeline, spark):
+    engine, source = pipeline
+    engine.sync_full()
+    _append_rows(
+        spark,
+        source,
+        [(4, "2024-01-04 00:00:00", "d"), (5, "2024-01-05 00:00:00", "e")],
+    )
+    reports = engine.sync_incremental_once()
+    assert reports[0].rows == 2
+    assert engine.target.read("logs").count() == 5
+    st = engine.state.get("logs")
+    assert st.last_sync_time.startswith("2024-01-05")
+    # idempotent second round: nothing new, watermark strictly-greater
+    reports2 = engine.sync_incremental_once()
+    assert reports2[0].rows == 0
+    assert engine.target.read("logs").count() == 5
+
+
+def test_upsert_dedup_on_redelivery(pipeline, spark):
+    engine, source = pipeline
+    engine.sync_full()
+    # re-deliver row 3 with a newer timestamp (updated doc, T3)
+    _append_rows(spark, source, [(3, "2024-01-06 00:00:00", "c-v2")])
+    engine.sync_incremental_once()
+    merged = engine.target.read("logs", dedup=True)
+    assert merged.count() == 3
+    v = merged.where(F.col("event_id") == 3).collect()[0].payload
+    assert v == "c-v2"
+    raw = engine.target.read("logs", dedup=False)
+    assert raw.count() == 4  # at-least-once underneath (T8)
+
+
+def test_auto_mode(pipeline, spark, tmp_path):
+    engine, source = pipeline
+    # unseen → full
+    reports = engine.sync_auto()
+    assert any(r.mode == "full" for r in reports)
+    # second table appears later; auto full-syncs only the new one
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    df.write.parquet(str(source / "extra.parquet"))
+    reports2 = engine.sync_auto()
+    fulls = [r.table for r in reports2 if r.mode == "full"]
+    assert fulls == ["extra"]
+
+
+def test_status_and_list(pipeline):
+    engine, _ = pipeline
+    engine.sync_full()
+    assert engine.list_tables() == ["logs"]
+    status = engine.status().collect()
+    assert status[0].table_name == "logs"
+
+
+def test_schema_evolution_new_column(pipeline, spark):
+    engine, source = pipeline
+    engine.sync_full()
+    # batch 2 introduces a new field (S18 / ALTER TABLE ADD COLUMN analog)
+    df = spark.createDataFrame(
+        [(6, "2024-01-07 00:00:00", "f", "new!")],
+        "event_id long, created_at string, payload string, extra string",
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    df.write.mode("append").parquet(str(source / "logs.parquet"))
+    engine.sync_incremental_once()
+    target = engine.target.read("logs")
+    assert "extra" in target.columns
+    got = {r.event_id: r.extra for r in target.select("event_id", "extra").collect()}
+    assert got[6] == "new!"
+    assert got[1] is None  # old rows NULL-filled

@@ -1,0 +1,91 @@
+"""Unit tests: scalar fidelity helpers + name/glob rules (SURVEY §2.8, P10-P11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from es_to_clickhouse_spark.functions import (
+    glob_filter_column,
+    hex_lower,
+    is_system_name,
+    iso_ts,
+    match_names,
+    py_str,
+    sanitize_field_name,
+    sanitize_table_name,
+)
+
+
+def test_sanitize_field_name_es():
+    # es/es_to_bytehouse.py:283-285: . - → _, @ deleted
+    assert sanitize_field_name("a.b-c", "es") == "a_b_c"
+    assert sanitize_field_name("@timestamp", "es") == "timestamp"
+    assert sanitize_field_name("user.geo-city", "es") == "user_geo_city"
+
+
+def test_sanitize_field_name_mongo():
+    # mongodb/mongodb_to_bytehouse.py:310-311: . - $ → _
+    assert sanitize_field_name("a.b", "mongo") == "a_b"
+    assert sanitize_field_name("bad$key", "mongo") == "bad_key"
+    assert sanitize_field_name("@odd", "mongo") == "@odd"  # mongo keeps @
+
+
+def test_sanitize_table_name():
+    # es/es_to_bytehouse.py:738-745: digit-leading gets idx_ prefix (ES only)
+    assert sanitize_table_name("logs-app.prod", "es") == "logs_app_prod"
+    assert sanitize_table_name("2024_logs", "es") == "idx_2024_logs"
+    assert sanitize_table_name("2024_logs", "mongo") == "2024_logs"
+
+
+def test_match_names_comma_glob():
+    # clickhouse/clickhouse_to_bytehouse.py:83-98 fnmatch semantics
+    names = ["a_log", "b_log", "b_extra", "exact", "zzz"]
+    assert match_names(names, "a_log,b_*,exact") == ["a_log", "b_log", "b_extra", "exact"]
+    assert match_names(names, "*") == names
+    assert match_names(names, "nope") == []
+
+
+def test_is_system_name():
+    assert is_system_name(".kibana", "es")
+    assert not is_system_name("app", "es")
+    assert is_system_name("system.views", "mongo")
+    assert not is_system_name(".hidden", "mongo")
+
+
+def test_py_str_bool_and_hex(spark):
+    df = spark.createDataFrame(
+        [(True, bytes.fromhex("deadbeef")), (False, b"\x00\x01")], "b boolean, x binary"
+    )
+    out = df.select(
+        py_str(F.col("b"), T.BooleanType()).alias("b"),
+        py_str(F.col("x"), T.BinaryType()).alias("x"),
+    ).collect()
+    assert [r.b for r in out] == ["True", "False"]  # es/es_to_bytehouse.py:574
+    assert [r.x for r in out] == ["deadbeef", "0001"]  # bytes.hex() lowercase
+
+
+def test_iso_ts_matches_python_isoformat(spark):
+    from datetime import datetime
+
+    dt = datetime(2024, 1, 2, 3, 4, 5, 123456)
+    df = spark.createDataFrame([(dt,)], "ts timestamp")
+    got = df.select(iso_ts(F.col("ts")).alias("s")).collect()[0].s
+    assert got == dt.isoformat()  # mongodb/mongodb_to_bytehouse.py:324
+
+
+def test_hex_lower_matches_python(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    got = df.select(hex_lower(F.col("s")).alias("h")).collect()[0].h
+    assert got == "abc".encode().hex()
+
+
+def test_glob_filter_column(spark):
+    df = spark.createDataFrame(
+        [("a_log",), ("b_log",), ("exact",), ("zzz",)], "name string"
+    )
+    got = sorted(
+        r.name
+        for r in df.where(glob_filter_column(F.col("name"), "a_*,exact")).collect()
+    )
+    assert got == ["a_log", "exact"]

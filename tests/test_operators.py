@@ -1,0 +1,166 @@
+"""Unit tests: LLM-pipeline operators (dedup, similarity, text, multimodal)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.operators import multimodal, similarity, text
+from es_to_clickhouse_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_lsh_buckets,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+
+
+def test_minhash_matches_reference_hash(spark):
+    df = spark.createDataFrame([("key agg row",)], "text string")
+    row = df.select(*minhash_signature(F.col("text"), k=2)).collect()[0]
+    expected0 = min(
+        hashlib.md5(f"0:{t}".encode()).hexdigest() for t in ["key", "agg", "row"]
+    )
+    expected1 = min(
+        hashlib.md5(f"1:{t}".encode()).hexdigest() for t in ["key", "agg", "row"]
+    )
+    assert row.mh0 == expected0
+    assert row.mh1 == expected1
+
+
+def test_minhash_identical_docs_share_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id long, text string"
+    )
+    buckets = minhash_lsh_buckets(df, "text", k=4, bands=2)
+    keys = {
+        r.doc_id: set()
+        for r in buckets.select("doc_id").distinct().collect()
+    }
+    for r in buckets.collect():
+        keys[r.doc_id].add((r.band_id, r.band_key))
+    assert keys[1] == keys[2]  # identical docs collide in every band
+    assert keys[1].isdisjoint(keys[3])
+
+
+def test_exact_dedup_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], "doc_id long, text string"
+    )
+    out = {r.text: (r.doc_id, r.n_copies) for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out["same"] == (2, 2)
+    assert out["other"] == (9, 1)
+
+
+def test_jaccard_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "en"),
+            (2, "a b c e", "en"),
+            (3, "a b c d", "fr"),  # different block — never paired with 1
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", "lang", threshold=0.5).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
+    assert pairs[0].jaccard == pytest.approx(3 / 5, abs=1e-4)
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine fast distributed"),
+            (2, "spark query engine fast distributed extra"),
+            (3, "completely different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.sh for r in df.select("doc_id", simhash16(F.col("text")).alias("sh")).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(out[1], out[2]) <= hamming(out[1], out[3])
+    assert 0 <= out[1] < 2**16
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert got == pytest.approx(exp, rel=1e-12)
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([([1.0, 0.0],)], "q array<float>")
+    got = [r.vec_id for r in similarity.brute_force_topk(df, q, k=2).collect()]
+    # cosine with [1,0] is monotone in i/sqrt(i^2+1) → highest i wins
+    assert got == [5, 4]
+
+
+def test_sign_lsh_bucket_probe_subset_of_bruteforce(spark):
+    rows = [(i, [math.sin(i * 1.7 + j) for j in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    probed = similarity.bucketed_topk(df, q, k=5, n_bits=4).collect()
+    assert probed[0].vec_id == 0  # the query itself is its own nearest
+    assert all(r.bucket == probed[0].bucket for r in probed)
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat"),
+            (2, "le chat est un animal"),
+            (3, "qqq www eee"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "unk"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"
+    )
+    out = [r.fingerprint for r in text.fingerprint(df).collect()]
+    assert out[0] == out[1]
+    assert out[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_multimodal_assets_and_frames(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+    assets = multimodal.to_assets(df, "doc_id", "text")
+    meta = {r.asset_id: r for r in multimodal.meta_projection(assets).collect()}
+    assert meta[1].n_bytes == 3
+    assert meta[2].checksum == hashlib.md5(b"defg").hexdigest()
+    frames = multimodal.sample_frames(assets, frames_mod=3).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert len(by_asset[1]) == 2  # 1 % 3 + 1
+    assert len(by_asset[2]) == 3
+    assert all(r.n_bytes == 3 for r in by_asset[1])  # payload bytes really read
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_jaccard_empty_tokens(spark):
+    df = spark.createDataFrame([([], ["a"])], "a array<string>, b array<string>")
+    got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+    assert got == 0.0
