@@ -1,0 +1,194 @@
+"""Unit tests: as-of join, ClickHouse DDL generation, source option
+builders, streaming sync (SURVEY §2.1, §2.3 custom-operator note, T1-T2)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.ddl import (
+    add_columns_sql,
+    clickhouse_type,
+    create_database_sql,
+    create_typed_table_sql,
+    create_wide_string_table_sql,
+)
+from es_to_clickhouse_spark.operators.asof import asof_join
+from es_to_clickhouse_spark.sources.es import EsSource, range_query
+from es_to_clickhouse_spark.sources.jdbc import JdbcSource
+from es_to_clickhouse_spark.sources.mongo import MongoSource, match_pipeline
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def test_asof_join_backward_inclusive(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, 100.0), ("A", 7, 101.0), ("B", 5, 50.0)],
+        "sym string, t long, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 9.0), ("A", 3, 10.0), ("A", 6, 11.0), ("B", 9, 99.0)],
+        "sym string, t long, bid double",
+    )
+    out = asof_join(trades, quotes, on="t", by="sym").orderBy("sym", "t")
+    rows = [(r.sym, r.t, r.bid_right) for r in out.collect()]
+    # A@3 matches quote@3 (inclusive), A@7 matches quote@6,
+    # B@5 has no earlier quote -> NULL
+    assert rows == [("A", 3, 10.0), ("A", 7, 11.0), ("B", 5, None)]
+
+
+def test_asof_join_strict_excludes_equal(spark):
+    left = spark.createDataFrame([("k", 3)], "k string, t long")
+    right = spark.createDataFrame([("k", 3, "x")], "k string, t long, v string")
+    out = asof_join(left, right, on="t", by="k", strict=True)
+    assert out.collect()[0].v_right is None
+    out2 = asof_join(left, right, on="t", by="k", strict=False)
+    assert out2.collect()[0].v_right == "x"
+
+
+def test_asof_join_no_by_key(spark):
+    left = spark.createDataFrame([(10,), (20,)], "t long")
+    right = spark.createDataFrame([(5, "a"), (15, "b")], "t long, v string")
+    out = asof_join(left, right, on="t").orderBy("t")
+    assert [r.v_right for r in out.collect()] == ["a", "b"]
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("k"), F.col("id").alias("t")
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 7).alias("t"),
+        F.col("id").alias("v"),
+    )
+    assert asof_join(left, right, on="t", by="k").count() == 100
+
+
+# ----------------------------------------------------------------------- DDL
+
+
+def test_wide_string_ddl_shape():
+    sql = create_wide_string_table_sql("db", "tbl", ["b", "a"], engine="CnchMergeTree")
+    assert "`_id` String" in sql
+    assert "`a` Nullable(String),\n  `b` Nullable(String)" in sql  # sorted
+    assert "`_timestamp` DateTime64(3) DEFAULT now64(3)" in sql
+    assert sql.rstrip().endswith("UNIQUE KEY `_id`")
+
+
+def test_wide_string_ddl_replacing_fallback():
+    sql = create_wide_string_table_sql("db", "tbl", ["x"])
+    # open-source ClickHouse: upsert via ReplacingMergeTree, not UNIQUE KEY
+    assert "ReplacingMergeTree(`_timestamp`) ORDER BY `_id`" in sql
+
+
+def test_typed_ddl_and_type_map(spark):
+    df = spark.createDataFrame(
+        [(1, 1.5, "s", True)], "i int, d double, s string, b boolean"
+    )
+    sql = create_typed_table_sql("db", "t", df.schema)
+    assert "`i` Nullable(Int32)" in sql
+    assert "`d` Nullable(Float64)" in sql
+    assert "`b` Nullable(UInt8)" in sql
+    from pyspark.sql import types as T
+
+    # complex types serialize to String (reference rule, README.md:109)
+    assert clickhouse_type(T.ArrayType(T.IntegerType())) == "Nullable(String)"
+    assert clickhouse_type(T.DecimalType(12, 2)) == "Nullable(Decimal(12, 2))"
+
+
+def test_add_columns_idempotent_sorted():
+    stmts = add_columns_sql("db", "t", ["z", "a"])
+    assert len(stmts) == 2
+    assert "ADD COLUMN IF NOT EXISTS `a`" in stmts[0]
+    assert create_database_sql("x") == "CREATE DATABASE IF NOT EXISTS `x`"
+
+
+# ------------------------------------------------------------------- sources
+
+
+def test_es_range_query_shapes():
+    assert json.loads(range_query("ts"))["query"] == {"match_all": {}}
+    q = json.loads(range_query("ts", "2024-01-01"))
+    assert q["query"]["bool"]["filter"] == {"range": {"ts": {"gt": "2024-01-01"}}}
+    # OR-of-ranges with minimum_should_match (es/es_to_bytehouse.py:841-861)
+    q2 = json.loads(range_query("ts", "2024-01-01", "upd", "2024-02-02"))
+    assert q2["query"]["bool"]["minimum_should_match"] == 1
+    assert len(q2["query"]["bool"]["should"]) == 2
+
+
+def test_es_source_options():
+    opts = EsSource(nodes="es1", scroll_size=500).options("idx-*", query="{}")
+    assert opts["es.resource"] == "idx-*"
+    assert opts["es.scroll.size"] == "500"
+    assert opts["es.read.metadata"] == "true"
+    assert opts["es.query"] == "{}"
+
+
+def test_jdbc_partition_options_and_pushdown():
+    src = JdbcSource(url="jdbc:clickhouse://h:8123/db")
+    opts = src.partition_options("id", 0, 1000, 16)
+    assert opts == {
+        "partitionColumn": "id",
+        "lowerBound": "0",
+        "upperBound": "1000",
+        "numPartitions": "16",
+    }
+    assert src.pushdown_query("t", "ts > '2024-01-01'") == (
+        "(SELECT * FROM t WHERE ts > '2024-01-01') AS src"
+    )
+    assert src.pushdown_query("t") == "t"
+
+
+def test_mongo_match_pipeline():
+    p = json.loads(match_pipeline(last_id="0" * 24))
+    assert p[0]["$match"]["_id"]["$gt"] == {"$oid": "0" * 24}
+    p2 = json.loads(match_pipeline(time_field="ct", since_iso="2024-01-01T00:00:00"))
+    assert p2[0]["$match"]["ct"]["$gt"] == {"$date": "2024-01-01T00:00:00"}
+    assert json.loads(match_pipeline())[0]["$match"] == {}
+    opts = MongoSource(database="d").options("c", pipeline="[]")
+    assert opts["aggregation.pipeline"] == "[]"
+
+
+# ----------------------------------------------------------------- streaming
+
+
+def test_streaming_file_sync_available_now(spark, tmp_path):
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.state import StateStore
+    from es_to_clickhouse_spark.streaming.sync import StreamingSync
+
+    src_dir = tmp_path / "src"
+    df = spark.createDataFrame(
+        [("1", "2024-01-01T00:00:00", "a"), ("2", "2024-01-02T00:00:00", "b")],
+        "_id string, timestamp string, v string",
+    )
+    df.write.parquet(str(src_dir))
+
+    sync = StreamingSync(
+        spark,
+        WarehouseTarget(spark, str(tmp_path / "wh")),
+        StateStore(spark, str(tmp_path / "state")),
+    )
+    q = sync.file_stream(
+        str(src_dir),
+        "tbl",
+        df.schema,
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    out = sync.target.read("tbl")
+    assert out.count() == 2
+    st = sync.state.get("tbl")
+    # watermark = max(timestamp) of the batch (T2)
+    assert st is not None and st.last_sync_time.startswith("2024-01-02")
+    # restart with same checkpoint: no reprocessing (offsets committed)
+    q2 = sync.file_stream(
+        str(src_dir), "tbl", df.schema, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+    assert sync.target.read("tbl", dedup=False).count() == 2
