@@ -23,7 +23,10 @@ from es_to_clickhouse_spark.session import get_spark
 #: headline set: one per operator family, weighted toward scan/join/agg
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "j5_star_join",
+    "j7_asof_join",
     "j1_inner_join_agg",
     "a4_sum_accumulators",
     "a5_distinct_count",

@@ -385,3 +385,65 @@ def mm2_frame_sample(spark, sf_dir):
     stubbed deterministically; batch shape + binary transfer are real)."""
     assets = multimodal.to_assets(t(spark, sf_dir, "documents"), "doc_id", "text")
     return multimodal.sample_frames(assets, frames_mod=3)
+
+
+@query(
+    "d7_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              x -> x != ''))) AS tk
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tk), 1, 4))::INT AS hv FROM tok
+    ), v AS (
+      SELECT doc_id,
+             sum(CASE WHEN (hv >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+             sum(CASE WHEN (hv >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+             sum(CASE WHEN (hv >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS s2,
+             sum(CASE WHEN (hv >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS s3,
+             sum(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS s4,
+             sum(CASE WHEN (hv >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS s5,
+             sum(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS s6,
+             sum(CASE WHEN (hv >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS s7,
+             sum(CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS s8,
+             sum(CASE WHEN (hv >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS s9,
+             sum(CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS s10,
+             sum(CASE WHEN (hv >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS s11,
+             sum(CASE WHEN (hv >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS s12,
+             sum(CASE WHEN (hv >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS s13,
+             sum(CASE WHEN (hv >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS s14,
+             sum(CASE WHEN (hv >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS s15
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (CASE WHEN s0 > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN s2 > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN s3 > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN s4 > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN s5 > 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN s6 > 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN s7 > 0 THEN 128 ELSE 0 END)
+         + (CASE WHEN s8 > 0 THEN 256 ELSE 0 END)
+         + (CASE WHEN s9 > 0 THEN 512 ELSE 0 END)
+         + (CASE WHEN s10 > 0 THEN 1024 ELSE 0 END)
+         + (CASE WHEN s11 > 0 THEN 2048 ELSE 0 END)
+         + (CASE WHEN s12 > 0 THEN 4096 ELSE 0 END)
+         + (CASE WHEN s13 > 0 THEN 8192 ELSE 0 END)
+         + (CASE WHEN s14 > 0 THEN 16384 ELSE 0 END)
+         + (CASE WHEN s15 > 0 THEN 32768 ELSE 0 END) AS simhash
+    FROM v
+    """,
+)
+def d7_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (operators.dedup.simhash16): per-token
+    md5-derived 16-bit hashes vote per bit, sign packs the signature.
+    Near-dups differ in few bits; at scale the signature becomes the
+    shuffle key for hamming-ball blocking. Pure integer Column math —
+    no UDFs, fully codegen'd."""
+    from es_to_clickhouse_spark.operators.dedup import simhash16
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))

@@ -562,3 +562,201 @@ def st4_union_by_name(spark, sf_dir):
         .select("event_id", "event_type")
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# ------------------------------------------------- round-2 widening: joins
+
+
+@query(
+    "j7_asof_join",
+    """
+    WITH ref AS (
+      SELECT user_id, ts, max(value) AS ref_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, round(r.ref_value, 4) AS ref_value
+    FROM clicks c ASOF LEFT JOIN ref r
+      ON c.user_id = r.user_id AND c.ts >= r.ts
+    """,
+)
+def j7_asof_join(spark, sf_dir):
+    """Backward as-of join (operators.asof): each click gets the most
+    recent prior purchase value of the same user. Implemented as
+    union+window — one shuffle on the by-key, same cost as the sort-merge
+    join Spark would plan for a plain equi-join; never materializes the
+    O(n*m) range-join pair blowup."""
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    ref = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(clicks, ref, on="ts", by="user_id", right_cols=["ref_value"], suffix="")
+    return out.select(
+        "event_id", "user_id", F.round("ref_value", 4).alias("ref_value")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: fact-fact shuffle join on l_orderkey with the
+    customer dim broadcast; filters pushed to the parquet scans on both
+    fact sides before the join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") > F.lit("1998-03-15"))
+        .join(
+            o.where(F.col("o_orderdate") < F.lit("1998-03-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate reaches
+    the parquet reader (PushedFilters) and the agg is map-side partial —
+    the zero-shuffle headline query."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ------------------------------------------ round-2 widening: aggregations
+
+
+@query(
+    "a2_running_max",
+    """
+    SELECT event_id,
+           round(max(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_max
+    FROM events
+    """,
+)
+def a2_running_max(spark, sf_dir):
+    """In-flight running max (SURVEY A2: the reference's per-doc watermark
+    advance, es/es_to_bytehouse.py:909-919) as a window aggregate."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.max("value").over(w), 4).alias("run_max")
+    )
+
+
+@query(
+    "a9_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """,
+)
+def a9_grouping_sets(spark, sf_dir):
+    """GROUPING SETS — the general form behind rollup (a7) / cube (a8);
+    Spark expands to one shuffle with a grouping-id column."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
+# ------------------------------------------------ round-2 widening: sorts
+
+
+@query(
+    "o2_keyset_page",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_id > 5000 ORDER BY event_id LIMIT 100
+    """,
+)
+def o2_keyset_page(spark, sf_dir):
+    """Keyset pagination (SURVEY O2/S10: Mongo `_id > last` walk) — the
+    scale-correct replacement for LIMIT/OFFSET: the predicate prunes at
+    the scan, the sort is TakeOrderedAndProject."""
+    return (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") > 5000)
+        .orderBy("event_id")
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+    )
