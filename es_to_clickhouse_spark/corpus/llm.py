@@ -447,3 +447,38 @@ def d7_simhash(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+@query(
+    "sim4_ivf_cells",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 4
+    ), sims AS (
+      SELECT e.vec_id, c.cent_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cv AS DOUBLE[])), 6) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ), best AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cent_id) AS rn
+      FROM sims
+    )
+    SELECT cent_id, count(*) AS n_vectors
+    FROM best WHERE rn = 1 GROUP BY cent_id
+    """,
+)
+def sim4_ivf_cells(spark, sf_dir):
+    """IVF coarse-quantizer assignment (operators.similarity.ivf_assign):
+    nearest-centroid cell per vector, then the cell-balance histogram —
+    the build step of an IVF ANN index. Centroids broadcast; one map-side
+    pass + per-id window argmax."""
+    from es_to_clickhouse_spark.operators.similarity import ivf_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    assigned = ivf_assign(e, cents)
+    return assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -760,3 +760,32 @@ def o2_keyset_page(spark, sf_dir):
         .limit(100)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery — Catalyst decorrelates
+    it into an aggregate + join (no per-row re-execution), the classic
+    optimizer transform the reference could never express."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+    t(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM lineitem_q17 l2
+            WHERE l2.l_partkey = l.l_partkey)
+        """
+    )

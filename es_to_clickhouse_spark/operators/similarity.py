@@ -61,6 +61,37 @@ def sign_lsh_bucket(vec: Column, n_bits: int = 6) -> Column:
     return F.concat(*bits)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (max cosine; ties broken by lowest cent_id — deterministic).
+
+    ``centroids`` is a small DataFrame (cent_id, cv) — broadcast, so
+    assignment is one map-side pass over the big side plus a per-row
+    window argmax keyed by the vector id. At 100 TB the cell id becomes
+    the partition/bucketing key and probes read one cell, not the table;
+    re-clustering is a re-run of this single job.
+    """
+    from pyspark.sql.window import Window
+
+    sims = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cent_id"),
+        F.round(cosine(F.col(vec_col), F.col("cv")), round_digits).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cent_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def bucketed_topk(
     df: DataFrame,
     query_vec: DataFrame,

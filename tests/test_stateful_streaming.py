@@ -1,0 +1,55 @@
+"""E2E test: applyInPandasWithState first-occurrence dedup across
+micro-batches (SURVEY T2/T3/T8 — streaming twin of the upsert view)."""
+
+from __future__ import annotations
+
+import os
+
+from es_to_clickhouse_spark.streaming.stateful import first_seen_stream
+
+
+def _run_batch(spark, src_dir, ckpt, out_dir, schema):
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    deduped = first_seen_stream(stream, key_col="user_id", id_col="event_id")
+
+    def sink(batch, _bid):
+        batch.write.mode("append").parquet(str(out_dir))
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _emitted(spark, out_dir):
+    if not os.path.exists(str(out_dir)):
+        return set()
+    return {
+        (r.key, r.first_id) for r in spark.read.parquet(str(out_dir)).collect()
+    }
+
+
+def test_first_seen_dedup_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    df1 = spark.createDataFrame(
+        [(10, 1), (11, 1), (20, 2)], "event_id long, user_id long"
+    )
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    schema = df1.schema
+
+    _run_batch(spark, src, ckpt, out, schema)
+    # user 1 first appears with min event_id 10; user 2 with 20
+    assert _emitted(spark, out) == {(1, 10), (2, 20)}
+
+    # batch 2: user 1 re-appears (suppressed — state remembers), user 3 new
+    df2 = spark.createDataFrame([(5, 1), (30, 3)], "event_id long, user_id long")
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+    _run_batch(spark, src, ckpt, out, schema)
+    # batch-2 emits ONLY user 3 (user 1's event 5 is suppressed by state)
+    assert _emitted(spark, out) == {(1, 10), (2, 20), (3, 30)}
