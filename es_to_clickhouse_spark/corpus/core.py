@@ -398,3 +398,45 @@ def flat2_mongo_stringify(spark, sf_dir):
         )
     )
     return flatten_mongo(ev)
+
+
+@query(
+    "f8_parse_isoformat",
+    """
+    SELECT event_id,
+           strftime(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                             '%Y-%m-%dT%H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS parsed_s
+    FROM events
+    """,
+)
+def f8_parse_isoformat(spark, sf_dir):
+    """F8: datetime.fromisoformat parse
+    (mongodb/mongodb_to_bytehouse.py:616) — ISO-'T' strings parsed back to
+    timestamps with to_timestamp."""
+    from es_to_clickhouse_spark.functions import ts_seconds
+
+    e = t(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    return e.select(
+        "event_id",
+        ts_seconds(F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss")).alias("parsed_s"),
+    )
+
+
+@query(
+    "f12_substring_truncate",
+    """
+    SELECT doc_id, substr(text, 1, 100) AS prefix100, substr(text, 1, 20) AS prefix20
+    FROM documents
+    """,
+)
+def f12_substring_truncate(spark, sf_dir):
+    """F12: substring truncation (msg[:100], [:20] —
+    es/es_to_bytehouse.py:50,67)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 100).alias("prefix100"),
+        F.substring("text", 1, 20).alias("prefix20"),
+    )

@@ -482,3 +482,23 @@ def sim4_ivf_cells(spark, sf_dir):
     )
     assigned = ivf_assign(e, cents)
     return assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@query(
+    "mm3_feature_extract",
+    """
+    SELECT doc_id AS asset_id,
+           ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS f0,
+           ('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967296.0 AS f1,
+           ('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0 AS f2,
+           ('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0 AS f3
+    FROM documents
+    """,
+)
+def mm3_feature_extract(spark, sf_dir):
+    """Feature extraction over binary assets via Arrow-batched mapInPandas
+    (operators.multimodal.extract_features): the decode/model body is a
+    deterministic md5-derived fake, the Python↔Arrow↔JVM plumbing is real
+    and oracle-checked bit-for-bit."""
+    assets = multimodal.to_assets(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return multimodal.extract_features(assets)

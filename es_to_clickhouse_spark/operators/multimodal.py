@@ -88,6 +88,36 @@ def sample_frames(df: DataFrame, frames_mod: int = 3) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(extract, FRAME_SCHEMA)
 
 
+FEATURE_SCHEMA = "asset_id long, f0 double, f1 double, f2 double, f3 double"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction plumbing over mapInPandas: 4 fake feature dims
+    per asset derived from the payload's md5 (a real extractor would run a
+    vision/audio model over the same Arrow batches).
+
+    Deterministic and engine-independent: dim k = int(md5[8k:8k+8], 16) /
+    2^32 — exactly reproducible in SQL, so the corpus oracle checks the
+    whole Python↔Arrow↔JVM path bit-for-bit. No rounding: the division is
+    exact IEEE in both engines.
+    """
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "f0": [], "f1": [], "f2": [], "f3": []}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                digest = hashlib.md5(payload or b"").hexdigest()
+                rows["asset_id"].append(int(asset_id))
+                for k in range(4):
+                    rows[f"f{k}"].append(
+                        int(digest[8 * k : 8 * k + 8], 16) / 4294967296.0
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("asset_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
 def meta_projection(df: DataFrame) -> DataFrame:
     """Metadata-only projection: never touches ``payload`` — at scale this
     is the column-pruned scan that makes metadata queries cheap."""
