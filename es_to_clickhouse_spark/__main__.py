@@ -1,0 +1,112 @@
+"""CLI — the Spark-native twin of the reference daemons' argparse surface.
+
+Reference entry points re-expressed (SURVEY §3):
+- ``--mode full``        es/es_to_bytehouse.py:1210-1257 (run_full_sync)
+- ``--mode incremental`` one bounded round
+- ``--mode continuous``  es/es_to_bytehouse.py:1053-1102 (poll loop;
+  ``--interval`` = INCREMENTAL_INTERVAL, default 60 s)
+- ``--mode auto``        mongodb/mongodb_to_bytehouse.py:811-866
+- ``--mode status``      clickhouse/clickhouse_to_bytehouse.py:205-224
+- ``--list-only``        es/es_to_bytehouse.py:1246-1253
+
+Usage::
+
+    python -m es_to_clickhouse_spark \
+        --source-dir /root/testdata/sf0.001 --warehouse /tmp/wh \
+        --mode auto --tables 'events,line*'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from es_to_clickhouse_spark.catalog import ParquetCatalog
+from es_to_clickhouse_spark.engine import SyncEngine
+from es_to_clickhouse_spark.session import get_spark
+from es_to_clickhouse_spark.sink import WarehouseTarget
+from es_to_clickhouse_spark.state import StateStore
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="es_to_clickhouse_spark",
+        description="PySpark-native sync engine (full/incremental/continuous/auto)",
+    )
+    p.add_argument(
+        "--mode",
+        choices=["full", "incremental", "continuous", "auto", "status", "list"],
+        default="auto",
+    )
+    p.add_argument("--source-dir", required=True, help="parquet source catalog dir")
+    p.add_argument("--warehouse", required=True, help="target warehouse dir")
+    p.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated glob patterns (clickhouse_to_bytehouse.py:83-98)",
+    )
+    p.add_argument(
+        "--interval", type=float, default=60.0, help="continuous poll seconds"
+    )
+    p.add_argument(
+        "--max-rounds", type=int, default=None, help="bound continuous rounds"
+    )
+    p.add_argument(
+        "--dialect", choices=["es", "mongo"], default="es", help="flatten dialect"
+    )
+    p.add_argument("--id-field", default=None, help="source column to expose as _id")
+    p.add_argument(
+        "--list-only", action="store_true", help="print matching tables and exit"
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark("es_to_clickhouse_spark.cli")
+    spark.sparkContext.setLogLevel("WARN")
+    engine = SyncEngine(
+        spark=spark,
+        catalog=ParquetCatalog(spark, args.source_dir),
+        target=WarehouseTarget(spark, args.warehouse),
+        state=StateStore(spark, args.warehouse),
+        dialect=args.dialect,
+        id_field=args.id_field,
+    )
+    if args.list_only or args.mode == "list":
+        for name in engine.list_tables(args.tables):
+            print(name)
+        return 0
+    if args.mode == "status":
+        for row in engine.status().collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+    if args.mode == "full":
+        reports = engine.sync_full(args.tables)
+    elif args.mode == "incremental":
+        reports = engine.sync_incremental_once(args.tables)
+    elif args.mode == "auto":
+        reports = engine.sync_auto(args.tables)
+    else:  # continuous
+        rounds = engine.sync_continuous(
+            args.tables, interval_s=args.interval, max_rounds=args.max_rounds
+        )
+        reports = [r for rnd in rounds for r in rnd]
+    for r in reports:
+        print(
+            json.dumps(
+                {
+                    "table": r.table,
+                    "mode": r.mode,
+                    "rows": r.rows,
+                    "seconds": round(r.seconds, 3),
+                    "watermark": r.watermark,
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,35 @@ class TableInfo:
     path: str
 
 
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection via
+    pyarrow — driver-side, one footer read, no data scan)."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pt
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pt.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:  # noqa: BLE001 — footer probe is best-effort
+        return []
+
+
+def _convert_nanos_columns(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """ns-as-long columns → microsecond timestamps (floor-truncate, the
+    same ns→µs rule DuckDB applies when reading TIMESTAMP(NANOS))."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for c in _nanos_columns(path):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 class ParquetCatalog:
     """Catalog over a directory of ``<table>.parquet`` files/dirs — the
     testbed stand-in for ES/CH/Mongo catalogs."""
@@ -52,10 +81,17 @@ class ParquetCatalog:
     def read(self, name: str) -> DataFrame:
         """mergeSchema=true: source batches may evolve their schema
         mid-stream (SURVEY S18); the union-of-file-schemas read is the
-        declared ∪ sampled schema union (es/es_to_bytehouse.py:762-771)."""
-        return self.spark.read.option("mergeSchema", "true").parquet(
+        declared ∪ sampled schema union (es/es_to_bytehouse.py:762-771).
+
+        TIMESTAMP(NANOS) parquet columns (unsupported by Spark 4 directly)
+        are read as long via the legacy conf and converted to
+        microsecond timestamps — DuckDB applies the same ns→µs truncation.
+        """
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.option("mergeSchema", "true").parquet(
             os.path.join(self.root, f"{name}.parquet")
         )
+        return _convert_nanos_columns(self.spark, df, os.path.join(self.root, f"{name}.parquet"))
 
     def row_count(self, name: str) -> int:
         """Source row total for progress/ETA (SURVEY A3)."""
@@ -65,13 +101,14 @@ class ParquetCatalog:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Convenience: read every testbed table into a dict of DataFrames."""
     cat = ParquetCatalog(spark, sf_dir)
-    return {t.name: spark.read.parquet(t.path) for t in cat.list_tables()}
+    return {t.name: cat.read(t.name) for t in cat.list_tables()}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every testbed table as a temp view; returns names."""
     names = []
-    for t in ParquetCatalog(spark, sf_dir).list_tables():
-        spark.read.parquet(t.path).createOrReplaceTempView(t.name)
+    cat = ParquetCatalog(spark, sf_dir)
+    for t in cat.list_tables():
+        cat.read(t.name).createOrReplaceTempView(t.name)
         names.append(t.name)
     return names

@@ -90,8 +90,10 @@ class SyncEngine:
             time_field = detect_time_field(cols)
             update_field = detect_update_time_field(cols)
             self.target.append(target_name, df)
-            # seed watermark from the target's max(t) (es/es_to_bytehouse.py:1115-1131)
+            # seed watermarks from the target's max(t) / max(u)
+            # (es/es_to_bytehouse.py:1115-1131 reads BOTH fields)
             wm = self.target.max_of(target_name, time_field) if time_field else None
+            wm_u = self.target.max_of(target_name, update_field) if update_field else None
             rows = self.target.read(target_name, dedup=False).count()
             st = SyncState(
                 table_name=target_name,
@@ -99,6 +101,7 @@ class SyncEngine:
                 time_field=time_field,
                 update_time_field=update_field,
                 last_sync_time=str(wm) if wm is not None else None,
+                last_update_time=str(wm_u) if wm_u is not None else None,
                 last_id=str(self.target.max_of(target_name, ID_COL) or "")
                 if ID_COL in cols or self.id_field
                 else None,

@@ -133,3 +133,66 @@ def test_schema_evolution_new_column(pipeline, spark):
     got = {r.event_id: r.extra for r in target.select("event_id", "extra").collect()}
     assert got[6] == "new!"
     assert got[1] is None  # old rows NULL-filled
+
+
+def test_late_update_caught_by_or_clause(spark, tmp_path):
+    """B5 wave 3 (FIXTURES.md): a row with OLD created_at but NEWER
+    updated_at is re-fetched only via the update-time OR-clause
+    (es/es_to_bytehouse.py:843-853); one row older on both fields stays
+    missed (documented at-least-once, SURVEY T4)."""
+    source = tmp_path / "source"
+    os.makedirs(source)
+    schema = "event_id long, created_at string, updated_at string, payload string"
+
+    def write(rows, mode):
+        df = (
+            spark.createDataFrame(rows, schema)
+            .withColumn("created_at", F.col("created_at").cast("timestamp"))
+            .withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+        )
+        df.write.mode(mode).parquet(str(source / "docs.parquet"))
+
+    write(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-01 00:00:00", "a"),
+            (2, "2024-01-02 00:00:00", "2024-01-02 00:00:00", "b"),
+        ],
+        "overwrite",
+    )
+    engine = SyncEngine(
+        spark=spark,
+        catalog=ParquetCatalog(spark, str(source)),
+        target=WarehouseTarget(spark, str(tmp_path / "wh")),
+        state=StateStore(spark, str(tmp_path / "wh")),
+        id_field="event_id",
+    )
+    engine.sync_full()
+    st = engine.state.get("docs")
+    assert st.update_time_field == "updated_at"
+    assert st.last_update_time is not None  # seeded by full sync
+
+    # wave 3: doc 1 updated in place (old created_at, new updated_at),
+    # plus one truly-late row older on both fields
+    write(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-05 00:00:00", "a-v2"),
+            (9, "2023-12-01 00:00:00", "2023-12-01 00:00:00", "late"),
+        ],
+        "append",
+    )
+    reports = engine.sync_incremental_once()
+    assert reports[0].rows == 1  # only the updated doc; the late row missed
+    merged = engine.target.read("docs", dedup=True)
+    assert merged.count() == 2
+    got = {r.event_id: r.payload for r in merged.select("event_id", "payload").collect()}
+    assert got[1] == "a-v2"
+
+
+def test_continuous_bounded_rounds(pipeline, spark):
+    engine, source = pipeline
+    engine.sync_full()
+    _append_rows(spark, source, [(4, "2024-01-04 00:00:00", "d")])
+    rounds = engine.sync_continuous(max_rounds=2, interval_s=0.0)
+    assert len(rounds) == 2
+    assert rounds[0][0].rows == 1
+    assert rounds[1][0].rows == 0  # second round: nothing new
