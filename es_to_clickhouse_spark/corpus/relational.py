@@ -789,3 +789,24 @@ def q17_small_qty_revenue(spark, sf_dir):
             WHERE l2.l_partkey = l.l_partkey)
         """
     )
+
+
+@query(
+    "j8_salted_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j8_salted_join(spark, sf_dir):
+    """Skew-resistant salted join (operators.partitioning.salted_join):
+    the fact side fans out over 8 deterministic salts, the dim side is
+    replicated per salt — same result as the plain join (the oracle IS the
+    plain join), but no single hot key can straggle a shuffle partition."""
+    from es_to_clickhouse_spark.operators.partitioning import salted_join
+
+    o = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    joined = salted_join(o, c, on="custkey", big_unique_col="o_orderkey", n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_orders"))
