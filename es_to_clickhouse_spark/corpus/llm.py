@@ -502,3 +502,28 @@ def mm3_feature_extract(spark, sf_dir):
     and oracle-checked bit-for-bit."""
     assets = multimodal.to_assets(t(spark, sf_dir, "documents"), "doc_id", "text")
     return multimodal.extract_features(assets)
+
+
+@query(
+    "txt6_length_histogram",
+    """
+    SELECT CAST(floor(length(text) / 100) AS BIGINT) AS bucket_100,
+           count(*) AS n_docs,
+           min(length(text)) AS min_len,
+           max(length(text)) AS max_len
+    FROM documents GROUP BY 1
+    """,
+)
+def txt6_length_histogram(spark, sf_dir):
+    """Document-length histogram (100-char buckets) — the length-filter
+    profile a pre-training pipeline checks before truncation decisions."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.floor(F.length("text") / 100).alias("bucket_100"), F.length("text").alias("L"))
+        .groupBy("bucket_100")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("L").alias("min_len"),
+            F.max("L").alias("max_len"),
+        )
+    )

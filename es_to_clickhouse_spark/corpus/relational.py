@@ -810,3 +810,19 @@ def j8_salted_join(spark, sf_dir):
     c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
     joined = salted_join(o, c, on="custkey", big_unique_col="o_orderkey", n_salt=8)
     return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "st5_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def st5_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference (keeps multiplicity), the bag
+    semantics the distinct EXCEPT (st3) loses."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

@@ -53,3 +53,63 @@ def test_first_seen_dedup_across_batches(spark, tmp_path):
     _run_batch(spark, src, ckpt, out, schema)
     # batch-2 emits ONLY user 3 (user 1's event 5 is suppressed by state)
     assert _emitted(spark, out) == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
+    """T3/T7: event-time watermark bounds state; a row arriving after the
+    watermark passed its window is dropped — the finalized window count
+    never changes (the documented alternative to the reference's unbounded
+    OR-clause re-fetch for streaming aggregations)."""
+    from es_to_clickhouse_spark.streaming.sync import windowed_counts
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    schema = "ts timestamp, v long"
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts string, v long").selectExpr(
+            "cast(ts as timestamp) ts", "v"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src))
+        agg = windowed_counts(stream, ts_col="ts", window="10 minutes",
+                              watermark="10 minutes")
+        q = (
+            agg.selectExpr("w.start AS win_start", "n")
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(str(out))
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: two rows in the 10:00 window; 10:25 advances watermark to 10:15
+    write(
+        [
+            ("2024-01-01 10:00:30", 1),
+            ("2024-01-01 10:05:00", 2),
+            ("2024-01-01 10:25:00", 3),
+        ]
+    )
+    run()
+    got1 = {
+        (str(r.win_start), r.n) for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got1 == {("2024-01-01 10:00:00", 2)}  # 10:00 window finalized
+
+    # batch 2: a late row for the CLOSED 10:00 window (dropped), plus
+    # 10:45 which advances the watermark past the 10:25 row's window
+    write([("2024-01-01 10:02:00", 9), ("2024-01-01 10:45:00", 4)])
+    run()
+    got2 = {
+        (str(r.win_start), r.n) for r in spark.read.parquet(str(out)).collect()
+    }
+    # 10:00 stays n=2 (late row dropped); 10:20 window finalized with n=1
+    assert got2 == {("2024-01-01 10:00:00", 2), ("2024-01-01 10:20:00", 1)}
