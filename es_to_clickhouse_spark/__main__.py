@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--id-field", default=None, help="source column to expose as _id")
     p.add_argument(
+        "--store-source",
+        action="store_true",
+        help="keep whole doc as a _source JSON column (STORE_SOURCE)",
+    )
+    p.add_argument(
         "--list-only", action="store_true", help="print matching tables and exit"
     )
     return p
@@ -73,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         state=StateStore(spark, args.warehouse),
         dialect=args.dialect,
         id_field=args.id_field,
+        store_source=args.store_source,
     )
     if args.list_only or args.mode == "list":
         for name in engine.list_tables(args.tables):

@@ -826,3 +826,136 @@ def st5_except_all(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@query(
+    "a10_pivot",
+    """
+    SELECT user_id % 5 AS user_mod,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY 1
+    """,
+)
+def a10_pivot(spark, sf_dir):
+    """Pivot (long→wide conditional aggregation). Explicit value list —
+    at scale an unlisted pivot would need a driver-side distinct pass."""
+    e = t(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 5).alias("user_mod"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for empty cells; the FILTER oracle yields 0
+    return out.select(
+        "user_mod",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ["click", "error", "purchase", "signup", "view"]
+        ],
+    )
+
+
+@query(
+    "a11_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_exact_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont interpolation). At 100 TB the approx variant
+    (percentile_approx / t-digest) swaps in with one function change."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+@query(
+    "w6_scd2_intervals",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+           round(value, 4) AS value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def w6_scd2_intervals(spark, sf_dir):
+    """SCD2 history construction: each change row becomes a
+    [valid_from, valid_to) interval via lead() — the window expression of
+    CDC merge (no Delta required; the guide's anti-join+window pattern)."""
+    from es_to_clickhouse_spark.functions import ts_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return e.select(
+        "user_id",
+        ts_seconds(F.col("ts")).alias("valid_from_s"),
+        ts_seconds(F.lead("ts").over(w)).alias("valid_to_s"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@query(
+    "t9_sessionization_batch",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sess_id
+      FROM g
+    )
+    SELECT user_id, sess_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def t9_sessionization_batch(spark, sf_dir):
+    """Batch sessionization (30-min gap): lag + cumulative-sum session ids
+    — the batch twin of t8's streaming session_window, one shuffle on the
+    user key shared by both window passes."""
+    from es_to_clickhouse_spark.functions import ts_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = t(spark, sf_dir, "events")
+    g = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+        "event_id",
+    )
+    sess = g.select(
+        "user_id", "ts",
+        F.sum("new_sess").over(wsum).cast("long").alias("sess_id"),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_seconds(F.min("ts")).alias("start_s"),
+        ts_seconds(F.max("ts")).alias("end_s"),
+    )

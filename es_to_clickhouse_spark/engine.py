@@ -62,6 +62,7 @@ class SyncEngine:
     state: StateStore
     dialect: str = "es"
     id_field: str | None = None  # source column to expose as _id
+    store_source: bool = False  # keep whole doc as _source JSON (STORE_SOURCE)
     reporter: ProgressReporter = field(default_factory=ProgressReporter)
 
     # -- transforms ----------------------------------------------------
@@ -69,7 +70,11 @@ class SyncEngine:
     def _transform(self, df: DataFrame) -> DataFrame:
         """Dialect flatten; testbed tables are already flat, in which case
         flatten is the identity projection (still one select — cheap)."""
-        out = flatten_es(df, stringify=False) if self.dialect == "es" else flatten_mongo(df)
+        out = (
+            flatten_es(df, stringify=False, store_source=self.store_source)
+            if self.dialect == "es"
+            else flatten_mongo(df)
+        )
         if self.id_field and self.id_field in out.columns and ID_COL not in out.columns:
             out = out.withColumn(ID_COL, F.col(self.id_field).cast("string"))
         return out

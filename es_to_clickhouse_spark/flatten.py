@@ -93,9 +93,23 @@ def flatten_es(
     df: DataFrame,
     array_cap: int = DEFAULT_ARRAY_CAP,
     stringify: bool = True,
+    store_source: bool = False,
 ) -> DataFrame:
-    """ES-dialect flatten of a nested DataFrame (one projection)."""
-    return df.select(*flatten_columns_es(df.schema, array_cap=array_cap, stringify=stringify))
+    """ES-dialect flatten of a nested DataFrame (one projection).
+
+    ``store_source=True`` adds a ``_source`` column holding the whole
+    original document as one JSON string (the reference's STORE_SOURCE
+    option, es/es_to_bytehouse.py:305-316,613-617) — kept alongside the
+    flattened columns so raw-document replay never needs the source
+    system again.
+    """
+    cols = flatten_columns_es(df.schema, array_cap=array_cap, stringify=stringify)
+    if store_source:
+        src = F.to_json(F.struct(*[F.col(f"`{f}`") for f in df.columns])).alias(
+            "_source"
+        )
+        cols = [src, *cols]
+    return df.select(*cols)
 
 
 def stringify_columns_mongo(schema: T.StructType) -> list[Column]:

@@ -108,3 +108,22 @@ def test_flatten_struct_type_and_union(spark):
     # union fills gaps, first-seen wins (es/es_to_bytehouse.py:762-771)
     assert "extra_field" in merged
     assert merged["user_name"] is declared["user_name"]
+
+
+def test_store_source_column(spark):
+    """STORE_SOURCE (es/es_to_bytehouse.py:305-316): _source carries the
+    whole original document as JSON, alongside the flattened columns."""
+    import json
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(a=1, user=Row(name="x", city="c"))],
+    )
+    out = flatten_es(df, store_source=True)
+    assert out.columns[0] == "_source"
+    assert "user_name" in out.columns
+    row = out.collect()[0]
+    doc = json.loads(row._source)
+    assert doc == {"a": 1, "user": {"name": "x", "city": "c"}}
+    assert row.user_name == "x"
