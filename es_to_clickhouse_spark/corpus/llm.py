@@ -527,3 +527,24 @@ def txt6_length_histogram(spark, sf_dir):
             F.max("L").alias("max_len"),
         )
     )
+
+
+@query(
+    "txt7_bpe_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+           len(list_filter(string_split(text, ' '), x -> x != '')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def txt7_bpe_token_count(spark, sf_dir):
+    """Token counting, BPE-ish regex vs whitespace (operators.text
+    .regex_token_count): the pre-tokenizer pass of a GPT-2-style
+    tokenizer as a pure JVM regexp — no Python in the scan."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.size(text.tokens(F.col("text"))).alias("n_ws_tokens"),
+    )

@@ -79,3 +79,16 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text — the exact-dedup key at scale (one hash per doc, no shuffle)."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select("*", F.md5(normalized).alias("fingerprint"))
+
+
+#: BPE-ish pre-tokenizer: word runs OR single non-word-non-space marks —
+#: the regex family GPT-2-style tokenizers use as the split pass.
+BPE_TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def regex_token_count(text: Column, pattern: str = BPE_TOKEN_REGEX) -> Column:
+    """Token count under a BPE-ish regex (JVM regexp_count — no UDF).
+    A real BPE vocab multiplies this by a merges-per-word factor; the
+    regex pass is the part that must scan every byte, so it's the one
+    that matters at 100 TB."""
+    return F.regexp_count(text, F.lit(pattern))

@@ -110,3 +110,26 @@ def test_register_engine_udfs(spark):
     assert row.b == "bad_key"
     assert row.c == "idx_2024_logs_app"
     assert row.d is True and row.e is False and row.f is True
+
+
+def test_alert_hook_rate_limit(monkeypatch):
+    """A6: identical LEVEL:msg[:100] alerts suppressed within the window
+    (es/es_to_bytehouse.py:48-55)."""
+    from es_to_clickhouse_spark.observability import AlertHook, speed_eta
+
+    sent = []
+    hook = AlertHook(send=lambda lvl, msg: sent.append((lvl, msg)), window_s=60.0)
+    assert hook.alert("ERROR", "boom") is True
+    assert hook.alert("ERROR", "boom") is False  # suppressed
+    assert hook.alert("WARNING", "boom") is True  # different level = new key
+    assert hook.alert("ERROR", "other") is True
+    assert len(sent) == 3
+    # long messages: key uses msg[:100], payload truncated to 500
+    long = "x" * 1000
+    assert hook.alert("ERROR", long) is True
+    assert sent[-1][1] == "x" * 500
+    assert hook.alert("ERROR", long + "tail-differs-after-100") is False
+
+    speed, eta, pct = speed_eta(50, 100, 10.0)
+    assert speed == 5.0 and eta == 10.0 and pct == 50.0
+    assert speed_eta(0, None, 0.0) == (0.0, None, None)

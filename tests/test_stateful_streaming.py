@@ -113,3 +113,33 @@ def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
     }
     # 10:00 stays n=2 (late row dropped); 10:20 window finalized with n=1
     assert got2 == {("2024-01-01 10:00:00", 2), ("2024-01-01 10:20:00", 1)}
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    broadcast dimension — the streaming twin of j1's broadcast dim join
+    (the standard enrichment step of a continuous sync pipeline)."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    facts = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 100)], "event_id long, dim_id long"
+    )
+    facts.coalesce(1).write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [(100, "gold"), (200, "silver")], "dim_id long, tier string"
+    )
+    stream = spark.readStream.schema(facts.schema).parquet(str(src))
+    enriched = stream.join(F.broadcast(dim), "dim_id", "left")
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(str(out))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r.tier) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {(1, "gold"), (2, "silver"), (3, "gold")}
