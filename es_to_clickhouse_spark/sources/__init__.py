@@ -12,6 +12,11 @@ Catalyst-planned connector read instead of hand-rolled pagination:
 - :mod:`.mongo` — MongoDB via the mongo-spark connector (keyset paging ↔
   partitioner).
 
+- :mod:`.json_docs` — dynamic-schema JSON document ingestion: sampled
+  schema inference, batch-over-batch schema evolution, malformed-row
+  quarantine (the reference's sampled scans + reactive schema repair,
+  es/es_to_bytehouse.py:338-395,696-736, re-expressed declaratively).
+
 The ES/Mongo connectors aren't installed in this container; their
 readers raise a clear error with the exact spark-submit packages needed,
 while their *option-building* logic (URL, pushdown, split sizing) is pure
