@@ -101,3 +101,21 @@ def test_repartition_by_range_clusters_time(spark, tmp_path):
     )
     for prev, nxt in zip(ranges, ranges[1:]):
         assert prev.hi <= nxt.lo
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy + filter → PartitionFilters prune whole
+    directories at plan time (the layout the sink uses for time-series
+    targets; at 100 TB a day-filter reads one partition, not the table)."""
+    df = spark.range(300).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), ((F.col("id") % 3) + 1).cast("string")).alias(
+            "dt"
+        ),
+    )
+    path = str(tmp_path / "parted")
+    df.write.partitionBy("dt").parquet(path)
+    read = spark.read.parquet(path).where(F.col("dt") == "2024-01-02")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
+    assert read.count() == 100

@@ -1,0 +1,59 @@
+"""Plan audit: every corpus query's physical plan, checked for scale
+red flags.
+
+Flags:
+- CartesianProduct          — unbounded pair blowup
+- BatchEvalPython           — row-at-a-time Python in the data path
+- BroadcastNestedLoopJoin   — reported for review; legitimate when the
+  broadcast side is a 1-row scalar / query-vector (sim1/sim4/t5/t6/f14
+  pattern), a bug anywhere else.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+#: queries where a BroadcastNestedLoopJoin is the intended plan: the
+#: broadcast side is a tiny scalar/query-vector frame (≤ a few rows).
+BNL_ALLOWED = {
+    "f14_progress_math",
+    "sim1_cosine_topk",
+    "sim4_ivf_cells",
+    "t5_bootstrap_window",
+    "t6_auto_mode_split",
+}
+
+
+def main() -> int:
+    from es_to_clickhouse_spark.corpus import all_queries
+    from es_to_clickhouse_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain_audit", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    for name, fn in sorted(all_queries().items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"explain error: {str(e)[:120]}"))
+            continue
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            failures.append((name, "row-at-a-time Python UDF"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNL_ALLOWED:
+            failures.append((name, "unexpected BroadcastNestedLoopJoin"))
+    if failures:
+        for name, why in failures:
+            print(f"FLAG {name}: {why}")
+    print(f"\n{len(failures)} flags over {len(all_queries())} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
