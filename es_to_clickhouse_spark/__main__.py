@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--id-field", default=None, help="source column to expose as _id")
     p.add_argument(
+        "--start-date",
+        default=None,
+        help="stateless-table incremental bootstrap: sync rows with "
+        "time > START_DATE (mongodb_to_bytehouse.py --start-date)",
+    )
+    p.add_argument(
         "--store-source",
         action="store_true",
         help="keep whole doc as a _source JSON column (STORE_SOURCE)",
@@ -91,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "full":
         reports = engine.sync_full(args.tables)
     elif args.mode == "incremental":
-        reports = engine.sync_incremental_once(args.tables)
+        reports = engine.sync_incremental_once(args.tables, start_date=args.start_date)
     elif args.mode == "auto":
         reports = engine.sync_auto(args.tables)
     else:  # continuous

@@ -118,12 +118,32 @@ class SyncEngine:
             reports.append(rep)
         return reports
 
-    def sync_incremental_once(self, pattern: str | None = None) -> list[SyncReport]:
-        """One incremental round over matching tables (§3.2)."""
+    def sync_incremental_once(
+        self, pattern: str | None = None, start_date: str | None = None
+    ) -> list[SyncReport]:
+        """One incremental round over matching tables (§3.2).
+
+        ``start_date``: bootstrap for stateless tables — the Mongo
+        daemon's ``--start-date`` (mongodb/mongodb_to_bytehouse.py:611-631:
+        no state → sync rows with time > start_date and seed state).
+        Without it, stateless tables are skipped (ES refuses incremental
+        before a full sync, es/es_to_bytehouse.py:968-971).
+        """
         reports = []
         for t in self.catalog.list_tables(pattern):
             target_name = sanitize_table_name(t.name, self.dialect)
             st = self.state.get(target_name)
+            if st is None and start_date is not None:
+                cols = self._transform(self.catalog.read(t.name)).columns
+                tf = detect_time_field(cols)
+                if tf:
+                    st = SyncState(
+                        table_name=target_name,
+                        source_name=t.name,
+                        time_field=tf,
+                        update_time_field=detect_update_time_field(cols),
+                        last_sync_time=start_date,
+                    )
             if st is None:
                 # ES refuses incremental before a full sync
                 # (es/es_to_bytehouse.py:968-971)

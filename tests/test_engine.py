@@ -196,3 +196,16 @@ def test_continuous_bounded_rounds(pipeline, spark):
     assert len(rounds) == 2
     assert rounds[0][0].rows == 1
     assert rounds[1][0].rows == 0  # second round: nothing new
+
+
+def test_incremental_start_date_bootstrap(pipeline):
+    """Mongo --start-date parity: no prior state + start_date → sync rows
+    with time > start_date and seed the state
+    (mongodb/mongodb_to_bytehouse.py:611-631)."""
+    engine, _ = pipeline
+    reports = engine.sync_incremental_once(start_date="2024-01-01 12:00:00")
+    assert reports[0].rows == 2  # rows at 01-02 and 01-03; 01-01 excluded
+    st = engine.state.get("logs")
+    assert st is not None and st.last_sync_time.startswith("2024-01-03")
+    # second round: watermark advanced, nothing new
+    assert engine.sync_incremental_once()[0].rows == 0
