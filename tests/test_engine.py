@@ -209,3 +209,48 @@ def test_incremental_start_date_bootstrap(pipeline):
     assert st is not None and st.last_sync_time.startswith("2024-01-03")
     # second round: watermark advanced, nothing new
     assert engine.sync_incremental_once()[0].rows == 0
+
+
+def test_mongo_dialect_keyset_incremental(spark, tmp_path):
+    """Mongo path e2e: struct fields stringify to JSON (not flattened),
+    no time field → keyset watermark `_id > last` (fixed-width hex ids,
+    the ObjectId property that makes string comparison correct —
+    mongodb/mongodb_to_bytehouse.py:524-532)."""
+    import json
+
+    from pyspark.sql import Row
+
+    source = tmp_path / "source"
+    os.makedirs(source)
+
+    def oid(n):
+        return f"{n:024x}"  # 24-hex, zero-padded like an ObjectId
+
+    rows1 = [Row(_id=oid(1), profile=Row(a=1, b="x")), Row(_id=oid(2), profile=Row(a=2, b="y"))]
+    spark.createDataFrame(rows1).write.parquet(str(source / "users.parquet"))
+    engine = SyncEngine(
+        spark=spark,
+        catalog=ParquetCatalog(spark, str(source)),
+        target=WarehouseTarget(spark, str(tmp_path / "wh")),
+        state=StateStore(spark, str(tmp_path / "wh")),
+        dialect="mongo",
+        id_field="_id",
+    )
+    engine.sync_full()
+    st = engine.state.get("users")
+    assert st.time_field is None and st.last_id == oid(2)
+    target = engine.target.read("users")
+    # mongo dialect: struct NOT flattened — one JSON-string column
+    assert json.loads(
+        target.where(F.col("_id") == oid(1)).collect()[0].profile
+    ) == {"a": 1, "b": "x"}
+
+    # keyset increment: only ids beyond the watermark move
+    rows2 = [Row(_id=oid(3), profile=Row(a=3, b="z"))]
+    spark.createDataFrame(rows2).write.mode("append").parquet(str(source / "users.parquet"))
+    reports = engine.sync_incremental_once()
+    assert reports[0].rows == 1
+    assert engine.state.get("users").last_id == oid(3)
+    assert engine.target.read("users").count() == 3
+    # idempotent second round
+    assert engine.sync_incremental_once()[0].rows == 0
