@@ -548,3 +548,58 @@ def txt7_bpe_token_count(spark, sf_dir):
         text.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.size(text.tokens(F.col("text"))).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "d8_lsh_verified_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min') AS mh0,
+             list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min') AS mh1,
+             list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min') AS mh2,
+             list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min') AS mh3
+      FROM tok
+    ), banded AS (
+      SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sig
+      UNION ALL
+      SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key, doc_id FROM sig
+    ), kept AS (
+      SELECT band_id, band_key, doc_id,
+             count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE a.bsz <= 50 AND b.bsz <= 50
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(ta.ts, tb.ts))
+             / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 4)
+             AS jaccard
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.id_a
+    JOIN tok tb ON tb.doc_id = c.id_b
+    WHERE round(len(list_intersect(ta.ts, tb.ts))
+             / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 4)
+          >= 0.5
+    """,
+)
+def d8_lsh_verified_pairs(spark, sf_dir):
+    """End-to-end near-dup pipeline (operators.dedup.lsh_neardup_pairs):
+    MinHash → LSH band buckets (max_bucket guard drops degenerate
+    buckets) → candidate pairs → exact Jaccard verify. The self-join is
+    per-bucket, so pair count stays ~linear in bucket collisions instead
+    of quadratic in corpus size."""
+    from es_to_clickhouse_spark.operators.dedup import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=4, bands=2, threshold=0.5, max_bucket=50,
+    )

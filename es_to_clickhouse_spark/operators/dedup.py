@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from es_to_clickhouse_spark.operators.text import tokens
 
@@ -114,6 +115,64 @@ def ngram_jaccard_pairs(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("_tok_a"), F.col("_tok_b")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    bands: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The full near-dup pipeline: MinHash → LSH bands → candidate pairs
+    (sharing ≥1 bucket) → exact Jaccard verify ≥ threshold.
+
+    This is the composition that makes dedup tractable at 100 TB: the
+    self-join runs per (band_id, band_key) bucket — candidate pairs are
+    ~linear in collisions, never the quadratic all-pairs — and only
+    candidates pay the exact token-set comparison. Output columns:
+    (id_a, id_b, jaccard), each unordered pair once.
+
+    ``max_bucket``: drop buckets larger than this before pairing — the
+    guard against pathological low-entropy buckets (a bucket of size B
+    costs B² pairs; on real corpora buckets are small, but a degenerate
+    band key must bound the blowup deterministically, not straggle a
+    stage). Dropped buckets are the caller's signal to raise k/bands or
+    shingle size.
+    """
+    buckets = minhash_lsh_buckets(df, text_col, k, bands).select(
+        "band_id", "band_key", F.col(id_col)
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        buckets = (
+            buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a = buckets.select("band_id", "band_key", F.col(id_col).alias("id_a"))
+    b = buckets.select("band_id", "band_key", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_tok")
+    )
+    return (
+        cand.join(toks.select(F.col(id_col).alias("id_a"), F.col("_tok").alias("_ta")), "id_a")
+        .join(toks.select(F.col(id_col).alias("id_b"), F.col("_tok").alias("_tb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_ta"), F.col("_tb")), 4).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
