@@ -94,12 +94,25 @@ class SyncEngine:
             cols = df.columns
             time_field = detect_time_field(cols)
             update_field = detect_update_time_field(cols)
-            self.target.append(target_name, df)
-            # seed watermarks from the target's max(t) / max(u)
-            # (es/es_to_bytehouse.py:1115-1131 reads BOTH fields)
-            wm = self.target.max_of(target_name, time_field) if time_field else None
-            wm_u = self.target.max_of(target_name, update_field) if update_field else None
-            rows = self.target.read(target_name, dedup=False).count()
+            # Watermarks + count observed DURING the write (Observation
+            # rides the write job) — the reference re-queries the target
+            # after loading (es/es_to_bytehouse.py:1115-1131), which at
+            # 100 TB would be a second full scan; here the sync is ONE pass.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"sync_full:{target_name}")
+            metrics = [F.count(F.lit(1)).alias("n")]
+            if time_field:
+                metrics.append(F.max(time_field).cast("string").alias("max_t"))
+            if update_field:
+                metrics.append(F.max(update_field).cast("string").alias("max_u"))
+            if ID_COL in cols:
+                metrics.append(F.max(ID_COL).alias("max_id"))
+            self.target.append(target_name, df.observe(obs, *metrics))
+            observed = obs.get
+            wm = observed.get("max_t")
+            wm_u = observed.get("max_u")
+            rows = observed["n"]
             st = SyncState(
                 table_name=target_name,
                 source_name=t.name,
@@ -107,8 +120,8 @@ class SyncEngine:
                 update_time_field=update_field,
                 last_sync_time=str(wm) if wm is not None else None,
                 last_update_time=str(wm_u) if wm_u is not None else None,
-                last_id=str(self.target.max_of(target_name, ID_COL) or "")
-                if ID_COL in cols or self.id_field
+                last_id=str(observed["max_id"])
+                if observed.get("max_id") is not None
                 else None,
                 last_sync_count=rows,
             )
