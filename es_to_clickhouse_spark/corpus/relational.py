@@ -605,6 +605,43 @@ def j7_asof_join(spark, sf_dir):
 
 
 @query(
+    "j9_asof_global",
+    """
+    WITH idx AS (
+      SELECT l_shipdate AS d, round(sum(l_extendedprice), 2) AS day_rev
+      FROM lineitem GROUP BY l_shipdate
+    )
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           i.day_rev
+    FROM orders o ASOF LEFT JOIN idx i ON o.o_orderdate >= i.d
+    """,
+)
+def j9_asof_global(spark, sf_dir):
+    """GLOBAL backward as-of join (no equality key): each order gets the
+    most recent daily-revenue index value at or before its order date.
+    Without a by-key a naive global window is single-partition; the
+    operator range-buckets on quantile cut points of the ordering column
+    and fixes bucket boundaries with a broadcast carry-in table
+    (operators/asof.py), so the sort parallelizes like Spark's own
+    global orderBy."""
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    li = t(spark, sf_dir, "lineitem")
+    idx = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("day_rev")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("d")
+    )
+    out = asof_join(orders, idx, on="d", right_cols=["day_rev"], suffix="")
+    return out.select(
+        "o_orderkey",
+        F.date_format("d", "yyyy-MM-dd").alias("orderdate"),
+        "day_rev",
+    )
+
+
+@query(
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,

@@ -55,6 +55,36 @@ def test_asof_join_no_by_key(spark):
     assert [r.v_right for r in out.collect()] == ["a", "b"]
 
 
+def test_asof_join_global_bucketed_matches_bruteforce(spark):
+    # 200 left rows, 40 right rows, forced through 8 range buckets:
+    # exercises the quantile-cut bucketing AND the cross-bucket carry-in
+    # (most buckets contain left rows whose match lives buckets earlier).
+    left = spark.range(200).select((F.col("id") * 3 + 1).alias("t"))
+    right = spark.range(40).select(
+        (F.col("id") * 17).alias("t"), (F.col("id") * 100).alias("v")
+    )
+    out = asof_join(left, right, on="t", num_buckets=8).orderBy("t")
+    got = [(r.t, r.v_right) for r in out.collect()]
+    rt = sorted([(r.t, r.v) for r in right.collect()])
+    expect = []
+    for (lt,) in sorted((r.t,) for r in left.collect()):
+        match = [v for (t, v) in rt if t <= lt]
+        expect.append((lt, match[-1] if match else None))
+    assert got == expect
+
+
+def test_asof_join_global_strict_and_single_value(spark):
+    left = spark.createDataFrame([(5,), (10,)], "t long")
+    right = spark.createDataFrame([(5, "eq"), (7, "mid")], "t long, v string")
+    strict = asof_join(left, right, on="t", strict=True, num_buckets=4).orderBy("t")
+    assert [r.v_right for r in strict.collect()] == [None, "mid"]
+    # constant ordering column -> degenerate single bucket, still correct
+    const_l = spark.createDataFrame([(1,), (1,)], "t long")
+    const_r = spark.createDataFrame([(1, "x")], "t long, v string")
+    out = asof_join(const_l, const_r, on="t", num_buckets=4)
+    assert [r.v_right for r in out.collect()] == ["x", "x"]
+
+
 def test_asof_join_preserves_left_rowcount(spark):
     left = spark.range(100).select(
         (F.col("id") % 5).cast("string").alias("k"), F.col("id").alias("t")
