@@ -60,6 +60,7 @@ def load_all() -> None:
         core,
         llm,
         relational,
+        sketch,
         streaming,
     )
 

@@ -1,0 +1,114 @@
+"""Corpus: deterministic sketches — KMV cardinality, hash sampling,
+hash-range splits (operators/sketch.py).
+
+Spark's builtin HLL++ (approx_count_distinct) can't be oracle-checked
+(engine-specific registers); KMV over the md5-derived 32-bit hash is the
+same O(k) sketch with a DuckDB-bit-identical definition, so these run
+under the full value-hash oracle like every other corpus query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.corpus import query, t
+from es_to_clickhouse_spark.operators.sketch import (
+    HASH_SPACE,
+    hash_sample,
+    hash_split,
+    kmv_distinct,
+)
+
+_DUCK_H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
+
+
+@query(
+    "sk1_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             {_DUCK_H32.format(x="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), s AS (
+      SELECT event_type, count(*) AS n, max(hv) AS kth
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ), x AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(floor(CASE WHEN s.n < 64 THEN CAST(s.n AS DOUBLE)
+                           ELSE 63 * 4294967296.0 / s.kth END) AS BIGINT)
+             AS approx_distinct,
+           x.exact_distinct
+    FROM s JOIN x USING (event_type)
+    """,
+)
+def sk1_kmv_distinct(spark, sf_dir):
+    """KMV approximate distinct users per event type, alongside the exact
+    count (so the estimate's error is visible in the result). The sketch
+    reduces each group to its k=64 smallest distinct hashes via a
+    two-level (salted, then global) selection — no task ever sorts a
+    whole group."""
+    e = t(spark, sf_dir, "events")
+    approx = kmv_distinct(e, ["event_type"], "user_id", k=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return approx.join(exact, "event_type")
+
+
+_SAMPLE_CUT = int(0.10 * HASH_SPACE)
+
+
+@query(
+    "sk2_hash_sample",
+    f"""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE {_DUCK_H32.format(x="'smp'||CAST(doc_id AS VARCHAR)")} < {_SAMPLE_CUT}
+    GROUP BY lang
+    """,
+)
+def sk2_hash_sample(spark, sf_dir):
+    """Reproducible 10% document sample by key hash: unlike df.sample it
+    yields the SAME rows on every engine, rerun, and reshard, and the
+    predicate is row-local (no shuffle, evaluated in the scan stage)."""
+    d = hash_sample(t(spark, sf_dir, "documents"), "doc_id", 0.10, salt="smp")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+_B_TRAIN = int(0.8 * HASH_SPACE)
+_B_VAL = int((0.8 + 0.1) * HASH_SPACE)
+
+
+@query(
+    "sk3_hash_split",
+    f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN hv < {_B_TRAIN} THEN 'train'
+                  WHEN hv < {_B_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   {_DUCK_H32.format(x="'split'||CAST(doc_id AS VARCHAR)")} AS hv
+            FROM documents)
+    )
+    SELECT lang, split, count(*) AS n FROM s GROUP BY lang, split
+    """,
+)
+def sk3_hash_split(spark, sf_dir):
+    """Leakage-free train/val/test assignment (80/10/10) as a pure
+    function of doc_id: membership survives reshards, reruns, and
+    incremental appends — the property a training pipeline needs."""
+    d = t(spark, sf_dir, "documents")
+    assigned = d.select(
+        "lang", hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    return assigned.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,110 @@
+"""Deterministic approximate sketches: KMV distinct-count, hash sampling,
+hash-range dataset splits.
+
+The reference pipeline sizes syncs with exact counts; an analytics engine
+at 100 TB also needs cheap cardinality estimates and *reproducible*
+sampling (a training pipeline must be able to regenerate the exact same
+train/val/test split years later). Spark's builtin approx_count_distinct
+(HLL++) is fine operationally but not engine-reproducible, so it can't be
+oracle-checked; these sketches are built on a uniform md5-derived 32-bit
+hash that DuckDB computes bit-for-bit identically:
+
+    Spark  conv(substring(md5(x), 1, 8), 16, 10)
+    DuckDB ('0x' || substr(md5(x), 1, 8))::BIGINT
+
+Scale design:
+- KMV keeps only the k smallest distinct hash values per group. The
+  distinct is a map-side-combinable hash aggregate; the k-smallest
+  selection is TWO-LEVEL (k per (group, salt) slice, then k per group) so
+  no single task ever sorts a whole group — a billion-distinct group
+  reduces to fanout*k rows before the final selection.
+- Sampling/splits are stateless row-local filters: no shuffle, pushed
+  into the scan's projection, identical on every engine and every rerun.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_SPACE = float(1 << 32)
+
+
+def hash32(col: Column, salt: str = "") -> Column:
+    """Uniform hash in [0, 2^32) — first 8 hex chars of md5, engine-stable.
+
+    ``salt`` decorrelates independent uses (a sample drawn with one salt
+    is independent of a split drawn with another).
+    """
+    keyed = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    fanout: int = 8,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count estimate per group.
+
+    estimate = (k-1) * 2^32 / kth_smallest_hash, or the exact count when
+    fewer than k distinct values exist. Standard error ~ 1/sqrt(k-2).
+    Deterministic: same data -> same estimate, on Spark or DuckDB.
+    """
+    hashed = df.select(
+        *group_cols, hash32(F.col(value_col)).alias("_hv")
+    ).dropDuplicates([*group_cols, "_hv"])
+
+    # Level 1: k smallest per (group, salt) slice — bounds every sort task
+    # to its slice; level 2 then picks k from <= fanout*k survivors.
+    salted = hashed.withColumn("_salt", F.col("_hv") % fanout)
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_hv")
+    lvl1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("_hv")
+    lvl2 = lvl1.withColumn("_rn", F.row_number().over(w2)).where(F.col("_rn") <= k)
+
+    agg = lvl2.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_hv").alias("_kth")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit((k - 1) * HASH_SPACE) / F.col("_kth")
+    )
+    return agg.select(
+        *group_cols, F.floor(est).cast("long").alias(out_col)
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "smp") -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose key hashes
+    below fraction * 2^32. Reproducible across runs/engines (unlike
+    df.sample), consistent for equal keys, and a pure row-local filter —
+    no shuffle, evaluated inside the scan stage."""
+    return df.where(hash32(F.col(key_col), salt) < int(fraction * HASH_SPACE))
+
+
+def hash_split(
+    key: Column, weights: dict[str, float], salt: str = "split"
+) -> Column:
+    """Assign each key a split label ('train'/'val'/'test', ...) by hash
+    range. Weights must sum to ~1; boundaries are cumulative. The label is
+    a pure function of the key, so membership is stable under reshards,
+    reruns, and incremental appends — the property that matters for
+    leakage-free train/test separation."""
+    hv = hash32(key, salt)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = hv < int(cum * HASH_SPACE)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(F.lit(last))).alias("split")

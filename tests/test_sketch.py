@@ -1,0 +1,61 @@
+"""Sketch operators: KMV cardinality, deterministic sampling, hash splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.operators.sketch import (
+    hash_sample,
+    hash_split,
+    kmv_distinct,
+)
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer than k distinct values -> the estimate IS the exact count
+    df = spark.range(40).select(F.lit("g").alias("g"), (F.col("id") % 10).alias("v"))
+    row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert row.approx_distinct == 10
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    # 5000 distinct values, k=256 -> stderr ~ 1/sqrt(254) ~ 6.3%; assert 4 sigma
+    df = spark.range(5000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = kmv_distinct(df, ["g"], "v", k=256).collect()[0].approx_distinct
+    assert abs(est - 5000) / 5000 < 0.25
+
+
+def test_kmv_fanout_invariant(spark):
+    # the two-level selection must not change the result vs a tiny fanout
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 7919).alias("v")
+    )
+    a = {r.g: r.approx_distinct for r in kmv_distinct(df, ["g"], "v", fanout=1).collect()}
+    b = {r.g: r.approx_distinct for r in kmv_distinct(df, ["g"], "v", fanout=16).collect()}
+    assert a == b
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    df = spark.range(10000).select(F.col("id").alias("k"))
+    s1 = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    s2 = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 10000 - 0.2) < 0.03
+    # a smaller fraction with the same salt is a SUBSET (nested samples)
+    s_small = {r.k for r in hash_sample(df, "k", 0.05).collect()}
+    assert s_small <= s1
+
+
+def test_hash_split_stable_under_append(spark):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = spark.range(2000).select(F.col("id").alias("k"))
+    more = spark.range(3000).select(F.col("id").alias("k"))
+    a = {r.k: r.split for r in base.select("k", hash_split(F.col("k"), weights)).collect()}
+    b = {r.k: r.split for r in more.select("k", hash_split(F.col("k"), weights)).collect()}
+    # every key keeps its split when the dataset grows
+    assert all(b[k] == v for k, v in a.items())
+    counts = {s: 0 for s in weights}
+    for s in b.values():
+        counts[s] += 1
+    assert abs(counts["train"] / 3000 - 0.8) < 0.05
+    assert abs(counts["val"] / 3000 - 0.1) < 0.03
