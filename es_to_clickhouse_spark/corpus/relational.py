@@ -642,6 +642,51 @@ def j9_asof_global(spark, sf_dir):
 
 
 @query(
+    "rj1_range_join",
+    """
+    WITH p AS (SELECT DISTINCT o_orderdate AS d FROM orders),
+    i AS (SELECT l_shipdate AS s,
+                 l_shipdate + INTERVAL (l_linenumber * 3) DAY AS e
+          FROM lineitem)
+    SELECT strftime(p.d, '%Y-%m-%d') AS d, count(*) AS in_transit
+    FROM p JOIN i ON p.d >= i.s AND p.d <= i.e
+    GROUP BY p.d
+    """,
+)
+def rj1_range_join(spark, sf_dir):
+    """Point-in-interval join (items in transit per order date). Spark
+    would plan the BETWEEN predicate as a nested-loop join; the operator
+    (operators/range_join.py) buckets the time domain (1 week — transit
+    spans are <= ~1 month) and hash-joins on the bucket key with the
+    exact BETWEEN as residual filter, long_strategy='error' proving the
+    plan stays nested-loop-free."""
+    from es_to_clickhouse_spark.operators.range_join import range_join
+
+    points = (
+        t(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d")).distinct()
+    )
+    intervals = t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("s"),
+        F.timestamp_add(
+            "DAY", F.col("l_linenumber") * 3, F.col("l_shipdate")
+        ).alias("e"),
+    )
+    joined = range_join(
+        points,
+        intervals,
+        "d",
+        "s",
+        "e",
+        width=7 * 86400.0,
+        long_threshold=16,
+        long_strategy="error",
+    )
+    return joined.groupBy("d").agg(F.count(F.lit(1)).alias("in_transit")).select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"), "in_transit"
+    )
+
+
+@query(
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,

@@ -1,0 +1,95 @@
+"""Range (point-in-interval) join — Spark has no native range-join
+strategy, so ``p.t BETWEEN i.s AND i.e`` plans as a
+BroadcastNestedLoopJoin (or a cartesian product): O(n*m) comparisons,
+a non-starter at 100 TB.
+
+This operator rewrites the range join as an EQUI-join Catalyst can hash:
+
+1. pick a bucket width w on the ordering domain;
+2. points get bucket floor(t/w); intervals explode to every bucket they
+   overlap (``sequence(floor(s/w), floor(e/w))`` — pure JVM expression);
+3. hash-join on the bucket key, then apply the exact BETWEEN as a
+   residual filter.
+
+Cost: one shuffle on the bucket key; the pair blowup is bounded by
+interval_span/w per interval instead of |points|. Long intervals (span >
+``long_threshold`` buckets) would explode too far, so they take a
+separate path: broadcast (they're few, by assumption — the classic
+skew split) or a hard runtime error when the caller guarantees none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType
+
+
+def _numeric(df: DataFrame, col: str) -> Column:
+    """Monotonic double view of a temporal/numeric column (seconds for
+    timestamps, days->seconds for dates), shared with operators/asof.py."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double") * 86400.0
+    if isinstance(dt, TimestampNTZType):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col).cast("double")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    width: float,
+    long_threshold: int = 64,
+    long_strategy: str = "broadcast",
+) -> DataFrame:
+    """Inner join every point row to every interval row with
+    ``start <= point <= end`` (inclusive both ends).
+
+    Parameters
+    ----------
+    width: bucket width in the ordering domain's numeric units (seconds
+        for timestamp/date columns). Tune to the typical interval span:
+        pairs examined per interval ~ span/width + 1.
+    long_threshold: intervals spanning more than this many buckets leave
+        the explode path.
+    long_strategy: 'broadcast' joins long intervals via broadcast (valid
+        when they are rare); 'error' raises at runtime if any exist
+        (keeps the plan free of nested-loop joins when the caller knows
+        the span bound).
+    """
+    pb = points.withColumn("_b", F.floor(_numeric(points, point_col) / width))
+    ik = intervals.withColumn("_sb", F.floor(_numeric(intervals, start_col) / width)).withColumn(
+        "_eb", F.floor(_numeric(intervals, end_col) / width)
+    )
+    span_ok = (F.col("_eb") - F.col("_sb")) < F.lit(long_threshold)
+
+    between = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) <= F.col(end_col)
+    )
+
+    if long_strategy == "error":
+        # assert_true is NULL on pass -> the filter keeps every row while
+        # forcing the span check to stay in the physical plan
+        short = ik.where(
+            F.assert_true(
+                span_ok, f"range_join: interval spans >= {long_threshold} buckets"
+            ).isNull()
+        )
+        long_part = None
+    else:
+        short = ik.where(span_ok)
+        long_part = ik.where(~span_ok)
+
+    exploded = short.withColumn("_b", F.explode(F.sequence("_sb", "_eb")))
+    out = pb.join(exploded, "_b").where(between).drop("_b", "_sb", "_eb")
+
+    if long_part is not None:
+        wide = pb.drop("_b").join(
+            F.broadcast(long_part.drop("_sb", "_eb")), between
+        )
+        out = out.unionByName(wide)
+    return out
