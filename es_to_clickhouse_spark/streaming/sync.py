@@ -99,3 +99,42 @@ def windowed_counts(
     return df.groupBy(*group).agg(
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state (the streaming twin of
+    operators/dedup.exact_dedup): duplicates of a key arriving within the
+    watermark horizon are suppressed; state for a key is dropped once the
+    watermark passes, so memory is O(keys-per-horizon), not O(all keys
+    ever) — the property that keeps a continuous 100 TB ingest alive."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: match left rows to right
+    rows with the same key where right_ts in [left_ts, left_ts + within].
+    Both watermarks + the time-range predicate bound the join state on
+    BOTH sides (without the range condition Spark would buffer streams
+    forever). The batch analogue is operators/range_join.py."""
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])

@@ -143,3 +143,87 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.event_id, r.tier) for r in spark.read.parquet(str(out)).collect()}
     assert got == {(1, "gold"), (2, "silver"), (3, "gold")}
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    """Streaming exact dedup with bounded state: duplicate keys inside the
+    watermark horizon are suppressed across micro-batches."""
+    from es_to_clickhouse_spark.streaming.sync import dedup_within_watermark
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    schema = "ts timestamp, k long, v string"
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts string, k long, v string").selectExpr(
+            "cast(ts as timestamp) ts", "k", "v"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        deduped = dedup_within_watermark(stream, ["k"], ts_col="ts", delay="1 hour")
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(str(out))
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write([("2024-01-01 10:00:00", 1, "a"), ("2024-01-01 10:01:00", 1, "dup"),
+           ("2024-01-01 10:02:00", 2, "b")])
+    run()
+    got1 = {(r.k, r.v) for r in spark.read.parquet(str(out)).collect()}
+    assert sorted(k for k, _ in got1) == [1, 2]  # one row per key
+
+    # batch 2: key 1 again within the horizon -> suppressed; key 3 new
+    write([("2024-01-01 10:10:00", 1, "dup2"), ("2024-01-01 10:11:00", 3, "c")])
+    run()
+    got2 = {(r.k, r.v) for r in spark.read.parquet(str(out)).collect()}
+    assert got2 == got1 | {(3, "c")}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: clicks attribute to an
+    impression of the same key within 1 hour AFTER the impression."""
+    from es_to_clickhouse_spark.streaming.sync import interval_join_stream
+
+    imp_src = tmp_path / "imp"
+    clk_src = tmp_path / "clk"
+    out = tmp_path / "out"
+
+    imps = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1, "i1"), ("2024-01-01 12:00:00", 2, "i2")],
+        "imp_ts string, k long, imp_id string",
+    ).selectExpr("cast(imp_ts as timestamp) imp_ts", "k", "imp_id")
+    clks = spark.createDataFrame(
+        [
+            ("2024-01-01 10:30:00", 1, "c-hit"),      # 30 min after i1 -> match
+            ("2024-01-01 11:30:00", 1, "c-late"),     # 90 min after i1 -> no match
+            ("2024-01-01 11:59:00", 2, "c-early"),    # before i2 -> no match
+        ],
+        "clk_ts string, k long, clk_id string",
+    ).selectExpr("cast(clk_ts as timestamp) clk_ts", "k", "clk_id")
+    imps.coalesce(1).write.parquet(str(imp_src))
+    clks.coalesce(1).write.parquet(str(clk_src))
+
+    ls = spark.readStream.schema(imps.schema).parquet(str(imp_src))
+    rs = spark.readStream.schema(clks.schema).parquet(str(clk_src))
+    joined = interval_join_stream(
+        ls, rs, key="k", left_ts="imp_ts", right_ts="clk_ts", within="1 hour"
+    )
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(str(out))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.imp_id, r.clk_id) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("i1", "c-hit")}
