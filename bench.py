@@ -43,6 +43,10 @@ HEADLINE = [
     "txt2_quality_score",
     "st1_union_all",
     "o4_topk_recent",
+    "j9_asof_global",
+    "rj1_range_join",
+    "sk1_kmv_distinct",
+    "sk2_hash_sample",
 ]
 
 

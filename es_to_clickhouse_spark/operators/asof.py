@@ -84,9 +84,8 @@ def asof_join(
         F.lit(right_tag).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in rcols],
     )
-    unioned = lefts.unionByName(rights)
-
     if by is not None:
+        unioned = lefts.unionByName(rights)
         w = (
             Window.partitionBy(by)
             .orderBy(F.col(on).asc(), F.col("_side").asc())
@@ -103,38 +102,53 @@ def asof_join(
             "_side", *[f"_r_{c}" for c in rcols]
         )
 
-    return _global_asof(unioned, on, rcols, suffix, left_tag, num_buckets)
+    return _global_asof(lefts, rights, on, rcols, suffix, left_tag, num_buckets, left)
 
 
 def _global_asof(
-    unioned: DataFrame,
+    lefts: DataFrame,
+    rights: DataFrame,
     on: str,
     rcols: list[str],
     suffix: str,
     left_tag: int,
     num_buckets: int | None,
+    cuts_source: DataFrame,
 ) -> DataFrame:
     """Range-bucketed global as-of (no equality key).
 
-    Cut points are exact-ish quantiles of `on` (one column-pruned pass,
-    collected to the driver — bounded by num_buckets, never by data
-    size). Bucket assignment is a pure function of the value, so ties in
+    Cut points are quantiles of `on` collected to the driver — bounded
+    by num_buckets, never by data size. They are sampled from the LEFT
+    side only: cut placement affects bucket balance, never correctness,
+    and quantiling the left is a plain column-pruned scan while the
+    union would recompute whatever upstream shuffle produced the right
+    side. Bucket assignment is a pure function of the value, so ties in
     `on` always share a bucket and the strict/inclusive `_side`
     tie-break stays window-local.
     """
-    spark = unioned.sparkSession
+    spark = lefts.sparkSession
     n = num_buckets or max(spark.sparkContext.defaultParallelism, 4)
-    keyed = unioned.withColumn("_k", _ordering_key(unioned, on))
-    cuts = keyed.where(F.col("_k").isNotNull()).approxQuantile(
-        "_k", [i / n for i in range(1, n)], 0.001
+    # percentile_approx in a one-row aggregate (vectorized scan + codegen)
+    # rather than DataFrame.approxQuantile, which detours through the
+    # row-based RDD stats path — ~10x slower on wide scans.
+    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    row = (
+        cuts_source.select(_ordering_key(cuts_source, on).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .agg(F.percentile_approx("_k", probs, F.lit(1000)).alias("cuts"))
+        .first()
     )
-    cuts = sorted(set(cuts))
-    if cuts:
+    cuts = sorted(set(row["cuts"] or []))
+
+    def bucket_of(df: DataFrame):
+        if not cuts:  # constant / all-null ordering column: single bucket
+            return F.lit(0)
         arr = F.array(*[F.lit(float(c)) for c in cuts])
-        bucket = F.size(F.filter(arr, lambda x: x <= F.col("_k")))
-    else:  # constant / all-null ordering column: degenerate single bucket
-        bucket = F.lit(0)
-    b = keyed.withColumn("_bucket", bucket).drop("_k")
+        k = _ordering_key(df, on)
+        return F.size(F.filter(arr, lambda x: x <= k))
+
+    unioned = lefts.unionByName(rights)
+    b = unioned.withColumn("_bucket", bucket_of(unioned))
 
     w = (
         Window.partitionBy("_bucket")
@@ -149,10 +163,15 @@ def _global_asof(
         ],
     )
 
-    # Per-bucket last non-null right value (agg), then "last among all
-    # PRIOR buckets" via a window over the B-row result. B = num_buckets,
-    # so the single-partition window and the broadcast are both trivial.
-    per_bucket = b.groupBy("_bucket").agg(
+    # Carry-in = last right value of every PRIOR bucket. Aggregated from
+    # the RIGHT side alone (left rows carry no right values), so this
+    # branch shares the right side's upstream exchange with the union
+    # branch instead of recomputing it; densified over the full bucket
+    # domain 0..len(cuts) (driver-known) so left rows in buckets with no
+    # right rows still find their carry row. The single-partition window
+    # and the broadcast act on <= num_buckets+1 rows.
+    rb = rights.withColumn("_bucket", bucket_of(rights))
+    per_bucket = rb.groupBy("_bucket").agg(
         *[
             F.max_by(
                 F.col(f"_r_{c}"),
@@ -164,8 +183,10 @@ def _global_asof(
             for c in rcols
         ]
     )
+    spine = spark.range(len(cuts) + 1).select(F.col("id").cast("int").alias("_bucket"))
+    dense = spine.join(per_bucket.withColumn("_bucket", F.col("_bucket").cast("int")), "_bucket", "left")
     bw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    carry = per_bucket.select(
+    carry = dense.select(
         "_bucket",
         *[
             F.last(F.col(f"_pb_{c}"), ignorenulls=True).over(bw).alias(f"_ci_{c}")
@@ -173,7 +194,9 @@ def _global_asof(
         ],
     )
 
-    out = carried.join(F.broadcast(carry), "_bucket", "left")
+    out = carried.join(
+        F.broadcast(carry), carried["_bucket"].cast("int") == carry["_bucket"], "left"
+    ).drop(carry["_bucket"])
     keep = [c for c in unioned.columns if c != "_side" and not c.startswith("_r_")]
     return out.where(F.col("_side") == F.lit(left_tag)).select(
         *[F.col(c) for c in keep],
