@@ -1041,3 +1041,38 @@ def t9_sessionization_batch(spark, sf_dir):
         ts_seconds(F.min("ts")).alias("start_s"),
         ts_seconds(F.max("ts")).alias("end_s"),
     )
+
+
+@query(
+    "rj2_interval_coverage",
+    """
+    WITH p AS (SELECT DISTINCT o_orderdate AS d FROM orders),
+    i AS (SELECT l_shipdate AS s,
+                 l_shipdate + INTERVAL (l_linenumber * 3) DAY AS e
+          FROM lineitem)
+    SELECT strftime(p.d, '%Y-%m-%d') AS d, count(*) AS n_covering
+    FROM p JOIN i ON p.d >= i.s AND p.d <= i.e
+    GROUP BY p.d
+    """,
+)
+def rj2_interval_coverage(spark, sf_dir):
+    """Same question as rj1 (items in transit per order date) answered by
+    the SWEEP-LINE operator instead of pair materialization: +1/-1 deltas
+    per boundary day, cumulative sum over the (time-domain-bounded)
+    boundary table, global as-of lookup of each point's running coverage
+    (operators/range_join.py interval_coverage). O(rows) work vs rj1's
+    O(sum of interval spans) candidate pairs — the plan to prefer when
+    only counts are needed."""
+    from es_to_clickhouse_spark.operators.range_join import interval_coverage
+
+    points = (
+        t(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d")).distinct()
+    )
+    intervals = t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("s"),
+        F.timestamp_add("DAY", F.col("l_linenumber") * 3, F.col("l_shipdate")).alias(
+            "e"
+        ),
+    )
+    cov = interval_coverage(points, intervals, "d", "s", "e")
+    return cov.select(F.date_format("d", "yyyy-MM-dd").alias("d"), "n_covering")

@@ -112,3 +112,29 @@ def sk3_hash_split(spark, sf_dir):
         "lang", hash_split(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
     )
     return assigned.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "sk4_stratified_sample",
+    f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_DUCK_H32.format(x="'strat'||CAST(doc_id AS VARCHAR)")},
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM r WHERE rn <= 50
+    """,
+)
+def sk4_stratified_sample(spark, sf_dir):
+    """Fixed-size deterministic sample per language stratum (the 50 docs
+    with smallest keyed hash): reproducible across engines and reruns,
+    one shuffle on the stratum key — what sampleBy() can't give
+    (binomial sizes, RNG seeds that don't survive engine changes)."""
+    from es_to_clickhouse_spark.operators.sketch import stratified_sample
+
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang"], "doc_id", 50).select("lang", "doc_id")

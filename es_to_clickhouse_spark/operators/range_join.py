@@ -93,3 +93,58 @@ def range_join(
         )
         out = out.unionByName(wide)
     return out
+
+
+def interval_coverage(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    granularity: str = "day",
+    out_col: str = "n_covering",
+) -> DataFrame:
+    """Count, for every point, how many intervals cover it — WITHOUT
+    materializing point-interval pairs (range_join would produce
+    O(sum of interval spans) rows before aggregating).
+
+    Sweep-line as dataframes: every interval contributes +1 at its start
+    boundary and -1 one granule after its end; aggregating deltas per
+    boundary reduces the data to the boundary domain (bounded by the time
+    domain, not the row count), a cumulative window over the boundaries
+    yields the running coverage, and a global as-of join (operators/asof)
+    assigns each point the coverage at the greatest boundary <= point.
+    Points covered by zero intervals are dropped (inner-join semantics,
+    matching SELECT ... JOIN ON p BETWEEN s AND e GROUP BY p).
+
+    Interval ends are inclusive; boundaries are truncated to
+    ``granularity``, so points are expected at that granularity too.
+    """
+    from pyspark.sql.window import Window
+
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    starts = intervals.select(
+        F.date_trunc(granularity, F.col(start_col)).alias("_bd"),
+        F.lit(1).alias("_delta"),
+    )
+    ends = intervals.select(
+        F.date_trunc(
+            granularity, F.col(end_col) + F.expr(f"INTERVAL 1 {granularity}")
+        ).alias("_bd"),
+        F.lit(-1).alias("_delta"),
+    )
+    deltas = starts.unionByName(ends).groupBy("_bd").agg(
+        F.sum("_delta").alias("_d")
+    )
+    # the boundary domain is small (time-domain-bounded); the running sum
+    # is a single-partition window over it, never over the interval rows
+    run = deltas.select(
+        "_bd",
+        F.sum("_d")
+        .over(Window.orderBy("_bd").rowsBetween(Window.unboundedPreceding, 0))
+        .alias(out_col),
+    )
+    pts = points.withColumn("_bd", F.date_trunc(granularity, F.col(point_col)))
+    looked = asof_join(pts, run, on="_bd", right_cols=[out_col], suffix="")
+    return looked.where(F.col(out_col) > 0).drop("_bd")

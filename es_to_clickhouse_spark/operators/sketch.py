@@ -108,3 +108,25 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     return (F.lit(last) if expr is None else expr.otherwise(F.lit(last))).alias("split")
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    n_per_group: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: the n rows with the
+    smallest key hash in each group (hash order = uniform random order,
+    but reproducible and append-stable for the retained set's prefix
+    property). One shuffle on the group key; sampleBy() by contrast is
+    probabilistic (binomial sizes) and non-reproducible across reruns."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash32(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

@@ -59,3 +59,36 @@ def test_range_join_error_strategy_raises_on_long_interval(spark):
             points, intervals, "t", "s", "e",
             width=1.0, long_threshold=4, long_strategy="error",
         ).collect()
+
+
+def test_interval_coverage_matches_range_join_counts(spark):
+    from pyspark.sql import functions as F2
+
+    from es_to_clickhouse_spark.operators.range_join import interval_coverage
+
+    # timestamps at day granularity
+    points = spark.createDataFrame(
+        [("2024-01-%02d 00:00:00" % d,) for d in range(1, 21)], "d string"
+    ).selectExpr("cast(d as timestamp) d")
+    intervals = spark.createDataFrame(
+        [
+            ("2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+            ("2024-01-04 00:00:00", "2024-01-10 00:00:00"),
+            ("2024-01-04 00:00:00", "2024-01-04 00:00:00"),
+            ("2024-01-15 00:00:00", "2024-01-16 00:00:00"),
+        ],
+        "s string, e string",
+    ).selectExpr("cast(s as timestamp) s", "cast(e as timestamp) e")
+    got = {
+        (str(r.d), r.n_covering)
+        for r in interval_coverage(points, intervals, "d", "s", "e").collect()
+    }
+    brute = {
+        (str(r.d), r.n)
+        for r in points.crossJoin(intervals)
+        .where((F2.col("d") >= F2.col("s")) & (F2.col("d") <= F2.col("e")))
+        .groupBy("d")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == brute

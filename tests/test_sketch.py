@@ -59,3 +59,20 @@ def test_hash_split_stable_under_append(spark):
         counts[s] += 1
     assert abs(counts["train"] / 3000 - 0.8) < 0.05
     assert abs(counts["val"] / 3000 - 0.1) < 0.03
+
+
+def test_stratified_sample_sizes_and_determinism(spark):
+    from es_to_clickhouse_spark.operators.sketch import stratified_sample
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("k")
+    )
+    s1 = stratified_sample(df, ["g"], "k", 25)
+    sizes = {r.g: r.n for r in s1.groupBy("g").agg(F.count("k").alias("n")).collect()}
+    assert sizes == {0: 25, 1: 25, 2: 25, 3: 25}
+    got1 = {(r.g, r.k) for r in s1.collect()}
+    got2 = {(r.g, r.k) for r in stratified_sample(df, ["g"], "k", 25).collect()}
+    assert got1 == got2
+    # groups smaller than n keep all their rows
+    small = spark.createDataFrame([(9, 1), (9, 2)], "g long, k long")
+    assert stratified_sample(small, ["g"], "k", 25).count() == 2
