@@ -603,3 +603,72 @@ def d8_lsh_verified_pairs(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text",
         k=4, bands=2, threshold=0.5, max_bucket=50,
     )
+
+
+@query(
+    "d9_dup_clusters",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min') AS mh0,
+             list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min') AS mh1,
+             list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min') AS mh2,
+             list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min') AS mh3
+      FROM tok
+    ), banded AS (
+      SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sig
+      UNION ALL
+      SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key, doc_id FROM sig
+    ), kept AS (
+      SELECT band_id, band_key, doc_id,
+             count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE a.bsz <= 50 AND b.bsz <= 50
+    ), pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b
+      WHERE round(len(list_intersect(ta.ts, tb.ts))
+               / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 4)
+            >= 0.5
+    ), nodes AS (
+      SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def d9_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the LSH verified pairs (d8) fed through
+    iterative min-label connected components (operators/graph.py), so
+    transitive duplicates (A~B, B~C but A!~C) land in one cluster keyed
+    by its minimum doc_id — the step that lets a pipeline keep exactly
+    one canonical doc per duplicate group. Oracle = recursive-CTE
+    transitive closure over the same pair set."""
+    from es_to_clickhouse_spark.operators.dedup import lsh_neardup_pairs
+    from es_to_clickhouse_spark.operators.graph import connected_components
+
+    pairs = lsh_neardup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=4, bands=2, threshold=0.5, max_bucket=50,
+    )
+    return connected_components(
+        pairs, "id_a", "id_b", out_node="doc_id", out_label="cluster_id"
+    )

@@ -1,0 +1,74 @@
+"""Connected components — the clustering step that turns near-duplicate
+PAIRS (operators/dedup.lsh_neardup_pairs) into duplicate GROUPS, so a
+pipeline can keep one canonical doc per cluster. Spark has no native CC;
+GraphFrames isn't in this environment and would be overkill for the
+dedup-cluster shape (many tiny components).
+
+Implementation: iterative min-label propagation on DataFrames.
+label(n) <- min(label(n), min over neighbors label) until fixpoint.
+
+Scale design:
+- each round is one shuffle join (edges x labels) + one groupBy min —
+  both map-side combinable; rounds needed = graph diameter, which for
+  near-dup clusters is small (a handful), NOT O(V);
+- the static undirected edge list is cached once; per-round labels are
+  localCheckpoint()ed so the plan doesn't grow with iterations (the
+  classic iterative-algorithm lineage trap);
+- convergence is detected by counting changed labels (an O(V) agg,
+  not a collect); non-convergence within max_iter raises instead of
+  returning silently wrong clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+    out_node: str = "node",
+    out_label: str = "label",
+) -> DataFrame:
+    """Label every node appearing in ``edges`` with the minimum node id of
+    its connected component (undirected). Deterministic, so the result is
+    oracle-checkable against a recursive-CTE transitive closure."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.localCheckpoint(eager=True)  # materialize once; reused every round
+
+    labels = und.select(F.col("a").alias("n")).distinct().withColumn(
+        "lab", F.col("n")
+    )
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["b"] == labels["n"]).select(
+            F.col("a").alias("n"), F.col("lab")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("n")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("x")
+            .join(labels.alias("y"), "n")
+            .where(F.col("x.lab") != F.col("y.lab"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("n").alias(out_node), F.col("lab").alias(out_label)
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )

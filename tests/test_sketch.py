@@ -76,3 +76,32 @@ def test_stratified_sample_sizes_and_determinism(spark):
     # groups smaller than n keep all their rows
     small = spark.createDataFrame([(9, 1), (9, 2)], "g long, k long")
     assert stratified_sample(small, ["g"], "k", 25).count() == 2
+
+
+def test_connected_components_chain_and_islands(spark):
+    from es_to_clickhouse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3,4} as a chain (transitivity needed), island {8,9},
+        # self-loop ignored, duplicate + reversed edges tolerated
+        [(1, 2), (2, 3), (3, 4), (9, 8), (5, 5), (2, 1)],
+        "a long, b long",
+    )
+    got = {
+        (r.node, r.label)
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (8, 8), (9, 8)}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from es_to_clickhouse_spark.operators.graph import connected_components
+
+    # a 6-chain needs ~5 rounds; cap at 1 to trigger the guard
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6, 0, -1)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError):
+        connected_components(edges, "a", "b", max_iter=1)
