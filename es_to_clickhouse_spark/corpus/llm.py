@@ -672,3 +672,45 @@ def d9_dup_clusters(spark, sf_dir):
     return connected_components(
         pairs, "id_a", "id_b", out_node="doc_id", out_label="cluster_id"
     )
+
+
+@query(
+    "sim5_lloyd_step",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 4
+    ), sims AS (
+      SELECT e.vec_id, c.cent_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cv AS DOUBLE[])), 6) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ), best AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cent_id) AS rn
+      FROM sims
+    ), ex AS (
+      SELECT b.cent_id,
+             unnest(e.embedding) AS val,
+             unnest(range(len(e.embedding))) AS pos
+      FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
+      WHERE b.rn = 1
+    )
+    SELECT cent_id, pos, round(avg(CAST(val AS DOUBLE)), 6) AS m
+    FROM ex GROUP BY cent_id, pos
+    """,
+)
+def sim5_lloyd_step(spark, sf_dir):
+    """One k-means Lloyd iteration over the embedding table (assign to
+    nearest of 4 deterministic seed centroids, recompute per-dimension
+    means): the training loop of the IVF quantizer behind sim4, each
+    step a pure dataframe job (broadcast assign + map-side partial mean)
+    so the 'iterative ML' path needs no driver-side vectors beyond k
+    centroids."""
+    from es_to_clickhouse_spark.operators.similarity import lloyd_step
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    return lloyd_step(e, cents)

@@ -119,3 +119,31 @@ def bucketed_topk(
         F.round(cosine(F.col(vec_col), F.col("q")), 4).alias("cos"),
     )
     return probed.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def lloyd_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One Lloyd (k-means) iteration: assign every vector to its nearest
+    centroid (cosine, via ivf_assign's broadcast pass), then recompute
+    per-dimension centroid means, returned in LONG form
+    (cent_id, pos, m) — the engine-neutral shape (array packing differs
+    per engine; a caller re-packs with collect_list over pos).
+
+    Scale: posexplode multiplies rows by the dimension count, but the
+    per-(cell, dim) mean partial-aggregates map-side, so the shuffle
+    carries k*dim rows per partition, not rows*dim. Iterating = calling
+    this k times on the re-packed result (deterministic, so any single
+    step is oracle-checkable)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(id_col, "cent_id")
+    withvec = assigned.join(df.select(id_col, vec_col), id_col)
+    dims = withvec.select(
+        "cent_id", F.posexplode(vec_col).alias("pos", "val")
+    )
+    return dims.groupBy("cent_id", F.col("pos").cast("long").alias("pos")).agg(
+        F.round(F.avg(F.col("val").cast("double")), round_digits).alias("m")
+    )

@@ -105,3 +105,24 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with _pytest.raises(RuntimeError):
         connected_components(edges, "a", "b", max_iter=1)
+
+
+def test_lloyd_step_moves_centroids_to_cluster_means(spark):
+    from es_to_clickhouse_spark.operators.similarity import lloyd_step
+
+    # two tight clusters around (1,0) and (0,1); seeds exactly on them
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.1, -0.1]),
+            (3, [0.0, 1.0]), (4, [0.1, 0.9]), (5, [-0.1, 1.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id long, cv array<float>"
+    )
+    out = {
+        (r.cent_id, r.pos): r.m for r in lloyd_step(vecs, cents).collect()
+    }
+    assert abs(out[(0, 0)] - 1.0) < 1e-4 and abs(out[(0, 1)] - 0.0) < 1e-4
+    assert abs(out[(1, 0)] - 0.0) < 1e-4 and abs(out[(1, 1)] - 1.0) < 1e-4
