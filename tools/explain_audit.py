@@ -23,6 +23,7 @@ BNL_ALLOWED = {
     "f14_progress_math",
     "sim1_cosine_topk",
     "sim4_ivf_cells",
+    "sim5_lloyd_step",
     "t5_bootstrap_window",
     "t6_auto_mode_split",
 }
