@@ -62,6 +62,7 @@ def load_all() -> None:
         relational,
         sketch,
         streaming,
+        tpch,
     )
 
 

@@ -21,6 +21,7 @@ sys.path.insert(0, "/root/repo")
 #: broadcast side is a tiny scalar/query-vector frame (≤ a few rows).
 BNL_ALLOWED = {
     "f14_progress_math",
+    "q22_dormant_customers",  # 1-row scalar avg(c_acctbal) broadcast
     "sim1_cosine_topk",
     "sim4_ivf_cells",
     "sim5_lloyd_step",
