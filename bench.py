@@ -47,6 +47,9 @@ HEADLINE = [
     "rj1_range_join",
     "sk1_kmv_distinct",
     "sk2_hash_sample",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customers",
+    "ts1_hourly_gap_fill",
 ]
 
 

@@ -714,3 +714,35 @@ def sim5_lloyd_step(spark, sf_dir):
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
     return lloyd_step(e, cents)
+
+
+@query(
+    "txt7_tfidf_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+      HAVING count(*) >= 2
+    ), dfq AS (
+      SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 4) AS tfidf
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+    """,
+)
+def txt7_tfidf_terms(spark, sf_dir):
+    """TF-IDF weights for repeated terms (tf >= 2): the relevance-scoring
+    primitive for corpus search/quality pipelines. The min-tf prune runs
+    BEFORE the doc-frequency join, bounding the join at scale; corpus size
+    N is a 1-row broadcast."""
+    from es_to_clickhouse_spark.operators.text import tfidf_terms
+
+    d = t(spark, sf_dir, "documents")
+    out = tfidf_terms(d, min_tf=2)
+    return out.select("doc_id", "term", "tf", F.round("tfidf", 4).alias("tfidf"))

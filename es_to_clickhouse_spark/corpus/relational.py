@@ -1076,3 +1076,31 @@ def rj2_interval_coverage(spark, sf_dir):
     )
     cov = interval_coverage(points, intervals, "d", "s", "e")
     return cov.select(F.date_format("d", "yyyy-MM-dd").alias("d"), "n_covering")
+
+
+@query(
+    "a12_stats_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 1) AS cov_qty_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a12_stats_moments(spark, sf_dir):
+    """Second-moment statistics (stddev/variance/covariance/correlation)
+    per return flag — single-pass co-moment aggregates, map-side
+    combinable. Rounding absorbs the engines' different partial-merge
+    orders (covariance sums cancel ~1e10 terms, hence the coarser
+    rounding there)."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )

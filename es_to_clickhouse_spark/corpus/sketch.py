@@ -16,7 +16,9 @@ from es_to_clickhouse_spark.operators.sketch import (
     HASH_SPACE,
     hash_sample,
     hash_split,
+    hll_distinct,
     kmv_distinct,
+    weighted_sample,
 )
 
 _DUCK_H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
@@ -138,3 +140,71 @@ def sk4_stratified_sample(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return stratified_sample(d, ["lang"], "doc_id", 50).select("lang", "doc_id")
+
+
+@query(
+    "sk5_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {_DUCK_H32.format(x="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv >> 24 AS reg,
+             CASE WHEN (hv & 16777215) = 0 THEN 25
+                  ELSE 25 - length(bin(hv & 16777215)) END AS rho
+      FROM h
+    ), mx AS (
+      SELECT event_type, reg, max(rho) AS maxrho FROM r GROUP BY event_type, reg
+    ), a AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << maxrho)) AS s
+      FROM mx GROUP BY event_type
+    ), x AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT a.event_type,
+           CAST(floor(CAST(47072.71267120224 AS DOUBLE)
+                      / (s + (CAST(256.0 AS DOUBLE) - n))) AS BIGINT)
+             AS approx_distinct,
+           x.exact_distinct
+    FROM a JOIN x USING (event_type)
+    """,
+)
+def sk5_hll_distinct(spark, sf_dir):
+    """HyperLogLog (p=8) distinct users per event type next to the exact
+    count. Every float op is exact or order-independent (register sums are
+    sums of powers of two), so raw HLL is bit-reproducible on any engine —
+    see operators/sketch.py hll_distinct. ~6.5% standard error by design;
+    the (group, register) aggregate is map-side combinable, so the shuffle
+    carries <= 256 rows per group regardless of data size."""
+    e = t(spark, sf_dir, "events")
+    approx = hll_distinct(e, ["event_type"], "user_id", p=8)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return approx.join(exact, "event_type")
+
+
+@query(
+    "sk6_weighted_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             -ln(({_DUCK_H32.format(x="'wsmp'||CAST(doc_id AS VARCHAR)")}
+                  + CAST(0.5 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE))
+               / n_chars AS score
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM s ORDER BY score, doc_id LIMIT 50
+    """,
+)
+def sk6_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample (A-ES exponential clocks): 50 docs
+    drawn with probability proportional to n_chars, reproducible across
+    engines/reruns. Two-level top-n — no global sort."""
+    d = t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", 50).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -234,3 +234,68 @@ def w5_upsert_dedup_view(spark, sf_dir):
     )
     merged = upsert_view(ev.unionByName(updated), key="event_id", version="ts")
     return merged.select("event_id", F.round("value", 2).alias("value"))
+
+
+@query(
+    "ts1_hourly_gap_fill",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS sum_val
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), span AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM b GROUP BY event_type
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM span
+    )
+    SELECT s.event_type,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           coalesce(b.n_events, 0) AS n_events,
+           CAST(last_value(b.sum_val IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_val_ffill
+    FROM spine s LEFT JOIN b ON b.event_type = s.event_type AND b.h = s.h
+    """,
+)
+def ts1_hourly_gap_fill(spark, sf_dir):
+    """Hypertable-style hourly rollup with gap materialization: empty
+    hours appear with n_events=0 and the last observed hourly average
+    carried forward (operators/timeseries.py). The spine is generated
+    per key (never shuffled); the forward fill windows by key, so state
+    per task is one key's hour range even at 100 TB."""
+    from es_to_clickhouse_spark.operators.timeseries import gap_fill, resample
+
+    ev = t(spark, sf_dir, "events")
+    b = resample(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal-exact sum: engines' double round() algorithms
+            # legitimately disagree at .xx5 boundaries, so no floats in
+            # the carried-forward value at all
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_val"),
+        ],
+    )
+    g = gap_fill(
+        b,
+        "bucket_ts",
+        ["event_type"],
+        step="1 hour",
+        fill_zero=["n_events"],
+        fill_forward=["sum_val"],
+    )
+    return g.select(
+        "event_type",
+        ts_seconds(F.col("bucket_ts")).alias("bucket_ts"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_val").cast("double").alias("sum_val_ffill"),
+    )

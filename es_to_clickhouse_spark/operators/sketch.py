@@ -82,6 +82,96 @@ def kmv_distinct(
     )
 
 
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count estimate per group.
+
+    Classic HLL (Flajolet et al. 2007) over the engine-stable 32-bit hash:
+    register = top ``p`` hash bits, rho = leading-zero count of the low
+    ``32-p`` bits + 1, estimate = alpha_m * m^2 / sum(2^-max_rho). Unlike
+    Spark's builtin approx_count_distinct (HLL++, JVM-internal hashing)
+    every arithmetic step here is chosen to be bit-reproducible on any
+    engine:
+
+    - bit_length via ``length(bin(w))`` (exact integer op, no float log2);
+    - 2^-rho as ``1.0 / (1 << rho)`` (exact powers of two — their sum is
+      EXACT in a double because all m <= 256 terms fit in 33 bits of
+      significand span, so the register sum is order-independent);
+    - alpha_m * m^2 pre-folded to one double literal (`ALPHA_MM`).
+
+    No bias/linear-counting correction branch: it would need ln(), whose
+    last-ulp behavior differs across libm implementations. Raw-HLL error
+    (~1.04/sqrt(m) ≈ 6.5% at p=8) is documented instead of silently
+    corrected. Two shuffles, both map-side combinable: (group, register)
+    max, then per-group sum over <= m rows.
+    """
+    m = 1 << p
+    low = 32 - p
+    alpha_mm = 0.7213 / (1.0 + 1.079 / m) * m * m
+    hv = hash32(F.col(value_col))
+    w = hv.bitwiseAND((1 << low) - 1)
+    rho = F.when(w == 0, F.lit(low + 1)).otherwise(
+        F.lit(low + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(*group_cols, F.shiftright(hv, low).alias("_reg"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").alias("_maxrho"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(1L, _maxrho)")).alias("_s"),
+    )
+    est = F.floor(
+        F.lit(alpha_mm) / (F.col("_s") + (F.lit(float(m)) - F.col("_n")))
+    )
+    return agg.select(*group_cols, est.cast("long").alias(out_col))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsmp",
+    fanout: int = 8,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-n).
+
+    A-ES (Efraimidis-Spirakis via exponential clocks): each row draws
+    u = (hash+0.5)/2^32 from its key and scores -ln(u)/weight; the n
+    smallest scores are the sample. Inclusion probability is proportional
+    to weight; the draw is a pure function of (key, salt) so the sample is
+    reproducible across runs and engines.
+
+    Scale: the global top-n runs TWO-LEVEL like kmv_distinct — n per hash
+    slice first, then n of <= fanout*n survivors — so no task ever sorts
+    the full dataset.
+    """
+    u = (hash32(F.col(key_col), salt).cast("double") + F.lit(0.5)) / F.lit(HASH_SPACE)
+    score = -F.ln(u) / F.col(weight_col)
+    scored = df.withColumn("_score", score).withColumn(
+        "_slice", hash32(F.col(key_col), salt + "2") % fanout
+    )
+    w1 = Window.partitionBy("_slice").orderBy("_score", key_col)
+    lvl1 = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_slice")
+    )
+    w2 = Window.partitionBy().orderBy("_score", key_col)
+    return (
+        lvl1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= n)
+        .drop("_rn", "_score")
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "smp") -> DataFrame:
     """Deterministic Bernoulli-style sample: keep rows whose key hashes
     below fraction * 2^32. Reproducible across runs/engines (unlike

@@ -92,3 +92,43 @@ def regex_token_count(text: Column, pattern: str = BPE_TOKEN_REGEX) -> Column:
     regex pass is the part that must scan every byte, so it's the one
     that matters at 100 TB."""
     return F.regexp_count(text, F.lit(pattern))
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tf: int = 2,
+) -> DataFrame:
+    """Per-document TF-IDF term weights: tf * ln(N / doc_freq).
+
+    Three aggregates, all map-side combinable: term counts per doc
+    (shuffles on (doc, term)), document frequency per term (shuffles the
+    already-aggregated per-doc terms, not raw tokens), and the 1-row corpus
+    size N, broadcast as a scalar. ``min_tf`` prunes the long tail of
+    singleton terms BEFORE the doc-frequency join, which is what bounds the
+    join input at 100 TB. No Python in the path — explode + groupBy only.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .where(F.col("tf") >= min_tf)
+    )
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.ln(F.col("n_docs").cast("double") / F.col("doc_freq"))
+            ).alias("tfidf"),
+        )
+    )

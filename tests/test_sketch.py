@@ -126,3 +126,79 @@ def test_lloyd_step_moves_centroids_to_cluster_means(spark):
     }
     assert abs(out[(0, 0)] - 1.0) < 1e-4 and abs(out[(0, 1)] - 0.0) < 1e-4
     assert abs(out[(1, 0)] - 0.0) < 1e-4 and abs(out[(1, 1)] - 1.0) < 1e-4
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from es_to_clickhouse_spark.operators.sketch import hll_distinct
+
+    # p=8 -> stderr ~ 1.04/16 = 6.5%; assert 4 sigma on 5000 distinct
+    df = spark.range(5000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    est = hll_distinct(df, ["g"], "v", p=8).collect()[0].approx_distinct
+    assert abs(est - 5000) / 5000 < 0.26
+
+
+def test_hll_duplicate_invariant(spark):
+    from es_to_clickhouse_spark.operators.sketch import hll_distinct
+
+    # duplicating every row must not move the estimate (max per register)
+    base = spark.range(1000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    doubled = base.union(base)
+    a = hll_distinct(base, ["g"], "v").collect()[0].approx_distinct
+    b = hll_distinct(doubled, ["g"], "v").collect()[0].approx_distinct
+    assert a == b
+
+
+def test_hll_partitioning_invariant(spark):
+    from es_to_clickhouse_spark.operators.sketch import hll_distinct
+
+    df = spark.range(3000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") * 131).alias("v")
+    )
+    a = {r.g: r.approx_distinct for r in hll_distinct(df, ["g"], "v").collect()}
+    b = {
+        r.g: r.approx_distinct
+        for r in hll_distinct(df.repartition(13), ["g"], "v").collect()
+    }
+    assert a == b
+
+
+# ------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    from es_to_clickhouse_spark.operators.sketch import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 10 + 1).cast("double").alias("w")
+    )
+    s1 = sorted(r.k for r in weighted_sample(df, "k", "w", 100).collect())
+    s2 = sorted(r.k for r in weighted_sample(df, "k", "w", 100).collect())
+    assert s1 == s2 and len(s1) == 100
+
+
+def test_weighted_sample_biased_toward_heavy_rows(spark):
+    from es_to_clickhouse_spark.operators.sketch import weighted_sample
+
+    # half the rows carry 20x the weight -> they should dominate the sample
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 1000, 20.0).otherwise(1.0).alias("w"),
+    )
+    heavy = sum(
+        1 for r in weighted_sample(df, "k", "w", 200).collect() if r.k < 1000
+    )
+    assert heavy > 150  # E[heavy] ~ 190 of 200; wide margin
+
+
+def test_weighted_sample_fanout_invariant(spark):
+    from es_to_clickhouse_spark.operators.sketch import weighted_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("w")
+    )
+    a = sorted(r.k for r in weighted_sample(df, "k", "w", 50, fanout=1).collect())
+    b = sorted(r.k for r in weighted_sample(df, "k", "w", 50, fanout=16).collect())
+    assert a == b

@@ -22,6 +22,7 @@ sys.path.insert(0, "/root/repo")
 BNL_ALLOWED = {
     "f14_progress_math",
     "q22_dormant_customers",  # 1-row scalar avg(c_acctbal) broadcast
+    "txt7_tfidf_terms",  # 1-row corpus-size N broadcast
     "sim1_cosine_topk",
     "sim4_ivf_cells",
     "sim5_lloyd_step",
