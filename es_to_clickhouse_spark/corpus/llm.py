@@ -746,3 +746,123 @@ def txt7_tfidf_terms(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     out = tfidf_terms(d, min_tf=2)
     return out.select("doc_id", "term", "tf", F.round("tfidf", 4).alias("tfidf"))
+
+
+@query(
+    "g1_pagerank_trade",
+    """
+    WITH e AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst, CAST(count(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      GROUP BY n1.n_name, n2.n_name
+    ),
+    ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src),
+    nodes AS (SELECT n_name AS node FROM nation),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum(r.rank * e.w / ow.out_w) AS contrib
+           FROM e JOIN r0 r ON e.src = r.node JOIN ow ON ow.src = e.src
+           GROUP BY e.dst),
+    d1 AS (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dang
+           FROM r0 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+    r1 AS (SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * (coalesce(c1.contrib, CAST(0.0 AS DOUBLE))
+                  + (SELECT dang FROM d1) / (SELECT n FROM nn)) AS rank
+           FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+    c2 AS (SELECT e.dst AS node, sum(r.rank * e.w / ow.out_w) AS contrib
+           FROM e JOIN r1 r ON e.src = r.node JOIN ow ON ow.src = e.src
+           GROUP BY e.dst),
+    d2 AS (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dang
+           FROM r1 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+    r2 AS (SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * (coalesce(c2.contrib, CAST(0.0 AS DOUBLE))
+                  + (SELECT dang FROM d2) / (SELECT n FROM nn)) AS rank
+           FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+    c3 AS (SELECT e.dst AS node, sum(r.rank * e.w / ow.out_w) AS contrib
+           FROM e JOIN r2 r ON e.src = r.node JOIN ow ON ow.src = e.src
+           GROUP BY e.dst),
+    d3 AS (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dang
+           FROM r2 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+    r3 AS (SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)
+               * (coalesce(c3.contrib, CAST(0.0 AS DOUBLE))
+                  + (SELECT dang FROM d3) / (SELECT n FROM nn)) AS rank
+           FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def g1_pagerank_trade(spark, sf_dir):
+    """Weighted PageRank over the nation-to-nation trade graph (supplier
+    nation -> customer nation, weight = lineitem count), 3 power
+    iterations with dangling-mass redistribution (operators/graph.py
+    pagerank). The oracle unrolls the identical float recurrence; rank
+    sums round to 6 (summation order is the only engine difference)."""
+    from es_to_clickhouse_spark.operators.graph import pagerank
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    nodes = t(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    ranks = pagerank(edges, damping=0.85, iterations=3, nodes=nodes)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "f17_array_hof",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+    FROM embeddings
+    """,
+)
+def f17_array_hof(spark, sf_dir):
+    """Higher-order array functions over the embedding column — transform/
+    aggregate/filter run inside codegen (no UDF, no explode-shuffle):
+    L2 norm via sequential fold (same order both engines), positive-dim
+    count, max |x|."""
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+            6,
+        ).alias("max_abs"),
+    )

@@ -1104,3 +1104,31 @@ def a12_stats_moments(spark, sf_dir):
         ),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
     )
+
+
+@query(
+    "w7_distribution_windows",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w7_distribution_windows(spark, sf_dir):
+    """Distribution window functions (ntile/percent_rank/cume_dist) per
+    nation, ordered with a unique tiebreak so rank-dependent outputs are
+    identical on every engine. Integer-ratio outputs need no rounding —
+    (rank-1)/(n-1) is the same IEEE division everywhere."""
+    from pyspark.sql.window import Window as W
+
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

@@ -72,3 +72,73 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted PageRank by power iteration, pure DataFrame ops.
+
+    Each iteration: rank flows along out-edges proportionally to weight;
+    dangling nodes (no out-edges) redistribute their mass uniformly;
+    rank' = (1-d)/N + d * (inflow + dangling/N).
+
+    Scale design: the per-iteration join shuffles edges on src (ranks are
+    node-sized — broadcast); the dangling mass is a 1-row aggregate
+    cross-joined back (broadcast nested loop over ONE row). N is computed
+    once up front — a single count, not a per-row collect. Iterations are
+    a driver loop over lazily-chained frames with a localCheckpoint each
+    round to keep lineage flat (same device as connected_components).
+
+    ``nodes`` defaults to the union of edge endpoints; pass the full node
+    frame (one column named like ``src``) to include isolated nodes.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    n = nodes.count()
+    out_w = edges.groupBy(src).agg(F.sum(weight).alias("_out_w"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(out_w, src)
+            .join(F.broadcast(ranks), F.col(src) == F.col("node"))
+            .groupBy(F.col(dst).alias("_dst"))
+            .agg(
+                F.sum(F.col("rank") * F.col(weight) / F.col("_out_w")).alias(
+                    "_contrib"
+                )
+            )
+        )
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w[src], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib._dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_contrib"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

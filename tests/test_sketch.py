@@ -202,3 +202,41 @@ def test_weighted_sample_fanout_invariant(spark):
     a = sorted(r.k for r in weighted_sample(df, "k", "w", 50, fanout=1).collect())
     b = sorted(r.k for r in weighted_sample(df, "k", "w", 50, fanout=16).collect())
     assert a == b
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def test_pagerank_sums_to_one_with_dangling(spark):
+    from es_to_clickhouse_spark.operators.graph import pagerank
+
+    # b is dangling (no out-edges); total rank mass must stay 1
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "b", 2.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = {r.node: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["b"] > ranks["a"] > 0  # b receives from both a and c
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from es_to_clickhouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = [r["rank"] for r in pagerank(edges, iterations=4).collect()]
+    assert all(abs(r - 1.0 / 3) < 1e-12 for r in ranks)
+
+
+def test_pagerank_isolated_node_via_nodes_frame(spark):
+    from es_to_clickhouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, w double"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("z",)], "node string")
+    ranks = {r.node: r["rank"] for r in pagerank(edges, iterations=3, nodes=nodes).collect()}
+    assert "z" in ranks and abs(sum(ranks.values()) - 1.0) < 1e-9

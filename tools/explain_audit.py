@@ -23,6 +23,7 @@ BNL_ALLOWED = {
     "f14_progress_math",
     "q22_dormant_customers",  # 1-row scalar avg(c_acctbal) broadcast
     "txt7_tfidf_terms",  # 1-row corpus-size N broadcast
+    "g1_pagerank_trade",  # 1-row dangling-mass broadcast per iteration
     "sim1_cosine_topk",
     "sim4_ivf_cells",
     "sim5_lloyd_step",
