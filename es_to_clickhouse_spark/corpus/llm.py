@@ -866,3 +866,30 @@ def f17_array_hof(spark, sf_dir):
             6,
         ).alias("max_abs"),
     )
+
+
+@query(
+    "mm4_resize_dims",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             length(text) % 624 + 16 AS in_w,
+             (7 * length(text)) % 464 + 16 AS in_h
+      FROM documents
+    )
+    SELECT asset_id, in_w, in_h,
+           CASE WHEN greatest(in_w, in_h) <= 224 THEN in_w
+                ELSE in_w * 224 // greatest(in_w, in_h) END AS out_w,
+           CASE WHEN greatest(in_w, in_h) <= 224 THEN in_h
+                ELSE in_h * 224 // greatest(in_w, in_h) END AS out_h
+    FROM d
+    """,
+)
+def mm4_resize_dims(spark, sf_dir):
+    """Aspect-preserving resize over mapInPandas (Arrow-batched; decode
+    stubbed with integer-exact fake dimensions, plumbing real) — the
+    oracle recomputes the fit-to-box arithmetic from payload length."""
+    from es_to_clickhouse_spark.operators import multimodal
+
+    assets = multimodal.to_assets(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return multimodal.resize_assets(assets, max_side=224)

@@ -1132,3 +1132,92 @@ def w7_distribution_windows(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "w8_moving_sum_rows",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_4row
+    FROM lineitem
+    """,
+)
+def w8_moving_sum_rows(spark, sf_dir):
+    """Moving 4-row sum per supplier (ROWS frame) — quantities are
+    integral, summed as BIGINT for exactness; unique (date, order, line)
+    ordering makes the frame deterministic."""
+    from pyspark.sql.window import Window as W
+
+    l = t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("bigint")).over(w).cast("bigint").alias("qty_4row"),
+    )
+
+
+@query(
+    "w9_trailing_range_window",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w9_trailing_range_window(spark, sf_dir):
+    """Trailing 7-day window per user (RANGE frame over epoch
+    microseconds — integer-exact on both engines, peers included
+    identically). The value sum runs in DECIMAL so partial order can't
+    move a cent; cast to DOUBLE only for rendering."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-604800000000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_7d"),
+    )
+
+
+#: one SQL text, executed verbatim by BOTH engines — the gateway surface
+_S20_SQL = """
+    SELECT r_name, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, year(o_orderdate)
+    HAVING count(*) > 10
+"""
+
+
+@query("s20_sql_gateway", _S20_SQL)
+def s20_sql_gateway(spark, sf_dir):
+    """The SQL gateway: the ORACLE STRING ITSELF is executed through
+    spark.sql over registered views (es_to_clickhouse_spark/sql.py) — a
+    reference user's ANSI SQL runs unchanged, with Catalyst applying
+    pushdown/pruning/reordering/AQE to the declarative text."""
+    from es_to_clickhouse_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _S20_SQL)

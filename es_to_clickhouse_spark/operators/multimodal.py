@@ -127,3 +127,40 @@ def meta_projection(df: DataFrame) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.checksum").alias("checksum"),
     )
+
+
+RESIZE_SCHEMA = "asset_id long, in_w int, in_h int, out_w int, out_h int"
+
+
+def resize_assets(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize plumbing over mapInPandas: aspect-preserving fit-to-box on
+    deterministic fake dimensions derived from payload length (a real
+    implementation reads the header and resamples pixels over the same
+    Arrow batches — only the pixel work is fake here).
+
+    All integer math, so the corpus oracle reproduces it exactly:
+    in_w = n % 624 + 16, in_h = (7n) % 464 + 16; if the longer side
+    exceeds ``max_side`` both sides scale by max_side/longer (floor).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "in_w", "in_h", "out_w", "out_h")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = len(payload) if payload is not None else 0
+                w = n % 624 + 16
+                h = (7 * n) % 464 + 16
+                m = max(w, h)
+                if m <= max_side:
+                    ow, oh = w, h
+                else:
+                    ow = w * max_side // m
+                    oh = h * max_side // m
+                rows["asset_id"].append(int(asset_id))
+                rows["in_w"].append(w)
+                rows["in_h"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+            yield pd.DataFrame(rows)
+
+    return df.select("asset_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
