@@ -1221,3 +1221,87 @@ def s20_sql_gateway(spark, sf_dir):
     from es_to_clickhouse_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _S20_SQL)
+
+
+@query(
+    "j10_asof_forward",
+    """
+    WITH ref AS (
+      SELECT user_id, ts, max(value) AS ref_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, round(r.ref_value, 4) AS ref_value
+    FROM clicks c ASOF LEFT JOIN ref r
+      ON c.user_id = r.user_id AND c.ts <= r.ts
+    """,
+)
+def j10_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click gets the NEXT purchase value of the
+    same user (right.on >= left.on). Same union+window plan as backward —
+    one shuffle on the by-key, the `first() over following frame` mirror
+    of the backward carry."""
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    ref = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(clicks, ref, on="ts", by="user_id", direction="forward")
+    return out.select(
+        "event_id", "user_id", F.round("ref_value_right", 4).alias("ref_value")
+    )
+
+
+@query(
+    "j11_asof_nearest",
+    """
+    WITH ref AS (
+      SELECT user_id, ts, max(value) AS ref_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT c.event_id, c.user_id, c.ts, r.ts AS bts, r.ref_value AS bval
+      FROM clicks c ASOF LEFT JOIN ref r
+        ON c.user_id = r.user_id AND c.ts >= r.ts
+    ), f AS (
+      SELECT c.event_id, r.ts AS fts, r.ref_value AS fval
+      FROM clicks c ASOF LEFT JOIN ref r
+        ON c.user_id = r.user_id AND c.ts <= r.ts
+    )
+    SELECT b.event_id, b.user_id,
+           round(CASE WHEN fts IS NULL THEN bval
+                      WHEN bts IS NULL THEN fval
+                      WHEN (epoch_us(b.ts) - epoch_us(bts))
+                           <= (epoch_us(fts) - epoch_us(b.ts)) THEN bval
+                      ELSE fval END, 4) AS ref_value
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def j11_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (ties -> backward, pandas merge_asof parity):
+    both direction carries come out of ONE window sort; the distance test
+    runs on exact integer microseconds so the tie-break matches any
+    integer-arithmetic implementation."""
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    ref = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(clicks, ref, on="ts", by="user_id", direction="nearest")
+    return out.select(
+        "event_id", "user_id", F.round("ref_value_right", 4).alias("ref_value")
+    )

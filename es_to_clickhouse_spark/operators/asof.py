@@ -1,14 +1,20 @@
 """As-of join — a custom operator Spark lacks natively (SURVEY §2.3 note).
 
-``asof_join(left, right, on, by)``: for each left row, attach the most
-recent right row with ``right.on <= left.on`` (within the same ``by`` key).
+``asof_join(left, right, on, by, direction)``: for each left row, attach
+
+- ``backward`` (default): the most recent right row with ``right.on <=
+  left.on``;
+- ``forward``: the earliest right row with ``right.on >= left.on``;
+- ``nearest``: whichever of the two is closer in ``on`` (ties -> backward,
+  matching pandas ``merge_asof``).
 
 Implementation is the union-and-window technique (no Python in the data
 path):
 
 1. tag both sides and union them on (by, on);
-2. window ``last(right_cols, ignorenulls=True)`` ordered by (on, side)
-   carries the latest right values forward onto each left row;
+2. a running ``last(right_cols, ignorenulls=True)`` (and/or ``first`` over
+   the following frame) ordered by (on, side) carries the adjacent right
+   values onto each left row — both directions share ONE sort;
 3. filter back to left rows.
 
 With a ``by`` key the window partitions on it — one shuffle, the same
@@ -20,28 +26,65 @@ Without a ``by`` key a naive global window would run on a SINGLE
 partition — a non-starter at 100 TB. Instead the union is range-bucketed
 on quantile cut points of the ordering column (the same driver-side
 sampling Spark's RangePartitioner does for a global sort), the window
-runs per-bucket in parallel, and a tiny per-bucket "carry-in" table
+runs per-bucket in parallel, and a tiny per-bucket "carry" table
 (B rows, broadcast) supplies the last right values from earlier buckets
-to left rows that precede every right row in their own bucket.
+(and/or the first right values from later buckets, for forward/nearest)
+to left rows whose own bucket has no right row on the needed side.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DateType, TimestampNTZType
+from pyspark.sql.types import DataType, DateType, TimestampNTZType, TimestampType
 from pyspark.sql.window import Window
 
+_DIRECTIONS = ("backward", "forward", "nearest")
 
-def _ordering_key(df: DataFrame, on: str):
-    """Monotonic numeric (double) view of the ordering column, used only
-    for quantile cut points — buckets need order, not exact values."""
-    dt = df.schema[on].dataType
+
+def _key_expr(dt: DataType, col: Column) -> Column:
+    """Monotonic numeric (double) view of an ordering value, used for
+    quantile cut points and nearest-distance tests — these need order and
+    differences, not exact values."""
     if isinstance(dt, DateType):
-        return F.datediff(F.col(on), F.lit("1970-01-01")).cast("double")
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
     if isinstance(dt, TimestampNTZType):
-        return F.col(on).cast("timestamp").cast("double")
-    return F.col(on).cast("double")  # ints/floats/decimals/timestamps
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if isinstance(dt, TimestampType):
+        # exact integer micros (< 2^53, no float rounding) — nearest's
+        # distance tie-break must match an integer-arithmetic oracle
+        return F.unix_micros(col).cast("double")
+    return col.cast("double")  # ints/floats/decimals
+
+
+def _ordering_key(df: DataFrame, on: str) -> Column:
+    return _key_expr(df.schema[on].dataType, F.col(on))
+
+
+def _side_tags(direction: str, strict: bool) -> tuple[int, int]:
+    """(right_tag, left_tag): ordering of the two sides at equal ``on``.
+
+    backward inclusive / forward strict want right rows BEFORE left rows
+    (so equal-`on` rights land inside / outside the frame respectively);
+    backward strict / forward inclusive want the reverse. nearest uses the
+    backward-inclusive layout: an equal-`on` right matches backward at
+    distance 0 and wins regardless.
+    """
+    if direction == "forward":
+        return (1, 0) if not strict else (0, 1)
+    return (0, 1) if not strict else (1, 0)
+
+
+def _choose_nearest(
+    dt: DataType, left_on: Column, bw: dict, fw: dict, on: str, c: str
+) -> Column:
+    """Pick backward vs forward value for one carried column by distance."""
+    lk = _key_expr(dt, left_on)
+    bw_on, fw_on = bw[on], fw[on]
+    use_bw = fw_on.isNull() | (
+        bw_on.isNotNull() & ((lk - _key_expr(dt, bw_on)) <= (_key_expr(dt, fw_on) - lk))
+    )
+    return F.when(use_bw, bw[c]).otherwise(fw[c])
 
 
 def asof_join(
@@ -53,27 +96,33 @@ def asof_join(
     suffix: str = "_right",
     strict: bool = False,
     num_buckets: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join (backward / forward / nearest).
 
     Parameters
     ----------
     on: ordering column (time), present in both sides.
     by: optional equality key.
     right_cols: right columns to carry (default: all but on/by).
-    strict: if True, match ``right.on < left.on`` (exclusive).
+    strict: if True, exclude equal ``on`` matches (ignored for nearest).
     num_buckets: parallelism of the global (no ``by``) path; defaults to
         the cluster's default parallelism.
+    direction: 'backward' (right.on <= left.on), 'forward' (>=), or
+        'nearest' (closer of the two; ties -> backward).
     """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}")
     rcols = right_cols or [c for c in right.columns if c not in {on, by}]
-    # side ordering: right rows sort BEFORE left rows at the same `on`
-    # for inclusive (<=) semantics, AFTER for strict (<).
-    right_tag, left_tag = (0, 1) if not strict else (1, 0)
+    # nearest needs the matched right `on` for its distance test
+    carry = rcols + ([on] if direction == "nearest" else [])
+    right_tag, left_tag = _side_tags(direction, strict)
+    on_dt = left.schema[on].dataType
 
     lefts = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(left_tag).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carry],
     )
     rights = right.select(
         *[
@@ -82,27 +131,46 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(right_tag).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        *[F.col(c).alias(f"_r_{c}") for c in carry],
     )
-    if by is not None:
-        unioned = lefts.unionByName(rights)
-        w = (
-            Window.partitionBy(by)
-            .orderBy(F.col(on).asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = unioned.select(
-            "*",
-            *[
-                F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-                for c in rcols
-            ],
-        )
-        return carried.where(F.col("_side") == F.lit(left_tag)).drop(
-            "_side", *[f"_r_{c}" for c in rcols]
+    if by is None:
+        return _global_asof(
+            lefts, rights, on, rcols, carry, suffix, left_tag, num_buckets,
+            left, direction, on_dt,
         )
 
-    return _global_asof(lefts, rights, on, rcols, suffix, left_tag, num_buckets, left)
+    base = Window.partitionBy(by).orderBy(F.col(on).asc(), F.col("_side").asc())
+    w_bw = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fw = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned = lefts.unionByName(rights)
+    exprs = []
+    if direction in ("backward", "nearest"):
+        exprs += [
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w_bw).alias(f"_bw_{c}")
+            for c in carry
+        ]
+    if direction in ("forward", "nearest"):
+        exprs += [
+            F.first(F.col(f"_r_{c}"), ignorenulls=True).over(w_fw).alias(f"_fw_{c}")
+            for c in carry
+        ]
+    carried = unioned.select("*", *exprs)
+
+    if direction == "backward":
+        out_cols = {c: F.col(f"_bw_{c}") for c in rcols}
+    elif direction == "forward":
+        out_cols = {c: F.col(f"_fw_{c}") for c in rcols}
+    else:
+        bw = {c: F.col(f"_bw_{c}") for c in carry}
+        fw = {c: F.col(f"_fw_{c}") for c in carry}
+        out_cols = {
+            c: _choose_nearest(on_dt, F.col(on), bw, fw, on, c) for c in rcols
+        }
+    keep = [c for c in left.columns]
+    return carried.where(F.col("_side") == F.lit(left_tag)).select(
+        *[F.col(c) for c in keep],
+        *[out_cols[c].alias(f"{c}{suffix}") for c in rcols],
+    )
 
 
 def _global_asof(
@@ -110,10 +178,13 @@ def _global_asof(
     rights: DataFrame,
     on: str,
     rcols: list[str],
+    carry: list[str],
     suffix: str,
     left_tag: int,
     num_buckets: int | None,
     cuts_source: DataFrame,
+    direction: str,
+    on_dt: DataType,
 ) -> DataFrame:
     """Range-bucketed global as-of (no equality key).
 
@@ -123,8 +194,8 @@ def _global_asof(
     and quantiling the left is a plain column-pruned scan while the
     union would recompute whatever upstream shuffle produced the right
     side. Bucket assignment is a pure function of the value, so ties in
-    `on` always share a bucket and the strict/inclusive `_side`
-    tie-break stays window-local.
+    `on` always share a bucket and the `_side` tie-break stays
+    window-local.
     """
     spark = lefts.sparkSession
     n = num_buckets or max(spark.sparkContext.defaultParallelism, 4)
@@ -150,58 +221,91 @@ def _global_asof(
     unioned = lefts.unionByName(rights)
     b = unioned.withColumn("_bucket", bucket_of(unioned))
 
-    w = (
-        Window.partitionBy("_bucket")
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy("_bucket").orderBy(
+        F.col(on).asc(), F.col("_side").asc()
     )
-    carried = b.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_w_{c}")
-            for c in rcols
-        ],
-    )
+    w_bw = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fw = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    exprs = []
+    if direction in ("backward", "nearest"):
+        exprs += [
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w_bw).alias(f"_wbw_{c}")
+            for c in carry
+        ]
+    if direction in ("forward", "nearest"):
+        exprs += [
+            F.first(F.col(f"_r_{c}"), ignorenulls=True).over(w_fw).alias(f"_wfw_{c}")
+            for c in carry
+        ]
+    carried = b.select("*", *exprs)
 
-    # Carry-in = last right value of every PRIOR bucket. Aggregated from
-    # the RIGHT side alone (left rows carry no right values), so this
-    # branch shares the right side's upstream exchange with the union
-    # branch instead of recomputing it; densified over the full bucket
-    # domain 0..len(cuts) (driver-known) so left rows in buckets with no
-    # right rows still find their carry row. The single-partition window
-    # and the broadcast act on <= num_buckets+1 rows.
+    # Per-bucket carry rows: last right value of every PRIOR bucket
+    # (backward) and/or first right value of every LATER bucket (forward).
+    # Aggregated from the RIGHT side alone, densified over the driver-known
+    # bucket domain so left rows in right-empty buckets still find their
+    # carry. The single-partition window and the broadcast act on
+    # <= num_buckets+1 rows.
     rb = rights.withColumn("_bucket", bucket_of(rights))
-    per_bucket = rb.groupBy("_bucket").agg(
-        *[
+    aggs = []
+    if direction in ("backward", "nearest"):
+        aggs += [
             F.max_by(
                 F.col(f"_r_{c}"),
                 F.when(
-                    F.col(f"_r_{c}").isNotNull(),
-                    F.struct(F.col(on), F.col("_side")),
+                    F.col(f"_r_{c}").isNotNull(), F.struct(F.col(on), F.col("_side"))
                 ),
-            ).alias(f"_pb_{c}")
-            for c in rcols
+            ).alias(f"_pbl_{c}")
+            for c in carry
         ]
-    )
+    if direction in ("forward", "nearest"):
+        aggs += [
+            F.min_by(
+                F.col(f"_r_{c}"),
+                F.when(
+                    F.col(f"_r_{c}").isNotNull(), F.struct(F.col(on), F.col("_side"))
+                ),
+            ).alias(f"_pbf_{c}")
+            for c in carry
+        ]
+    per_bucket = rb.groupBy("_bucket").agg(*aggs)
     spine = spark.range(len(cuts) + 1).select(F.col("id").cast("int").alias("_bucket"))
-    dense = spine.join(per_bucket.withColumn("_bucket", F.col("_bucket").cast("int")), "_bucket", "left")
-    bw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
-    carry = dense.select(
-        "_bucket",
-        *[
-            F.last(F.col(f"_pb_{c}"), ignorenulls=True).over(bw).alias(f"_ci_{c}")
-            for c in rcols
-        ],
+    dense = spine.join(
+        per_bucket.withColumn("_bucket", F.col("_bucket").cast("int")), "_bucket", "left"
     )
+    bw_frame = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    fw_frame = Window.orderBy("_bucket").rowsBetween(1, Window.unboundedFollowing)
+    carry_exprs = ["_bucket"]
+    if direction in ("backward", "nearest"):
+        carry_exprs += [
+            F.last(F.col(f"_pbl_{c}"), ignorenulls=True).over(bw_frame).alias(f"_cibw_{c}")
+            for c in carry
+        ]
+    if direction in ("forward", "nearest"):
+        carry_exprs += [
+            F.first(F.col(f"_pbf_{c}"), ignorenulls=True).over(fw_frame).alias(f"_cifw_{c}")
+            for c in carry
+        ]
+    carry_tbl = dense.select(*carry_exprs)
 
     out = carried.join(
-        F.broadcast(carry), carried["_bucket"].cast("int") == carry["_bucket"], "left"
-    ).drop(carry["_bucket"])
-    keep = [c for c in unioned.columns if c != "_side" and not c.startswith("_r_")]
+        F.broadcast(carry_tbl),
+        carried["_bucket"].cast("int") == carry_tbl["_bucket"],
+        "left",
+    ).drop(carry_tbl["_bucket"])
+    keep = [
+        c
+        for c in unioned.columns
+        if c != "_side" and not c.startswith("_r_")
+    ]
+    if direction == "backward":
+        vals = {c: F.coalesce(F.col(f"_wbw_{c}"), F.col(f"_cibw_{c}")) for c in rcols}
+    elif direction == "forward":
+        vals = {c: F.coalesce(F.col(f"_wfw_{c}"), F.col(f"_cifw_{c}")) for c in rcols}
+    else:
+        bw = {c: F.coalesce(F.col(f"_wbw_{c}"), F.col(f"_cibw_{c}")) for c in carry}
+        fw = {c: F.coalesce(F.col(f"_wfw_{c}"), F.col(f"_cifw_{c}")) for c in carry}
+        vals = {c: _choose_nearest(on_dt, F.col(on), bw, fw, on, c) for c in rcols}
     return out.where(F.col("_side") == F.lit(left_tag)).select(
         *[F.col(c) for c in keep],
-        *[
-            F.coalesce(F.col(f"_w_{c}"), F.col(f"_ci_{c}")).alias(f"{c}{suffix}")
-            for c in rcols
-        ],
+        *[vals[c].alias(f"{c}{suffix}") for c in rcols],
     )

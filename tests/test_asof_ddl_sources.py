@@ -222,3 +222,71 @@ def test_streaming_file_sync_available_now(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sync.target.read("tbl", dedup=False).count() == 2
+
+
+# ------------------------------------------- as-of directions
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 1.0), (4, 4.0), (5, 5.0), (10, 10.0)], "t long, lv double"
+    )
+    right = spark.createDataFrame([(2, 20.0), (6, 60.0)], "t long, rv double")
+    return left, right
+
+
+def test_asof_forward_by_none(spark):
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    got = {
+        r.t: r.rv_right
+        for r in asof_join(left, right, "t", direction="forward", num_buckets=3).collect()
+    }
+    assert got == {1: 20.0, 4: 60.0, 5: 60.0, 10: None}
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    got = {
+        r.t: r.rv_right
+        for r in asof_join(left, right, "t", direction="nearest", num_buckets=3).collect()
+    }
+    # t=4: backward dist 2 == forward dist 2 -> backward (pandas semantics)
+    assert got == {1: 20.0, 4: 20.0, 5: 60.0, 10: 60.0}
+
+
+def test_asof_directions_with_by_key(spark):
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 1), ("a", 7), ("b", 3)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 2, 20.0), ("a", 6, 60.0), ("b", 9, 90.0)], "k string, t long, rv double"
+    )
+    fwd = {
+        (r.k, r.t): r.rv_right
+        for r in asof_join(left, right, "t", by="k", direction="forward").collect()
+    }
+    assert fwd == {("a", 1): 20.0, ("a", 7): None, ("b", 3): 90.0}
+    near = {
+        (r.k, r.t): r.rv_right
+        for r in asof_join(left, right, "t", by="k", direction="nearest").collect()
+    }
+    assert near == {("a", 1): 20.0, ("a", 7): 60.0, ("b", 3): 90.0}
+
+
+def test_asof_forward_inclusive_vs_strict(spark):
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(2,)], "t long")
+    right = spark.createDataFrame([(2, 20.0), (5, 50.0)], "t long, rv double")
+    inc = asof_join(left, right, "t", direction="forward", num_buckets=2).collect()
+    assert inc[0].rv_right == 20.0
+    strict = asof_join(
+        left, right, "t", direction="forward", strict=True, num_buckets=2
+    ).collect()
+    assert strict[0].rv_right == 50.0
