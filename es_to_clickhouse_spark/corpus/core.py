@@ -440,3 +440,24 @@ def f12_substring_truncate(spark, sf_dir):
         F.substring("text", 1, 100).alias("prefix100"),
         F.substring("text", 1, 20).alias("prefix20"),
     )
+
+
+@query(
+    "f19_regexp_functions",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val,
+           regexp_replace(event_type, '[aeiou]', '*', 'g') AS masked_type
+    FROM events
+    """,
+)
+def f19_regexp_functions(spark, sf_dir):
+    """Regex surface: group extraction from the JSON-ish props string and
+    global character-class replacement — both JVM-side (no UDF); DuckDB
+    needs the 'g' flag to match Spark's replace-all default."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k_val"),
+        F.regexp_replace("event_type", "[aeiou]", "*").alias("masked_type"),
+    )

@@ -893,3 +893,25 @@ def mm4_resize_dims(spark, sf_dir):
 
     assets = multimodal.to_assets(t(spark, sf_dir, "documents"), "doc_id", "text")
     return multimodal.resize_assets(assets, max_side=224)
+
+
+@query(
+    "txt8_edit_distance",
+    """
+    SELECT doc_id,
+           levenshtein(substr(text, 1, 20), substr(text, 11, 20)) AS self_shift_dist
+    FROM documents
+    """,
+)
+def txt8_edit_distance(spark, sf_dir):
+    """Edit-distance primitive (JVM levenshtein — the fuzzy-match verifier
+    for near-dup candidate pairs): distance between a doc's prefix and its
+    10-char shift, a deterministic self-pairing that exercises the exact
+    dynamic-programming semantics without an O(n^2) pair join."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein(
+            F.substring("text", 1, 20), F.substring("text", 11, 20)
+        ).alias("self_shift_dist"),
+    )

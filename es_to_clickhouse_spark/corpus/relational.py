@@ -1305,3 +1305,70 @@ def j11_asof_nearest(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.round("ref_value_right", 4).alias("ref_value")
     )
+
+
+@query(
+    "a13_median_mad",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, m.med_qty,
+           quantile_cont(abs(l.l_quantity - m.med_qty), 0.5) AS mad_qty
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med_qty
+    """,
+)
+def a13_median_mad(spark, sf_dir):
+    """Robust statistics: per-group median + median-absolute-deviation —
+    the two-pass aggregate→broadcast-join→aggregate shape every outlier
+    filter uses. Spark percentile() interpolates identically to DuckDB
+    quantile_cont (verified property of this corpus)."""
+    l = t(spark, sf_dir, "lineitem")
+    med = l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med_qty")
+    )
+    return (
+        l.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med_qty")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_quantity") - F.col("med_qty")), F.lit(0.5)
+            ).alias("mad_qty")
+        )
+    )
+
+
+@query(
+    "a14_histogram",
+    """
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+                AS BIGINT) AS bin,
+           count(*) AS n
+    FROM orders, b GROUP BY 1
+    """,
+)
+def a14_histogram(spark, sf_dir):
+    """Equi-width histogram with data-derived bounds: 1-row min/max
+    broadcast, then a pure row-local binning expression (identical IEEE
+    arithmetic on both engines — no width_bucket dependency)."""
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20)
+            ),
+            F.lit(19).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))

@@ -24,6 +24,7 @@ BNL_ALLOWED = {
     "q22_dormant_customers",  # 1-row scalar avg(c_acctbal) broadcast
     "txt7_tfidf_terms",  # 1-row corpus-size N broadcast
     "g1_pagerank_trade",  # 1-row dangling-mass broadcast per iteration
+    "a14_histogram",  # 1-row min/max bounds broadcast
     "sim1_cosine_topk",
     "sim4_ivf_cells",
     "sim5_lloyd_step",
