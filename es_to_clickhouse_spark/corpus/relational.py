@@ -1140,21 +1140,23 @@ def w7_distribution_windows(spark, sf_dir):
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
              PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_4row
     FROM lineitem
     """,
 )
 def w8_moving_sum_rows(spark, sf_dir):
     """Moving 4-row sum per supplier (ROWS frame) — quantities are
-    integral, summed as BIGINT for exactness; unique (date, order, line)
-    ordering makes the frame deterministic."""
+    integral, summed as BIGINT for exactness. (order, line) pairs are NOT
+    unique at sf0.1, so l_quantity joins the ordering: any remaining tie
+    then agrees on the summed column, making every frame's sum invariant
+    under the engines' tie permutation."""
     from pyspark.sql.window import Window as W
 
     l = t(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-3, W.currentRow)
     )
     return l.select(
@@ -1372,3 +1374,23 @@ def a14_histogram(spark, sf_dir):
         .alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+_S21_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+             AS open_value
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@query("s21_sql_filtered_agg", _S21_SQL)
+def s21_sql_filtered_agg(spark, sf_dir):
+    """FILTER-clause aggregates through the SQL gateway — the standard-SQL
+    conditional aggregation form, one verbatim text on both engines."""
+    from es_to_clickhouse_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _S21_SQL)

@@ -91,3 +91,65 @@ def zorder_by(
         else:
             normed.append(F.lit(0))
     return df.withColumn(out_col, zorder_value(normed, bits))
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    cluster_cols: list[str] | None = None,
+    files_per_partition: int = 1,
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style partitioned write (``path/col=value/...``): the coarse
+    pruning layer above file stats — a partition-column predicate never
+    LISTS the other directories, which is what keeps a 100 TB table's
+    planning time flat. ``cluster_cols`` additionally range-clusters
+    within each partition (stats-based pruning for non-partition keys).
+
+    The repartition on partition_cols bounds the writer to
+    ``files_per_partition`` files per partition — without it every task
+    writes to every partition (tasks x partitions small files)."""
+    out = df.repartition(files_per_partition * 32, *partition_cols)
+    if cluster_cols:
+        out = out.sortWithinPartitions(*partition_cols, *cluster_cols)
+    (
+        out.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def compact(
+    df: DataFrame,
+    dest_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite ``df``'s files bin-packed to
+    ~``target_bytes`` each (the micro-batch sink's 1000-row appends are
+    exactly how a table degrades into millions of tiny files; planning
+    and open() overhead then dominates scans). Returns the file count.
+
+    Sizing comes from the source files' actual bytes (input_file metadata
+    — no data pass); the rewrite is one coalesce-style shuffle-free read
+    when shrinking file count. Writes to ``dest_path``; the caller swaps
+    directories (atomicity is storage-specific — table formats own that
+    problem at scale)."""
+    import math
+    import os
+
+    total = 0
+    for f in df.inputFiles():
+        local = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(local)
+        except OSError:  # non-local storage: fall back to row-count heuristic
+            total = 0
+            break
+    if total <= 0:
+        total = df.count() * 256  # ~bytes/row fallback
+    n = max(1, math.ceil(total / target_bytes))
+    df.coalesce(n).write.mode("overwrite").format(fmt).save(dest_path)
+    return n

@@ -58,3 +58,52 @@ def test_zorder_shrinks_nonleading_spans(spark, tmp_path):
     assert avg_span(zo) < avg_span(lex) / 2
     # z-order layout still covers every row
     assert spark.read.parquet(zo).count() == 4096
+
+
+def test_write_partitioned_prunes_directories(spark, tmp_path):
+    from es_to_clickhouse_spark.layout import write_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("part")
+    )
+    path = str(tmp_path / "parted")
+    write_partitioned(df, path, ["part"])
+    one = spark.read.parquet(path).where(F.col("part") == 2)
+    # inputFiles() predates pruning; the files actually READ come from the
+    # executed scan
+    files = [
+        r.f
+        for r in one.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all("part=2" in f for f in files)
+    assert one.count() == 250
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from es_to_clickhouse_spark.layout import compact
+
+    src = str(tmp_path / "small")
+    spark.range(10000).repartition(40).write.parquet(src)
+    df = spark.read.parquet(src)
+    assert len(df.inputFiles()) >= 40
+    dest = str(tmp_path / "compacted")
+    compact(df, dest, target_bytes=10**9)
+    out = spark.read.parquet(dest)
+    assert len(out.inputFiles()) == 1
+    assert out.count() == 10000
+
+
+def test_compact_respects_target_size(spark, tmp_path):
+    from es_to_clickhouse_spark.layout import compact
+
+    src = str(tmp_path / "sized")
+    spark.range(200000).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("p")).repartition(20).write.parquet(src)
+    df = spark.read.parquet(src)
+    import os
+    total = sum(
+        os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
+    )
+    dest = str(tmp_path / "out")
+    n = compact(df, dest, target_bytes=total // 3)
+    assert 3 <= n <= 5
+    assert spark.read.parquet(dest).count() == 200000
