@@ -915,3 +915,42 @@ def txt8_edit_distance(spark, sf_dir):
             F.substring("text", 1, 20), F.substring("text", 11, 20)
         ).alias("self_shift_dist"),
     )
+
+
+@query(
+    "p14_profile_columns",
+    """
+    WITH w AS (
+      SELECT count(*) - count(lang) AS lang_nulls,
+             count(DISTINCT lang) AS lang_distinct,
+             CAST(min(lang) AS VARCHAR) AS lang_min,
+             CAST(max(lang) AS VARCHAR) AS lang_max,
+             count(*) - count(source) AS source_nulls,
+             count(DISTINCT source) AS source_distinct,
+             CAST(min(source) AS VARCHAR) AS source_min,
+             CAST(max(source) AS VARCHAR) AS source_max,
+             count(*) - count(n_chars) AS n_chars_nulls,
+             count(DISTINCT n_chars) AS n_chars_distinct,
+             CAST(min(n_chars) AS VARCHAR) AS n_chars_min,
+             CAST(max(n_chars) AS VARCHAR) AS n_chars_max
+      FROM documents
+    )
+    SELECT 'lang' AS column_name, lang_nulls AS n_nulls,
+           lang_distinct AS n_distinct, lang_min AS min_s, lang_max AS max_s
+    FROM w
+    UNION ALL
+    SELECT 'source', source_nulls, source_distinct, source_min, source_max
+    FROM w
+    UNION ALL
+    SELECT 'n_chars', n_chars_nulls, n_chars_distinct, n_chars_min,
+           n_chars_max
+    FROM w
+    """,
+)
+def p14_profile_columns(spark, sf_dir):
+    """One-pass column profiling (operators/profile.py): all columns'
+    null/distinct/min/max metrics from a single scan, reshaped to a row
+    per column via stack() — the pre-training data-quality audit."""
+    from es_to_clickhouse_spark.operators.profile import profile
+
+    return profile(t(spark, sf_dir, "documents"), ["lang", "source", "n_chars"])

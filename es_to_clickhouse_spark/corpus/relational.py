@@ -1394,3 +1394,71 @@ def s21_sql_filtered_agg(spark, sf_dir):
     from es_to_clickhouse_spark.sql import run_sql
 
     return run_sql(spark, sf_dir, _S21_SQL)
+
+
+@query(
+    "t10_islands_gaps",
+    """
+    WITH g AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER (
+               PARTITION BY user_id ORDER BY event_id) AS grp
+      FROM events
+    )
+    SELECT user_id, min(event_id) AS run_start, max(event_id) AS run_end,
+           count(*) AS run_len
+    FROM g GROUP BY user_id, grp HAVING count(*) >= 2
+    """,
+)
+def t10_islands_gaps(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive event_ids per user
+    (id minus row_number is constant within a run) — the sequence-
+    completeness audit a sync pipeline runs to find dropped batches.
+    One shuffle; no self-join."""
+    from pyspark.sql.window import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    g = e.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("run_start"),
+            F.max("event_id").alias("run_end"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .where(F.col("run_len") >= 2)
+        .drop("grp")
+    )
+
+
+@query(
+    "a16_unpivot",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n FROM wide
+    UNPIVOT (n FOR status IN (F, O, P))
+    """,
+)
+def a16_unpivot(spark, sf_dir):
+    """UNPIVOT (wide→long reshape, the inverse of a10_pivot): conditional
+    counts per status widened then melted — Spark's unpivot() is a zero-
+    shuffle projection (each input row yields k output rows in place)."""
+    o = t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(s)
+            for s in ("F", "O", "P")
+        ]
+    )
+    return wide.unpivot("o_orderpriority", ["F", "O", "P"], "status", "n")

@@ -124,12 +124,18 @@ def interval_join_stream(
     left_watermark: str = "30 minutes",
     right_watermark: str = "30 minutes",
     within: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: match left rows to right
     rows with the same key where right_ts in [left_ts, left_ts + within].
     Both watermarks + the time-range predicate bound the join state on
     BOTH sides (without the range condition Spark would buffer streams
-    forever). The batch analogue is operators/range_join.py."""
+    forever). The batch analogue is operators/range_join.py.
+
+    ``how='left_outer'`` additionally emits unmatched left rows (null
+    right columns) — but only once the watermark passes their match
+    window's upper bound, i.e. in a LATER micro-batch; an attribution
+    pipeline sees its no-click impressions one watermark-delay late."""
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     cond = (
@@ -137,4 +143,4 @@ def interval_join_stream(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
     )
-    return lw.join(rw, cond).drop(rw[key])
+    return lw.join(rw, cond, how).drop(rw[key])

@@ -240,3 +240,18 @@ def test_pagerank_isolated_node_via_nodes_frame(spark):
     nodes = spark.createDataFrame([("a",), ("b",), ("z",)], "node string")
     ranks = {r.node: r["rank"] for r in pagerank(edges, iterations=3, nodes=nodes).collect()}
     assert "z" in ranks and abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+# ------------------------------------------------------------- profile
+
+
+def test_profile_one_pass_metrics(spark):
+    from es_to_clickhouse_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 3), (None, 3)], "s string, v int"
+    )
+    rows = {r.column_name: r for r in profile(df, ["s", "v"]).collect()}
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["v"].n_nulls == 1 and rows["v"].n_distinct == 2
+    assert rows["v"].min_s == "1" and rows["v"].max_s == "3"

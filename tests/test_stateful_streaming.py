@@ -227,3 +227,65 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(180)
     got = {(r.imp_id, r.clk_id) for r in spark.read.parquet(str(out)).collect()}
     assert got == {("i1", "c-hit")}
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched impressions surface with
+    null click columns — emitted only in a LATER batch, after the
+    watermark passes their match window."""
+    from es_to_clickhouse_spark.streaming.sync import interval_join_stream
+
+    imp_src = tmp_path / "imp"
+    clk_src = tmp_path / "clk"
+    out = tmp_path / "out"
+
+    imps = spark.createDataFrame(
+        [("2024-01-01 09:00:00", 3, "i-lonely"), ("2024-01-01 10:00:00", 1, "i1")],
+        "imp_ts string, k long, imp_id string",
+    ).selectExpr("cast(imp_ts as timestamp) imp_ts", "k", "imp_id")
+    clks = spark.createDataFrame(
+        [("2024-01-01 10:30:00", 1, "c-hit")],
+        "clk_ts string, k long, clk_id string",
+    ).selectExpr("cast(clk_ts as timestamp) clk_ts", "k", "clk_id")
+    imps.coalesce(1).write.parquet(str(imp_src))
+    clks.coalesce(1).write.parquet(str(clk_src))
+
+    def run_once():
+        ls = spark.readStream.schema(imps.schema).parquet(str(imp_src))
+        rs = spark.readStream.schema(clks.schema).parquet(str(clk_src))
+        joined = interval_join_stream(
+            ls, rs, key="k", left_ts="imp_ts", right_ts="clk_ts",
+            within="1 hour", how="left_outer",
+        )
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # the GLOBAL watermark is min(left, right): BOTH streams need later
+    # data to advance it past i-lonely's match window, and the eviction
+    # fires in the batch after the advance — hence two more rounds
+    for hour in ("14", "16"):
+        spark.createDataFrame(
+            [(f"2024-01-01 {hour}:00:00", 9, "i-far")],
+            "imp_ts string, k long, imp_id string",
+        ).selectExpr(
+            "cast(imp_ts as timestamp) imp_ts", "k", "imp_id"
+        ).coalesce(1).write.mode("append").parquet(str(imp_src))
+        spark.createDataFrame(
+            [(f"2024-01-01 {hour}:00:00", 9, "c-far")],
+            "clk_ts string, k long, clk_id string",
+        ).selectExpr(
+            "cast(clk_ts as timestamp) clk_ts", "k", "clk_id"
+        ).coalesce(1).write.mode("append").parquet(str(clk_src))
+        run_once()
+
+    got = {(r.imp_id, r.clk_id) for r in spark.read.parquet(str(out)).collect()}
+    assert ("i1", "c-hit") in got
+    assert ("i-lonely", None) in got  # emitted after watermark passed 10:00
