@@ -954,3 +954,42 @@ def p14_profile_columns(spark, sf_dir):
     from es_to_clickhouse_spark.operators.profile import profile
 
     return profile(t(spark, sf_dir, "documents"), ["lang", "source", "n_chars"])
+
+
+@query(
+    "dq1_category_drift",
+    """
+    WITH half AS (
+      SELECT lang,
+             ('0x'||substr(md5('drift'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+               < 2147483648 AS in_a
+      FROM documents
+    ), a AS (
+      SELECT lang, count(*) AS na FROM half WHERE in_a GROUP BY lang
+    ), b AS (
+      SELECT lang, count(*) AS nb FROM half WHERE NOT in_a GROUP BY lang
+    ), ap AS (
+      SELECT lang, na / sum(na) OVER () AS pa FROM a
+    ), bp AS (
+      SELECT lang, nb / sum(nb) OVER () AS pb FROM b
+    )
+    SELECT count(*) AS n_categories,
+           round(sum(pa * ln(pa / pb)), 6) AS kl
+    FROM ap JOIN bp USING (lang)
+    """,
+)
+def dq1_category_drift(spark, sf_dir):
+    """Distribution drift (KL divergence) of the language mix between two
+    deterministic halves of the corpus (operators/profile.py
+    category_drift) — the batch-over-batch data-quality gate a training
+    pipeline runs before accepting new data. Halving is hash-based so the
+    check is reproducible on any engine."""
+    from es_to_clickhouse_spark.operators.profile import category_drift
+    from es_to_clickhouse_spark.operators.sketch import hash_sample
+
+    d = t(spark, sf_dir, "documents")
+    a = hash_sample(d, "doc_id", 0.5, salt="drift")
+    ids_a = a.select("doc_id")
+    b = d.join(ids_a, "doc_id", "left_anti")
+    out = category_drift(a, b, "lang")
+    return out.select("n_categories", F.round("kl", 6).alias("kl"))

@@ -42,3 +42,30 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             "AS (column_name, n_nulls, n_distinct, min_s, max_s)"
         )
     )
+
+
+def category_drift(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """KL divergence KL(P_a || P_b) over a categorical column — the
+    distribution-drift check between two ingestion batches (or train vs
+    serving data). Categories absent from either side are excluded (KL is
+    undefined at q=0); the category count is reported so a disjoint-support
+    drift is visible.
+
+    Both frequency tables are tiny aggregates; totals come from a window
+    over those aggregates (5-row frames — no second scan), and the final
+    sum is a single-row reduce.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    a = df_a.groupBy(col).agg(F.count(F.lit(1)).alias("_na"))
+    a = a.withColumn("_pa", F.col("_na") / F.sum("_na").over(w))
+    b = df_b.groupBy(col).agg(F.count(F.lit(1)).alias("_nb"))
+    b = b.withColumn("_pb", F.col("_nb") / F.sum("_nb").over(w))
+    joined = a.join(b, col)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("_pa") * F.ln(F.col("_pa") / F.col("_pb"))).alias("kl"),
+    )
