@@ -119,3 +119,21 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = read._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
     assert read.count() == 100
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew handling: a 90%-one-key join completes with AQE on and
+    produces exact results (the skew-join optimization is plan-internal;
+    correctness + termination is the contract we pin here)."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    joined = big.join(dim, "k")
+    n = joined.count()
+    # k=7 matches 180k rows; other dim keys (0,10,...,90 pattern) match 1 each
+    expected = 180_000 + big.where((F.col("k") != 7) & (F.col("k") < 100)).count()
+    assert n == expected
