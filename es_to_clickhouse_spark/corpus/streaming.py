@@ -237,6 +237,70 @@ def w5_upsert_dedup_view(spark, sf_dir):
 
 
 @query(
+    "w10_upsert_stable",
+    """
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS _id,
+             'a' || CAST(event_id % 3 AS VARCHAR) AS variant
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT CAST(event_id AS VARCHAR),
+             'b' || CAST(event_id % 3 AS VARCHAR)
+      FROM events WHERE event_id % 5 = 0
+    ), fp AS (
+      SELECT _id, variant,
+             md5(concat_ws(chr(31), _id, '2024-01-20 00:00:00', variant)) AS f
+      FROM base
+    )
+    SELECT CAST(_id AS BIGINT) AS event_id, variant FROM (
+      SELECT *, row_number() OVER (PARTITION BY _id ORDER BY f DESC) AS rn
+      FROM fp
+    ) WHERE rn = 1
+    """,
+)
+def w10_upsert_stable(spark, sf_dir):
+    """Upsert determinism under physical-layout churn: two batches of the
+    same keys with EQUAL versions (same ``_timestamp``) are appended to a
+    real warehouse table, the table is compacted (file count, order, and
+    row layout all change — ``layout.compact``), re-read, and merged with
+    ``upsert_view``. The content-stable md5 tie-break elects the same
+    winner the oracle computes; the old ``monotonically_increasing_id``
+    tie-break would flake exactly here (ADVICE sink.py:146)."""
+    import tempfile
+
+    from es_to_clickhouse_spark import layout
+    from es_to_clickhouse_spark.sink import WarehouseTarget, upsert_view
+
+    base = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").cast("string").alias("_id"),
+            F.lit("2024-01-20 00:00:00").cast("timestamp").alias("_timestamp"),
+            F.concat(F.lit("a"), (F.col("event_id") % 3).cast("string")).alias(
+                "variant"
+            ),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="w10_upsert_")
+    target = WarehouseTarget(spark, tmp)
+    target.append("assets", base)
+    target.append(
+        "assets",
+        base.withColumn(
+            "variant", F.concat(F.lit("b"), (F.col("_id").cast("long") % 3).cast("string"))
+        ),
+    )
+    raw = target.read("assets", dedup=False)
+    layout.compact(raw, f"{tmp}/assets_compacted")
+    reread = spark.read.parquet(f"{tmp}/assets_compacted")
+    merged = upsert_view(reread, key="_id", version="_timestamp")
+    return merged.select(
+        F.col("_id").cast("long").alias("event_id"), "variant"
+    )
+
+
+@query(
     "ts1_hourly_gap_fill",
     """
     WITH b AS (

@@ -23,14 +23,13 @@ import logging
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from es_to_clickhouse_spark.catalog import ParquetCatalog
 from es_to_clickhouse_spark.flatten import flatten_es, flatten_mongo
 from es_to_clickhouse_spark.functions import sanitize_table_name
 from es_to_clickhouse_spark.incremental import (
-    batch_watermarks,
     detect_time_field,
     detect_update_time_field,
     keyset_predicate,
@@ -98,16 +97,22 @@ class SyncEngine:
             # rides the write job) — the reference re-queries the target
             # after loading (es/es_to_bytehouse.py:1115-1131), which at
             # 100 TB would be a second full scan; here the sync is ONE pass.
-            from pyspark.sql import Observation
-
             obs = Observation(f"sync_full:{target_name}")
             metrics = [F.count(F.lit(1)).alias("n")]
             if time_field:
                 metrics.append(F.max(time_field).cast("string").alias("max_t"))
             if update_field:
                 metrics.append(F.max(update_field).cast("string").alias("max_u"))
-            if ID_COL in cols:
-                metrics.append(F.max(ID_COL).alias("max_id"))
+            # keyset seed: max over the NATIVE id column when known, so a
+            # numeric id's watermark is its numeric max, not a string max
+            # ('99' > '100' lexicographically — ADVICE incremental.py:85)
+            id_src = (
+                self.id_field
+                if self.id_field and self.id_field in cols
+                else (ID_COL if ID_COL in cols else None)
+            )
+            if id_src:
+                metrics.append(F.max(id_src).cast("string").alias("max_id"))
             self.target.append(target_name, df.observe(obs, *metrics))
             observed = obs.get
             wm = observed.get("max_t")
@@ -164,6 +169,7 @@ class SyncEngine:
                 continue
             t0 = time.time()
             df = self._transform(self.catalog.read(t.name))
+            keyset_col = None
             if st.time_field and st.last_sync_time:
                 pred = watermark_predicate(
                     st.time_field,
@@ -172,16 +178,50 @@ class SyncEngine:
                     st.last_update_time,
                 )
             elif st.last_id:
-                pred = keyset_predicate(ID_COL, st.last_id)
+                # compare on the NATIVE id column when known (numeric ids
+                # break under string compare — ADVICE incremental.py:85);
+                # the stored string watermark is cast back to its type
+                keyset_col = (
+                    self.id_field
+                    if self.id_field and self.id_field in df.columns
+                    else ID_COL
+                )
+                pred = keyset_predicate(
+                    keyset_col, st.last_id, df.schema[keyset_col].dataType
+                )
             else:
                 log.warning("%s: state lacks watermark fields; skipping", t.name)
                 continue
+            # ONE job per round: count + watermarks ride the append via
+            # Observation (same pattern as sync_full). The old shape — a
+            # batch_watermarks() aggregate job, then the append re-scanning
+            # the source — doubled the scan cost AND could commit a
+            # watermark that missed rows arriving between the two jobs
+            # (permanent re-fetch duplicates on tables without _id).
             batch = df.where(pred)
-            wm = batch_watermarks(
-                batch, st.time_field, st.update_time_field, ID_COL if st.last_id else None
-            )
-            if wm.rows > 0:
-                self.target.append(target_name, batch)
+            obs = Observation(f"sync_incremental:{target_name}")
+            metrics = [F.count(F.lit(1)).alias("n")]
+            if st.time_field:
+                metrics.append(F.max(st.time_field).cast("string").alias("max_t"))
+            if st.update_time_field:
+                metrics.append(
+                    F.max(st.update_time_field).cast("string").alias("max_u")
+                )
+            id_src = keyset_col
+            if id_src is None and st.last_id:
+                # time-watermark path still advances the id watermark
+                id_src = (
+                    self.id_field
+                    if self.id_field and self.id_field in df.columns
+                    else (ID_COL if ID_COL in df.columns else None)
+                )
+            if id_src:
+                metrics.append(F.max(id_src).cast("string").alias("max_id"))
+            self.target.append(target_name, batch.observe(obs, *metrics))
+            observed = obs.get
+            rows = observed["n"]
+            max_time = observed.get("max_t")
+            if rows > 0:
                 # commit only when rows moved (es/es_to_bytehouse.py:996-1004)
                 self.state.commit(
                     SyncState(
@@ -189,14 +229,14 @@ class SyncEngine:
                         source_name=t.name,
                         time_field=st.time_field,
                         update_time_field=st.update_time_field,
-                        last_sync_time=wm.max_time or st.last_sync_time,
-                        last_update_time=wm.max_update or st.last_update_time,
-                        last_id=wm.max_id or st.last_id,
-                        last_sync_count=wm.rows,
+                        last_sync_time=max_time or st.last_sync_time,
+                        last_update_time=observed.get("max_u") or st.last_update_time,
+                        last_id=observed.get("max_id") or st.last_id,
+                        last_sync_count=rows,
                     )
                 )
             rep = SyncReport(
-                t.name, "incremental", wm.rows, time.time() - t0, wm.max_time
+                t.name, "incremental", rows, time.time() - t0, max_time
             )
             self.reporter.table_done(rep.table, rep.rows, rep.seconds)
             reports.append(rep)

@@ -79,10 +79,20 @@ def watermark_predicate(
     return pred
 
 
-def keyset_predicate(id_field: str, last_id) -> Column:
+def keyset_predicate(id_field: str, last_id, dtype=None) -> Column:
     """Mongo-style keyset watermark ``_id > last``
-    (mongodb/mongodb_to_bytehouse.py:611-631)."""
-    return F.col(id_field) > F.lit(last_id)
+    (mongodb/mongodb_to_bytehouse.py:611-631).
+
+    ``dtype`` (a Spark DataType or DDL string): cast the stored string
+    watermark back to the column's NATIVE type before comparing, so
+    numeric ids compare numerically — a lexicographic string compare
+    breaks on them ('100' < '99', skipping every id that grows a digit).
+    String comparison is only safe for fixed-width ids like Mongo's
+    24-hex ObjectIds."""
+    lit = F.lit(last_id)
+    if dtype is not None:
+        lit = lit.cast(dtype)
+    return F.col(id_field) > lit
 
 
 def bootstrap_window_predicate(time_field: str, days: int = 1) -> Column:

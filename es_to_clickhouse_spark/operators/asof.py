@@ -87,6 +87,30 @@ def _choose_nearest(
     return F.when(use_bw, bw[c]).otherwise(fw[c])
 
 
+def quantile_cuts(
+    df: DataFrame, on: str, num_buckets: int | None = None, accuracy: int = 1000
+) -> list[float]:
+    """Driver-side quantile cut points of ``on`` (the same sampling
+    Spark's RangePartitioner does for a global sort) — exposed so callers
+    can PRECOMPUTE and CACHE them across invocations of the global as-of:
+    cut placement affects only bucket balance, never correctness, so
+    slightly-stale cuts are always safe and save one job per call.
+
+    percentile_approx in a one-row aggregate (vectorized scan + codegen)
+    rather than DataFrame.approxQuantile, which detours through the
+    row-based RDD stats path — ~10x slower on wide scans."""
+    spark = df.sparkSession
+    n = num_buckets or max(spark.sparkContext.defaultParallelism, 4)
+    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    row = (
+        df.select(_ordering_key(df, on).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .agg(F.percentile_approx("_k", probs, F.lit(accuracy)).alias("cuts"))
+        .first()
+    )
+    return sorted(set(row["cuts"] or []))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -97,6 +121,7 @@ def asof_join(
     strict: bool = False,
     num_buckets: int | None = None,
     direction: str = "backward",
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """As-of join (backward / forward / nearest).
 
@@ -110,6 +135,8 @@ def asof_join(
         the cluster's default parallelism.
     direction: 'backward' (right.on <= left.on), 'forward' (>=), or
         'nearest' (closer of the two; ties -> backward).
+    cuts: precomputed :func:`quantile_cuts` for the global path (skips
+        the per-call quantile job; any cut list is correct).
     """
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}")
@@ -136,7 +163,7 @@ def asof_join(
     if by is None:
         return _global_asof(
             lefts, rights, on, rcols, carry, suffix, left_tag, num_buckets,
-            left, direction, on_dt,
+            left, direction, on_dt, cuts,
         )
 
     base = Window.partitionBy(by).orderBy(F.col(on).asc(), F.col("_side").asc())
@@ -185,31 +212,24 @@ def _global_asof(
     cuts_source: DataFrame,
     direction: str,
     on_dt: DataType,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Range-bucketed global as-of (no equality key).
 
     Cut points are quantiles of `on` collected to the driver — bounded
-    by num_buckets, never by data size. They are sampled from the LEFT
-    side only: cut placement affects bucket balance, never correctness,
-    and quantiling the left is a plain column-pruned scan while the
-    union would recompute whatever upstream shuffle produced the right
-    side. Bucket assignment is a pure function of the value, so ties in
-    `on` always share a bucket and the `_side` tie-break stays
-    window-local.
+    by num_buckets, never by data size. Unless precomputed ``cuts`` are
+    passed in, they are sampled from the LEFT side only: cut placement
+    affects bucket balance, never correctness, and quantiling the left
+    is a plain column-pruned scan while the union would recompute
+    whatever upstream shuffle produced the right side. Bucket assignment
+    is a pure function of the value, so ties in `on` always share a
+    bucket and the `_side` tie-break stays window-local.
     """
     spark = lefts.sparkSession
-    n = num_buckets or max(spark.sparkContext.defaultParallelism, 4)
-    # percentile_approx in a one-row aggregate (vectorized scan + codegen)
-    # rather than DataFrame.approxQuantile, which detours through the
-    # row-based RDD stats path — ~10x slower on wide scans.
-    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
-    row = (
-        cuts_source.select(_ordering_key(cuts_source, on).alias("_k"))
-        .where(F.col("_k").isNotNull())
-        .agg(F.percentile_approx("_k", probs, F.lit(1000)).alias("cuts"))
-        .first()
-    )
-    cuts = sorted(set(row["cuts"] or []))
+    if cuts is None:
+        cuts = quantile_cuts(cuts_source, on, num_buckets)
+    else:
+        cuts = sorted(set(float(c) for c in cuts))
 
     def bucket_of(df: DataFrame):
         if not cuts:  # constant / all-null ordering column: single bucket

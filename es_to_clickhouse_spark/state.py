@@ -25,7 +25,6 @@ compares typed values internally (SURVEY §7.4 risk 3).
 
 from __future__ import annotations
 
-import os
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -34,6 +33,8 @@ from pyspark.sql import Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+from es_to_clickhouse_spark import fsio
 
 STATE_SCHEMA = T.StructType(
     [
@@ -67,13 +68,13 @@ class StateStore:
 
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
-        self.path = os.path.join(warehouse, "_sync_state")
-        os.makedirs(warehouse, exist_ok=True)
+        # Hadoop-FS IO (fsio) so the warehouse root can be any URI
+        # (file:// hdfs:// s3a://) — never driver-local os.* calls.
+        self.path = fsio.join(warehouse, "_sync_state")
+        fsio.mkdirs(spark, warehouse)
 
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        return fsio.has_glob(self.spark, fsio.join(self.path, "*.parquet"))
 
     def read_all(self):
         if not self._exists():

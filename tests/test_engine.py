@@ -211,6 +211,61 @@ def test_incremental_start_date_bootstrap(pipeline):
     assert engine.sync_incremental_once()[0].rows == 0
 
 
+def test_numeric_keyset_watermark_not_lexicographic(spark, tmp_path):
+    """Numeric keyset ids crossing a digit-width boundary: '100' < '99'
+    lexicographically, so a string compare would never fetch id 100 (and
+    a string max would pin the watermark at 99 forever). The native-typed
+    compare fetches it exactly once (ADVICE incremental.py:85)."""
+    source = tmp_path / "source"
+    os.makedirs(source)
+    schema = "k long, payload string"  # no time-field candidates → keyset
+    spark.createDataFrame([(98, "a"), (99, "b")], schema).write.parquet(
+        str(source / "items.parquet")
+    )
+    engine = SyncEngine(
+        spark=spark,
+        catalog=ParquetCatalog(spark, str(source)),
+        target=WarehouseTarget(spark, str(tmp_path / "wh")),
+        state=StateStore(spark, str(tmp_path / "wh")),
+        id_field="k",
+    )
+    engine.sync_full()
+    assert engine.state.get("items").last_id == "99"
+    spark.createDataFrame([(100, "c")], schema).write.mode("append").parquet(
+        str(source / "items.parquet")
+    )
+    reports = engine.sync_incremental_once()
+    assert reports[0].rows == 1
+    assert engine.state.get("items").last_id == "100"
+    assert engine.target.read("items", dedup=False).count() == 3
+    # idempotent: 100 is not re-fetched next round
+    assert engine.sync_incremental_once()[0].rows == 0
+
+
+def test_incremental_round_is_single_source_pass(pipeline, spark):
+    """The watermark/count observation rides the append job (Observation,
+    like sync_full) — one source scan per table per round. The old shape
+    (a separate batch_watermarks aggregate job, then the append
+    re-scanning) fired one extra job; pin the per-round job count so a
+    reintroduced double-scan fails here."""
+    engine, source = pipeline
+    engine.sync_full()
+    _append_rows(spark, source, [(4, "2024-01-04 00:00:00", "d")])
+    sc = spark.sparkContext
+    sc.setJobGroup("incr-round", "single-pass check", False)
+    try:
+        reports = engine.sync_incremental_once()
+    finally:
+        sc.setJobGroup("", "", False)
+    assert reports[0].rows == 1
+    jobs = sc.statusTracker().getJobIdsForGroup("incr-round")
+    # state.get (window collect; AQE splits it into ~3 jobs) + the observed
+    # append (1 write job — scan and watermark agg fused) + state.commit
+    # (1 write job) = 5; a reintroduced separate watermark-aggregate job
+    # over the source pushes this to 6+
+    assert len(jobs) <= 5, f"expected ≤5 jobs per round, saw {len(jobs)}"
+
+
 def test_mongo_dialect_keyset_incremental(spark, tmp_path):
     """Mongo path e2e: struct fields stringify to JSON (not flattened),
     no time field → keyset watermark `_id > last` (fixed-width hex ids,
