@@ -23,49 +23,101 @@ import json
 import sys
 
 from es_to_clickhouse_spark.catalog import ParquetCatalog
+from es_to_clickhouse_spark.config import EnvConfig
 from es_to_clickhouse_spark.engine import SyncEngine
 from es_to_clickhouse_spark.session import get_spark
 from es_to_clickhouse_spark.sink import WarehouseTarget
 from es_to_clickhouse_spark.state import StateStore
 
 
-def build_parser() -> argparse.ArgumentParser:
+def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
+    """CLI with env-var defaults (reference es/Dockerfile:25-42): every
+    flag falls back to its env twin, so a container can be driven purely
+    by environment like the reference daemons."""
+    env = env or EnvConfig.from_env()
     p = argparse.ArgumentParser(
         prog="es_to_clickhouse_spark",
         description="PySpark-native sync engine (full/incremental/continuous/auto)",
     )
     p.add_argument(
         "--mode",
-        choices=["full", "incremental", "continuous", "auto", "status", "list"],
+        choices=[
+            "full",
+            "incremental",
+            "continuous",
+            "auto",
+            "entrypoint",
+            "status",
+            "list",
+        ],
         default="auto",
+        help="'entrypoint' = full sync then continuous handoff "
+        "(es/entrypoint.sh:23-48; SKIP_FULL_SYNC=true skips step 1)",
     )
-    p.add_argument("--source-dir", required=True, help="parquet source catalog dir")
-    p.add_argument("--warehouse", required=True, help="target warehouse dir")
+    p.add_argument(
+        "--source-dir",
+        required=env.source_dir is None,
+        default=env.source_dir,
+        help="parquet source catalog dir [env: SOURCE_DIR]",
+    )
+    p.add_argument(
+        "--warehouse",
+        required=env.warehouse is None,
+        default=env.warehouse,
+        help="target warehouse dir [env: WAREHOUSE_DIR]",
+    )
     p.add_argument(
         "--tables",
-        default=None,
-        help="comma-separated glob patterns (clickhouse_to_bytehouse.py:83-98)",
+        default=env.tables,
+        help="comma-separated glob patterns (clickhouse_to_bytehouse.py:83-98) "
+        "[env: INDEX_PATTERN / TABLE_PATTERN / COLLECTION_PATTERN]",
     )
     p.add_argument(
-        "--interval", type=float, default=60.0, help="continuous poll seconds"
+        "--interval",
+        type=float,
+        default=env.interval,
+        help="continuous poll seconds [env: INCREMENTAL_INTERVAL]",
     )
     p.add_argument(
         "--max-rounds", type=int, default=None, help="bound continuous rounds"
     )
     p.add_argument(
-        "--dialect", choices=["es", "mongo"], default="es", help="flatten dialect"
+        "--batch-size",
+        type=int,
+        default=env.batch_size,
+        help="max records per output file on append — the INSERT-chunk "
+        "analog [env: BATCH_SIZE / SYNC_BATCH_SIZE]",
     )
-    p.add_argument("--id-field", default=None, help="source column to expose as _id")
+    p.add_argument(
+        "--dialect",
+        choices=["es", "mongo"],
+        default=env.dialect,
+        help="flatten dialect [env: SYNC_DIALECT]",
+    )
+    p.add_argument(
+        "--id-field",
+        default=env.id_field,
+        help="source column to expose as _id [env: ID_FIELD]",
+    )
     p.add_argument(
         "--start-date",
-        default=None,
+        default=env.start_date,
         help="stateless-table incremental bootstrap: sync rows with "
-        "time > START_DATE (mongodb_to_bytehouse.py --start-date)",
+        "time > START_DATE (mongodb_to_bytehouse.py --start-date) "
+        "[env: START_DATE]",
     )
     p.add_argument(
         "--store-source",
         action="store_true",
-        help="keep whole doc as a _source JSON column (STORE_SOURCE)",
+        default=env.store_source,
+        help="keep whole doc as a _source JSON column [env: STORE_SOURCE]",
+    )
+    p.add_argument(
+        "--skip-full-sync",
+        action="store_true",
+        default=env.skip_full_sync,
+        help="entrypoint mode: skip the initial full sync "
+        "[env: SKIP_FULL_SYNC]",
     )
     p.add_argument(
         "--list-only", action="store_true", help="print matching tables and exit"
@@ -73,14 +125,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
+    env = EnvConfig.from_env(environ)
+    args = build_parser(env).parse_args(argv)
     spark = get_spark("es_to_clickhouse_spark.cli")
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(env.log_level)
+    target = WarehouseTarget(spark, args.warehouse)
+    if args.batch_size:
+        target.max_records_per_file = args.batch_size
     engine = SyncEngine(
         spark=spark,
         catalog=ParquetCatalog(spark, args.source_dir),
-        target=WarehouseTarget(spark, args.warehouse),
+        target=target,
         state=StateStore(spark, args.warehouse),
         dialect=args.dialect,
         id_field=args.id_field,
@@ -100,6 +156,13 @@ def main(argv: list[str] | None = None) -> int:
         reports = engine.sync_incremental_once(args.tables, start_date=args.start_date)
     elif args.mode == "auto":
         reports = engine.sync_auto(args.tables)
+    elif args.mode == "entrypoint":
+        # full→continuous handoff (es/entrypoint.sh:23-48)
+        reports = [] if args.skip_full_sync else engine.sync_full(args.tables)
+        rounds = engine.sync_continuous(
+            args.tables, interval_s=args.interval, max_rounds=args.max_rounds
+        )
+        reports += [r for rnd in rounds for r in rnd]
     else:  # continuous
         rounds = engine.sync_continuous(
             args.tables, interval_s=args.interval, max_rounds=args.max_rounds

@@ -869,6 +869,144 @@ def f17_array_hof(spark, sf_dir):
 
 
 @query(
+    "f18_array_agg_sorted",
+    """
+    SELECT n.n_regionkey AS region_key,
+           list_sort(list(n.n_name)) AS nations,
+           list_sort(list(DISTINCT n.n_nationkey % 5)) AS key_mods
+    FROM nation n GROUP BY n.n_regionkey
+    """,
+)
+def f18_array_agg_sorted(spark, sf_dir):
+    """ARRAY-typed result cells: collect_list + sort_array (canonical
+    sorted form so the order-insensitive value hash is well-defined for
+    the cell CONTENTS too). Exercises the checker's array canon — both
+    engines materialize list cells to identical reprs."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.sort_array(F.collect_set(F.col("n_nationkey") % 5)).alias("key_mods"),
+    )
+
+
+@query(
+    "f20_map_entries",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) // 6 AS slot,
+             count(*) AS cnt
+      FROM events GROUP BY event_type, CAST(hour(ts) AS BIGINT) // 6
+    )
+    SELECT event_type,
+           list_sort(list({'k': slot, 'v': cnt})) AS entries
+    FROM base GROUP BY event_type
+    """,
+)
+def f20_map_entries(spark, sf_dir):
+    """MAP-typed intermediate: per event type, a map of 6-hour slot →
+    event count built with map_from_entries, then emitted as SORTED
+    entry structs (map cell reprs differ across engines — Spark dict vs
+    DuckDB key/value-lists — so the canonical wire form of a map is its
+    sorted entry list)."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "event_type", (F.hour("ts").cast("bigint") / F.lit(6)).cast("bigint").alias("slot")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = base.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("slot", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "event_type",
+        F.sort_array(
+            F.expr("transform(map_entries(m), e -> named_struct('k', e.key, 'v', e.value))")
+        ).alias("entries"),
+    )
+
+
+@query(
+    "mm5_png_header_decode",
+    """
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             hex(from_hex('89504E470D0A1A0A0000000D49484452' ||
+                 lpad(hex(n_chars % 1024 + 1), 8, '0') ||
+                 lpad(hex((3 * n_chars) % 768 + 1), 8, '0') ||
+                 '0802000000')) AS hx
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST('0x' || substr(hx, 33, 8) AS BIGINT) AS width,
+           CAST('0x' || substr(hx, 41, 8) AS BIGINT) AS height
+    FROM p
+    """,
+)
+def mm5_png_header_decode(spark, sf_dir):
+    """Image dimensions decoded FROM BYTES with pure Column math — no
+    codec, no UDF (operators/multimodal.png_dims). Payloads are
+    deterministic synthetic PNGs (valid signature + IHDR) built from the
+    documents table in BOTH engines; Spark slices the binary (substring
+    on BinaryType → hex → base-16), DuckDB slices the hex encoding of
+    the same blob. A petabyte metadata pass over real images runs
+    exactly this plan."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        PNG_SIG_IHDR_HEX,
+        png_dims,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    whex = F.lpad(F.hex(F.col("n_chars") % 1024 + 1), 8, "0")
+    hhex = F.lpad(F.hex((F.col("n_chars") * 3) % 768 + 1), 8, "0")
+    payload = F.unhex(
+        F.concat(F.lit(PNG_SIG_IHDR_HEX), whex, hhex, F.lit("0802000000"))
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    w, h = png_dims(F.col("payload"))
+    return assets.select("asset_id", w.alias("width"), h.alias("height"))
+
+
+@query(
+    "mm6_jpeg_sof0_decode",
+    """
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             'FFD8FFE000044A46' || 'FFC0' || '001108' ||
+             lpad(hex(n_chars % 600 + 1), 4, '0') ||
+             lpad(hex((5 * n_chars) % 800 + 1), 4, '0') || '01' AS hx
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST('0x' || substr(hx, position('FFC0' IN hx) + 14, 4) AS BIGINT)
+             AS width,
+           CAST('0x' || substr(hx, position('FFC0' IN hx) + 10, 4) AS BIGINT)
+             AS height
+    FROM p
+    """,
+)
+def mm6_jpeg_sof0_decode(spark, sf_dir):
+    """JPEG dimensions from the SOF0 frame header (FF C0 marker → skip
+    length+precision → 2-byte BE height, width), located and sliced with
+    Column expressions over the hex encoding
+    (operators/multimodal.jpeg_sof0_dims). Synthetic baseline JPEGs
+    (SOI + APP0 + SOF0) built identically in both engines."""
+    from es_to_clickhouse_spark.operators.multimodal import jpeg_sof0_dims
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hhex = F.lpad(F.hex(F.col("n_chars") % 600 + 1), 4, "0")
+    whex = F.lpad(F.hex((F.col("n_chars") * 5) % 800 + 1), 4, "0")
+    payload = F.unhex(
+        F.concat(
+            F.lit("FFD8FFE000044A46"), F.lit("FFC0"), F.lit("001108"),
+            hhex, whex, F.lit("01"),
+        )
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    w, h = jpeg_sof0_dims(F.col("payload"))
+    return assets.select("asset_id", w.alias("width"), h.alias("height"))
+
+
+@query(
     "mm4_resize_dims",
     """
     WITH d AS (

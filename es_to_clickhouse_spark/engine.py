@@ -253,9 +253,19 @@ class SyncEngine:
         rounds = []
         n = 0
         while max_rounds is None or n < max_rounds:
-            rounds.append(self.sync_incremental_once(pattern))
+            t0 = time.time()
+            self.reporter.round_start(n + 1, len(self.catalog.list_tables(pattern)))
+            reports = self.sync_incremental_once(pattern)
+            rounds.append(reports)
             n += 1
-            if max_rounds is not None and n >= max_rounds:
+            done = max_rounds is not None and n >= max_rounds
+            self.reporter.round_done(
+                n,
+                sum(r.rows for r in reports),
+                time.time() - t0,
+                None if done else interval_s,
+            )
+            if done:
                 break
             time.sleep(interval_s)
         return rounds

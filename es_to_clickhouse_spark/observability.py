@@ -56,3 +56,24 @@ class ProgressReporter:
     def table_done(self, table: str, rows: int, seconds: float) -> None:
         speed, _, _ = speed_eta(rows, rows, seconds)
         log.info("%s: %d rows in %.2fs (%.0f rows/s)", table, rows, seconds, speed)
+
+    # -- continuous-loop round telemetry (es/es_to_bytehouse.py:1069-1102:
+    # "[round N] starting … / tables to check: X" then
+    # "[round N] done, synced T rows" and the wait notice) ---------------
+
+    def round_start(self, round_no: int, n_tables: int) -> None:
+        log.info("[round %d] incremental sync starting (%d tables)", round_no, n_tables)
+
+    def round_done(
+        self, round_no: int, total_rows: int, seconds: float, interval_s: float | None
+    ) -> None:
+        speed, _, _ = speed_eta(total_rows, total_rows, seconds)
+        log.info(
+            "[round %d] done: %d rows in %.2fs (%.0f rows/s)",
+            round_no,
+            total_rows,
+            seconds,
+            speed,
+        )
+        if interval_s is not None:
+            log.info("[round %d] next round in %.0fs", round_no, interval_s)

@@ -32,10 +32,20 @@ def connected_components(
     max_iter: int = 25,
     out_node: str = "node",
     out_label: str = "label",
+    check_every: int = 2,
 ) -> DataFrame:
     """Label every node appearing in ``edges`` with the minimum node id of
     its connected component (undirected). Deterministic, so the result is
-    oracle-checkable against a recursive-CTE transitive closure."""
+    oracle-checkable against a recursive-CTE transitive closure.
+
+    ``check_every``: convergence is probed every k-th round rather than
+    every round — the changed-label count is a cheap O(V) distributed agg,
+    but each probe is still a driver round-trip, and on deep graphs
+    halving the probes halves that latency. Propagation past the fixpoint
+    is a no-op (min-label is idempotent), so probing late never changes
+    the result; the final round always probes so non-convergence within
+    ``max_iter`` still raises instead of returning wrong clusters.
+    """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
@@ -47,7 +57,9 @@ def connected_components(
     labels = und.select(F.col("a").alias("n")).distinct().withColumn(
         "lab", F.col("n")
     )
-    for _ in range(max_iter):
+    prev = labels  # labels as of the last convergence probe
+    rounds_since_check = 0
+    for i in range(max_iter):
         nbr = und.join(labels, und["b"] == labels["n"]).select(
             F.col("a").alias("n"), F.col("lab")
         )
@@ -57,17 +69,21 @@ def connected_components(
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("x")
-            .join(labels.alias("y"), "n")
-            .where(F.col("x.lab") != F.col("y.lab"))
-            .count()
-        )
         labels = new
-        if changed == 0:
-            return labels.select(
-                F.col("n").alias(out_node), F.col("lab").alias(out_label)
+        rounds_since_check += 1
+        if rounds_since_check >= check_every or i == max_iter - 1:
+            changed = (
+                new.alias("x")
+                .join(prev.alias("y"), "n")
+                .where(F.col("x.lab") != F.col("y.lab"))
+                .count()
             )
+            if changed == 0:
+                return labels.select(
+                    F.col("n").alias(out_node), F.col("lab").alias(out_label)
+                )
+            prev = labels
+            rounds_since_check = 0
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)"

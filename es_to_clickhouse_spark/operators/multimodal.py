@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -54,12 +54,50 @@ def to_assets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Real decode would use PIL/libvips — not in this container.
+    """Full raster decode would use PIL/libvips — not in this container.
 
     Deliberately stubbed; callers use :func:`sample_frames` (deterministic
-    fake) for plumbing tests.
+    fake) for plumbing tests. HEADER decode (dimensions) needs no codec:
+    see :func:`png_dims` / :func:`jpeg_sof0_dims`.
     """
     raise NotImplementedError("image decode requires codec libs (not installed)")
+
+
+#: PNG wire format: 8-byte signature, then the IHDR chunk
+#: (4-byte length, "IHDR", 4-byte BE width, 4-byte BE height, ...)
+PNG_SIG_IHDR_HEX = "89504E470D0A1A0A0000000D49484452"
+
+
+def _be_u32(payload: Column, byte_pos: int) -> Column:
+    """Big-endian uint32 at 1-based ``byte_pos`` of a binary column —
+    pure Column byte math (substring on binary → hex → base-16 parse),
+    no UDF, stays in codegen."""
+    return F.conv(F.hex(F.substring(payload, byte_pos, 4)), 16, 10).cast("long")
+
+
+def png_dims(payload: Column) -> tuple[Column, Column]:
+    """(width, height) decoded from a PNG payload's IHDR chunk: bytes
+    17-20 / 21-24 big-endian (PNG spec, public wire format). Columns
+    only — a metadata pass over petabytes of images runs fully JVM-side
+    with zero Python and zero codec dependencies."""
+    return _be_u32(payload, 17), _be_u32(payload, 21)
+
+
+def jpeg_sof0_dims(payload: Column) -> tuple[Column, Column]:
+    """(width, height) from a JPEG's SOF0 marker (FF C0): marker, 2-byte
+    length, 1-byte precision, 2-byte height, 2-byte width. The marker is
+    located on the hex encoding (entropy-coded data could alias 'FFC0',
+    but SOF headers precede scan data, so the FIRST occurrence is the
+    frame header in well-formed baseline JPEGs)."""
+    hx = F.hex(payload)
+    pos = F.locate("FFC0", hx)  # 1-based char offset of the marker
+    height = F.conv(F.substring(hx, pos + F.lit(10), 4), 16, 10).cast("long")
+    width = F.conv(F.substring(hx, pos + F.lit(14), 4), 16, 10).cast("long")
+    none = F.lit(None).cast("long")
+    return (
+        F.when(pos > 0, width).otherwise(none),
+        F.when(pos > 0, height).otherwise(none),
+    )
 
 
 def sample_frames(df: DataFrame, frames_mod: int = 3) -> DataFrame:

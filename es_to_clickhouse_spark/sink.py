@@ -47,9 +47,17 @@ SCHEMA_FILE = "_schema.json"
 class WarehouseTarget:
     """A directory-of-parquet-tables target with evolution + upsert reads."""
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        max_records_per_file: int | None = None,
+    ):
         self.spark = spark
         self.warehouse = warehouse
+        #: BATCH_SIZE analog (es/Dockerfile:35): bounds the rows a single
+        #: output file holds, like the reference's INSERT chunk size
+        self.max_records_per_file = max_records_per_file
         fsio.mkdirs(spark, warehouse)
 
     # -- catalog / DDL ------------------------------------------------
@@ -143,9 +151,10 @@ class WarehouseTarget:
                 select.append(F.col(f"`{c}`").cast(live[c]).alias(c))
             else:
                 select.append(F.col(f"`{c}`").alias(c))
-        df.select(*select).write.mode("append").option(
-            "mergeSchema", "true"
-        ).parquet(self.table_path(table))
+        writer = df.select(*select).write.mode("append").option("mergeSchema", "true")
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
+        writer.parquet(self.table_path(table))
 
     # -- read path ----------------------------------------------------
 

@@ -16,6 +16,85 @@ import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: ES field type → Spark type. The reference maps EVERY ES type to
+#: String (wide-String target, es/es_to_bytehouse.py:166-188); the typed
+#: mapping is an engine extension for when the target keeps native types
+#: (flatten_es(stringify=False)). Unknown types fall back to string.
+ES_TYPE_TO_SPARK: dict[str, T.DataType] = {
+    "keyword": T.StringType(),
+    "text": T.StringType(),
+    "match_only_text": T.StringType(),
+    "constant_keyword": T.StringType(),
+    "long": T.LongType(),
+    "integer": T.IntegerType(),
+    "short": T.ShortType(),
+    "byte": T.ByteType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "half_float": T.FloatType(),
+    "scaled_float": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.TimestampType(),
+    "ip": T.StringType(),
+    "geo_point": T.StringType(),
+    "geo_shape": T.StringType(),
+    "binary": T.BinaryType(),
+    "flattened": T.StringType(),
+}
+
+
+def mapping_properties(mapping_response: dict) -> dict:
+    """Extract the first index's ``mappings.properties`` from a recorded
+    ``GET /{index}/_mapping`` response body
+    (es/es_to_bytehouse.py:260-273: take the first matching index)."""
+    for _idx_name, idx_mapping in mapping_response.items():
+        return idx_mapping.get("mappings", {}).get("properties", {})
+    return {}
+
+
+def flatten_mapping(properties: dict, prefix: str = "") -> dict[str, str]:
+    """Flatten nested mapping properties to ``{flat_name: es_type}``
+    (es/es_to_bytehouse.py:275-294): nested objects recurse into
+    ``parent_child`` names; ``.``/``-`` sanitize to ``_``; ``@`` drops
+    (the ``@timestamp`` → ``timestamp`` rebind, P13). Fields with neither
+    ``properties`` nor ``type`` are skipped, as in the reference."""
+    out: dict[str, str] = {}
+    for field_name, field_config in properties.items():
+        full = f"{prefix}_{field_name}" if prefix else field_name
+        full = full.replace(".", "_").replace("-", "_").replace("@", "")
+        if "properties" in field_config:
+            out.update(flatten_mapping(field_config["properties"], full))
+        elif "type" in field_config:
+            out[full] = field_config["type"]
+    return out
+
+
+def mapping_to_spark_fields(properties: dict) -> dict[str, T.DataType]:
+    """Flat ``{column: Spark type}`` view of a recorded mapping — the
+    schema the typed target would declare for this index (S5)."""
+    return {
+        name: ES_TYPE_TO_SPARK.get(es_type, T.StringType())
+        for name, es_type in flatten_mapping(properties).items()
+    }
+
+
+def scroll_docs(scroll_response: dict, store_source: bool = False) -> list[dict]:
+    """Rows from a recorded ``_search?scroll`` response page: one dict per
+    hit with ``_id`` merged in (and the raw document as a ``_source`` JSON
+    string when ``store_source``), exactly the row shape the reference
+    builds per hit (es/es_to_bytehouse.py:608-622). In production the
+    connector does this server-side; this is the wire-format contract."""
+    rows = []
+    for hit in scroll_response.get("hits", {}).get("hits", []):
+        source = hit.get("_source", {})
+        row = {"_id": hit.get("_id", "")}
+        if store_source:
+            row["_source"] = json.dumps(source, ensure_ascii=False)
+        row.update(source)
+        rows.append(row)
+    return rows
 
 
 def range_query(

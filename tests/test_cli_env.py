@@ -1,0 +1,131 @@
+"""Env-var config parity + entrypoint handoff + round telemetry
+(reference es/Dockerfile:25-42, es/entrypoint.sh:23-48,
+es/es_to_bytehouse.py:1069-1102)."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.__main__ import main
+from es_to_clickhouse_spark.config import EnvConfig
+
+
+def _seed_source(spark, source, n=3):
+    os.makedirs(source, exist_ok=True)
+    rows = [(i, f"2024-01-0{i} 00:00:00", f"p{i}") for i in range(1, n + 1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, created_at string, payload string"
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(source / "logs.parquet"))
+
+
+def test_env_config_parsing_and_aliases():
+    cfg = EnvConfig.from_env(
+        {
+            "SOURCE_DIR": "/s",
+            "WAREHOUSE_DIR": "/w",
+            "TABLE_PATTERN": "t*",  # CH daemon's name for the pattern
+            "INCREMENTAL_INTERVAL": "5",
+            "SYNC_BATCH_SIZE": "250",  # mongo/CH daemons' name
+            "SKIP_FULL_SYNC": "TRUE",
+            "STORE_SOURCE": "yes",  # mongo truthy set: true/1/yes
+            "START_DATE": "2024-01-01",
+            "LOG_LEVEL": "info",
+        }
+    )
+    assert cfg.source_dir == "/s" and cfg.warehouse == "/w"
+    assert cfg.tables == "t*" and cfg.interval == 5.0
+    assert cfg.batch_size == 250
+    assert cfg.skip_full_sync and cfg.store_source
+    assert cfg.start_date == "2024-01-01" and cfg.log_level == "INFO"
+    # INDEX_PATTERN (ES daemon) wins over the others when both are set
+    cfg2 = EnvConfig.from_env({"INDEX_PATTERN": "a*", "TABLE_PATTERN": "b*"})
+    assert cfg2.tables == "a*"
+    assert EnvConfig.from_env({}).skip_full_sync is False
+
+
+def test_entrypoint_mode_env_driven(spark, tmp_path):
+    """Container parity: full→continuous handoff driven purely by env
+    (es/entrypoint.sh:23-48) — no CLI flags beyond the mode."""
+    source, wh = tmp_path / "src", tmp_path / "wh"
+    _seed_source(spark, source)
+    env = {
+        "SOURCE_DIR": str(source),
+        "WAREHOUSE_DIR": str(wh),
+        "INDEX_PATTERN": "logs",
+        "INCREMENTAL_INTERVAL": "0",
+        "ID_FIELD": "event_id",
+    }
+    assert main(["--mode", "entrypoint", "--max-rounds", "1"], environ=env) == 0
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.state import StateStore
+
+    target = WarehouseTarget(spark, str(wh))
+    assert target.read("logs", dedup=False).count() == 3  # full sync ran
+    st = StateStore(spark, str(wh)).get("logs")
+    assert st is not None and st.last_sync_time.startswith("2024-01-03")
+
+
+def test_entrypoint_skip_full_sync_env(spark, tmp_path):
+    """SKIP_FULL_SYNC=true skips step 1; with no prior state the
+    continuous rounds then sync nothing (ES refuses incremental before
+    full — es/es_to_bytehouse.py:968-971)."""
+    source, wh = tmp_path / "src", tmp_path / "wh"
+    _seed_source(spark, source)
+    env = {
+        "SOURCE_DIR": str(source),
+        "WAREHOUSE_DIR": str(wh),
+        "SKIP_FULL_SYNC": "true",
+        "INCREMENTAL_INTERVAL": "0",
+    }
+    assert main(["--mode", "entrypoint", "--max-rounds", "1"], environ=env) == 0
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+
+    assert not WarehouseTarget(spark, str(wh)).table_exists("logs")
+
+
+def test_batch_size_bounds_file_rows(spark, tmp_path):
+    """BATCH_SIZE → maxRecordsPerFile: a 3-row full sync with
+    BATCH_SIZE=1 writes ≥3 data files (the INSERT-chunk analog)."""
+    source, wh = tmp_path / "src", tmp_path / "wh"
+    _seed_source(spark, source)
+    env = {
+        "SOURCE_DIR": str(source),
+        "WAREHOUSE_DIR": str(wh),
+        "BATCH_SIZE": "1",
+    }
+    assert main(["--mode", "full"], environ=env) == 0
+    files = [f for f in os.listdir(wh / "logs") if f.endswith(".parquet")]
+    assert len(files) >= 3
+
+
+def test_continuous_round_telemetry(spark, tmp_path, caplog):
+    """Round summary logging parity (es/es_to_bytehouse.py:1079-1100:
+    round start with table count, round done with totals, wait notice)."""
+    from es_to_clickhouse_spark.catalog import ParquetCatalog
+    from es_to_clickhouse_spark.engine import SyncEngine
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.state import StateStore
+
+    source, wh = tmp_path / "src", tmp_path / "wh"
+    _seed_source(spark, source)
+    engine = SyncEngine(
+        spark=spark,
+        catalog=ParquetCatalog(spark, str(source)),
+        target=WarehouseTarget(spark, str(wh)),
+        state=StateStore(spark, str(wh)),
+        id_field="event_id",
+    )
+    engine.sync_full()
+    with caplog.at_level(logging.INFO, logger="es_to_clickhouse_spark"):
+        engine.sync_continuous(max_rounds=2, interval_s=0.0)
+    text = caplog.text
+    assert "[round 1] incremental sync starting (1 tables)" in text
+    assert "[round 1] done: 0 rows" in text
+    assert "[round 1] next round in 0s" in text
+    assert "[round 2] done: 0 rows" in text
+    # final round logs no wait notice
+    assert "[round 2] next round" not in text

@@ -164,3 +164,53 @@ def test_jaccard_empty_tokens(spark):
     df = spark.createDataFrame([([], ["a"])], "a array<string>, b array<string>")
     got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j
     assert got == 0.0
+
+
+def test_png_dims_decode_real_bytes(spark):
+    """png_dims inverts real PNG wire bytes (signature + IHDR built with
+    struct.pack, exactly what `file`/PIL would read)."""
+    import struct
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x02\x00\x00\x00"
+        )
+
+    df = spark.createDataFrame(
+        [(1, png(640, 480)), (2, png(1, 1)), (3, png(65536, 3))],
+        "asset_id long, payload binary",
+    )
+    w, h = multimodal.png_dims(F.col("payload"))
+    got = {
+        r.asset_id: (r.w, r.h)
+        for r in df.select("asset_id", w.alias("w"), h.alias("h")).collect()
+    }
+    assert got == {1: (640, 480), 2: (1, 1), 3: (65536, 3)}
+
+
+def test_jpeg_sof0_dims_decode_and_missing_marker(spark):
+    import struct
+
+    def jpeg(w, h):
+        # SOI + APP0(len 4) + SOF0(len 17, precision 8, height, width, 1 comp)
+        return (
+            b"\xff\xd8\xff\xe0\x00\x04JF"
+            + b"\xff\xc0\x00\x11\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x01"
+        )
+
+    df = spark.createDataFrame(
+        [(1, jpeg(800, 600)), (2, jpeg(1, 1)), (3, b"\xff\xd8no-sof")],
+        "asset_id long, payload binary",
+    )
+    w, h = multimodal.jpeg_sof0_dims(F.col("payload"))
+    got = {
+        r.asset_id: (r.w, r.h)
+        for r in df.select("asset_id", w.alias("w"), h.alias("h")).collect()
+    }
+    assert got == {1: (800, 600), 2: (1, 1), 3: (None, None)}
