@@ -90,9 +90,10 @@ def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--dialect",
-        choices=["es", "mongo"],
+        choices=["es", "mongo", "ch"],
         default=env.dialect,
-        help="flatten dialect [env: SYNC_DIALECT]",
+        help="transform dialect: es=flatten, mongo=stringify, ch=typed "
+        "passthrough [env: SYNC_DIALECT]",
     )
     p.add_argument(
         "--id-field",

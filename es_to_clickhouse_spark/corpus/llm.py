@@ -6,6 +6,7 @@ oracle-checked in DuckDB wherever SQL can express it.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from es_to_clickhouse_spark.corpus import query, t
 from es_to_clickhouse_spark.operators import multimodal, similarity, text
@@ -865,6 +866,233 @@ def f17_array_hof(spark, sf_dir):
             F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
             6,
         ).alias("max_abs"),
+    )
+
+
+@query(
+    "d10_retention_policy",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min') AS mh0,
+             list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min') AS mh1,
+             list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min') AS mh2,
+             list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min') AS mh3
+      FROM tok
+    ), banded AS (
+      SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sig
+      UNION ALL
+      SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key, doc_id FROM sig
+    ), kept AS (
+      SELECT band_id, band_key, doc_id,
+             count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE a.bsz <= 50 AND b.bsz <= 50
+    ), pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b
+      WHERE round(len(list_intersect(ta.ts, tb.ts))
+               / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 4)
+            >= 0.5
+    ), nodes AS (
+      SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ), clus AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, kept_doc_id, n_members FROM (
+      SELECT c.cluster_id, d.doc_id AS kept_doc_id,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM clus c JOIN documents d USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def d10_retention_policy(spark, sf_dir):
+    """Canonical-doc retention: for every near-dup cluster (d9's LSH →
+    verify → connected-components pipeline), keep the HIGHEST-QUALITY
+    member (longest doc; ties → smallest doc_id) — the final step of a
+    training-data dedup pass, where the cluster's other members are
+    dropped. One window over the (tiny) cluster-membership frame; the
+    quality join is a broadcast (clusters ≪ corpus)."""
+    from es_to_clickhouse_spark.operators.dedup import lsh_neardup_pairs
+    from es_to_clickhouse_spark.operators.graph import connected_components
+
+    pairs = lsh_neardup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=4, bands=2, threshold=0.5, max_bucket=50,
+    )
+    clusters = connected_components(
+        pairs, "id_a", "id_b", out_node="doc_id", out_label="cluster_id"
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("kept_doc_id"), "n_members")
+    )
+
+
+@query(
+    "txt9_doc_chunking",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      WHERE doc_id % 10 = 0
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(ts) - 1, 48)) AS start
+             , ts
+      FROM tok WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           start // 48 AS chunk_idx,
+           len(list_slice(ts, start + 1, start + 64)) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(ts, start + 1, start + 64), ' '))
+             AS chunk_md5
+    FROM chunks
+    """,
+)
+def txt9_doc_chunking(spark, sf_dir):
+    """Context-window chunking: split every document into overlapping
+    64-token windows with stride 48 (the standard LLM pretraining packing
+    prep). Pure Column math — sequence() for the stride starts, explode,
+    slice + array_join for the chunk — no UDF; the explode fan-out is
+    bounded by tokens/stride per doc. Chunk text is checked by md5 (cells
+    stay small; contents bit-checked)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .where(F.size("ts") > 0)
+    )
+    chunks = docs.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ts") - 1, F.lit(48))
+        ).alias("start"),
+    )
+    sl = F.slice(F.col("ts"), F.col("start") + 1, F.lit(64))
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / 48).cast("bigint").alias("chunk_idx"),
+        F.size(sl).alias("n_chunk_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "txt10_contamination_check",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(ts) - 7),
+               i -> md5(array_to_string(list_slice(ts, i, i + 7), ' '))
+             )) AS gs
+      FROM tok WHERE len(ts) >= 8
+    ), flat AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), eval_g AS (SELECT doc_id, g FROM flat WHERE doc_id % 7 = 0),
+       train_g AS (SELECT doc_id, g FROM flat WHERE doc_id % 7 != 0)
+    SELECT e.doc_id AS eval_doc_id,
+           count(DISTINCT t.doc_id) AS n_contaminating_docs,
+           count(DISTINCT e.g) AS n_shared_ngrams
+    FROM eval_g e JOIN train_g t ON e.g = t.g
+    GROUP BY e.doc_id
+    """,
+)
+def txt10_contamination_check(spark, sf_dir):
+    """Benchmark-contamination scan: which held-out (eval) documents
+    share an 8-gram with any training document — the standard n-gram
+    decontamination test (GPT-3 appendix / Dolma-style). Word 8-grams are
+    hashed per doc (distinct within doc), then a hash equi-join finds
+    overlaps; at 100 TB the join shuffles on the gram hash (uniform by
+    construction) and the eval side is tiny → broadcast."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+    )
+    grams = (
+        docs.where(F.size("ts") >= 8)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 7),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("ts"), i, F.lit(8)), " ")
+                    ),
+                )
+            ).alias("gs"),
+        )
+        .select("doc_id", F.explode("gs").alias("g"))
+    )
+    eval_g = grams.where(F.col("doc_id") % 7 == 0)
+    train_g = grams.where(F.col("doc_id") % 7 != 0)
+    joined = eval_g.alias("e").join(
+        train_g.alias("t"), F.col("e.g") == F.col("t.g")
+    )
+    return joined.groupBy(F.col("e.doc_id").alias("eval_doc_id")).agg(
+        F.countDistinct(F.col("t.doc_id")).alias("n_contaminating_docs"),
+        F.countDistinct(F.col("e.g")).alias("n_shared_ngrams"),
+    )
+
+
+@query(
+    "txt11_redaction",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]{3,}')) AS n_long_numbers,
+           md5(regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g')) AS redacted_md5,
+           length(regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g'))
+             AS redacted_len
+    FROM documents
+    """,
+)
+def txt11_redaction(spark, sf_dir):
+    """PII-style scrubbing: redact long digit runs (ids/phones) with a
+    placeholder token and count the redactions — regexp_replace /
+    regexp_extract_all stay in codegen (the pattern is RE2-compatible so
+    both engines match identically; DuckDB needs the 'g' flag to match
+    Spark's replace-all default). Redacted text verified by md5."""
+    docs = t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace("text", "[0-9]{3,}", "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[0-9]{3,}')")).alias(
+            "n_long_numbers"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
     )
 
 

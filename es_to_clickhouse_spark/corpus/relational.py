@@ -1212,6 +1212,43 @@ def w9_trailing_range_window(spark, sf_dir):
     )
 
 
+@query(
+    "w11_value_windows",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(first_value(o_totalprice) OVER w_run, 2) AS first_price,
+           round(nth_value(o_totalprice, 2) OVER w_full, 2) AS second_price,
+           round(last_value(o_totalprice) OVER w_full, 2) AS last_price
+    FROM orders
+    WINDOW
+      w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w11_value_windows(spark, sf_dir):
+    """Value-picking window functions (first_value / nth_value /
+    last_value): each customer's first, second and latest order price.
+    last_value and nth_value take the explicit full frame (the default
+    running frame would make last_value = current row — a classic
+    pitfall, made explicit on both engines); ordering carries a unique
+    tie-break (o_orderkey)."""
+    o = t(spark, sf_dir, "orders")
+    w_run = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_run.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w_run), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_full), 2).alias(
+            "second_price"
+        ),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+    )
+
+
 #: one SQL text, executed verbatim by BOTH engines — the gateway surface
 _S20_SQL = """
     SELECT r_name, year(o_orderdate) AS o_year,

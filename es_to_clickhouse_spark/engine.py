@@ -67,13 +67,19 @@ class SyncEngine:
     # -- transforms ----------------------------------------------------
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        """Dialect flatten; testbed tables are already flat, in which case
-        flatten is the identity projection (still one select — cheap)."""
-        out = (
-            flatten_es(df, stringify=False, store_source=self.store_source)
-            if self.dialect == "es"
-            else flatten_mongo(df)
-        )
+        """Dialect transform; testbed tables are already flat, in which
+        case the ES flatten is the identity projection (one select).
+
+        ``ch`` = typed passthrough: the CH→CH daemon copies DESCRIBE
+        verbatim — no flatten, no stringify, source types preserved
+        end-to-end (clickhouse/clickhouse_to_bytehouse.py:244-256,
+        303-316)."""
+        if self.dialect == "ch":
+            out = df
+        elif self.dialect == "es":
+            out = flatten_es(df, stringify=False, store_source=self.store_source)
+        else:
+            out = flatten_mongo(df)
         if self.id_field and self.id_field in out.columns and ID_COL not in out.columns:
             out = out.withColumn(ID_COL, F.col(self.id_field).cast("string"))
         return out

@@ -309,3 +309,61 @@ def test_mongo_dialect_keyset_incremental(spark, tmp_path):
     assert engine.target.read("users").count() == 3
     # idempotent second round
     assert engine.sync_incremental_once()[0].rows == 0
+
+
+def test_ch_typed_passthrough_e2e(spark, tmp_path):
+    """CH→CH typed passthrough (clickhouse_to_bytehouse.py:244-256,
+    303-316): DESCRIBE-driven copy — no flatten, no stringify; decimals,
+    timestamps and nested types survive full + incremental sync
+    end-to-end, and the target's live schema generates the typed DDL."""
+    source = tmp_path / "source"
+    os.makedirs(source)
+
+    def write(rows, mode):
+        df = (
+            spark.createDataFrame(
+                rows,
+                "k long, price string, ts string, tags array<string>",
+            )
+            .withColumn("price", F.col("price").cast("decimal(18,2)"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        df.write.mode(mode).parquet(str(source / "items.parquet"))
+
+    write([(1, "10.50", "2024-01-01 00:00:00", ["a"]),
+           (2, "20.25", "2024-01-02 00:00:00", ["b", "c"])], "overwrite")
+    engine = SyncEngine(
+        spark=spark,
+        catalog=ParquetCatalog(spark, str(source)),
+        target=WarehouseTarget(spark, str(tmp_path / "wh")),
+        state=StateStore(spark, str(tmp_path / "wh")),
+        dialect="ch",
+        id_field="k",
+    )
+    engine.sync_full()
+    out = engine.target.read("items", dedup=False)
+    dtypes = dict(out.dtypes)
+    assert dtypes["price"] == "decimal(18,2)"
+    assert dtypes["ts"] == "timestamp"
+    assert dtypes["tags"] == "array<string>"
+    assert dtypes["k"] == "bigint"
+
+    # incremental round preserves types too (no time candidates on 'ts'?
+    # 'ts' IS a candidate -> time watermark path)
+    write([(3, "30.00", "2024-01-03 00:00:00", [])], "append")
+    reports = engine.sync_incremental_once()
+    assert reports[0].rows == 1
+    out2 = engine.target.read("items", dedup=False)
+    assert dict(out2.dtypes)["price"] == "decimal(18,2)"
+    got = {r.k: str(r.price) for r in out2.select("k", "price").collect()}
+    assert got == {1: "10.50", 2: "20.25", 3: "30.00"}
+
+    # DESCRIBE-driven typed DDL from the live target schema
+    from pyspark.sql import types as T
+
+    from es_to_clickhouse_spark.ddl import create_typed_table_sql
+
+    sql = create_typed_table_sql("default", "items", out2.schema)
+    assert "`price` Nullable(Decimal(18, 2))" in sql
+    assert "`ts` Nullable(DateTime64(3))" in sql
+    assert "`tags` Nullable(String)" in sql  # complex → JSON String rule
