@@ -13,11 +13,11 @@ filters are shared, pure functions so every source behaves identically.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from es_to_clickhouse_spark import fsio
 from es_to_clickhouse_spark.functions import is_system_name, match_names
 
 
@@ -66,9 +66,11 @@ class ParquetCatalog:
         self.dialect = dialect
 
     def list_tables(self, pattern: str | None = None) -> list[TableInfo]:
+        # Hadoop-FS listing (fsio), so the source root can be an object
+        # store URI, same as the warehouse side
         names = sorted(
             f[: -len(".parquet")]
-            for f in os.listdir(self.root)
+            for f in fsio.listdir(self.spark, self.root)
             if f.endswith(".parquet")
         )
         # system-object filter (es/es_to_bytehouse.py:250-253,
@@ -76,7 +78,7 @@ class ParquetCatalog:
         names = [n for n in names if not is_system_name(n, self.dialect)]
         if pattern and pattern not in ("*", ""):
             names = match_names(names, pattern)
-        return [TableInfo(n, os.path.join(self.root, f"{n}.parquet")) for n in names]
+        return [TableInfo(n, fsio.join(self.root, f"{n}.parquet")) for n in names]
 
     def read(self, name: str) -> DataFrame:
         """mergeSchema=true: source batches may evolve their schema
@@ -88,10 +90,9 @@ class ParquetCatalog:
         microsecond timestamps — DuckDB applies the same ns→µs truncation.
         """
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(self.root, f"{name}.parquet")
-        )
-        return _convert_nanos_columns(self.spark, df, os.path.join(self.root, f"{name}.parquet"))
+        path = fsio.join(self.root, f"{name}.parquet")
+        df = self.spark.read.option("mergeSchema", "true").parquet(path)
+        return _convert_nanos_columns(self.spark, df, path)
 
     def row_count(self, name: str) -> int:
         """Source row total for progress/ETA (SURVEY A3)."""

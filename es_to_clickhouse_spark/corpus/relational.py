@@ -1213,6 +1213,111 @@ def w9_trailing_range_window(spark, sf_dir):
 
 
 @query(
+    "w12_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t1 AS first_view_us, c.t2 AS first_click_us,
+           p.t3 AS first_purchase_us
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def w12_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-click) per user: each stage is a conditional min over
+    the PREVIOUS stage's anchor — three partial-aggregated passes joined
+    on user_id (one shuffle key throughout; a 100 TB event log reuses the
+    same user partitioning for all three stages). Timestamps compare as
+    exact epoch microseconds (floor-truncated identically from the
+    source's nanos by both engines)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("first_view_us"),
+            F.col("t2").alias("first_click_us"),
+            F.col("t3").alias("first_purchase_us"),
+        )
+    )
+
+
+@query(
+    "a15_winsorize_gate",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE e.value < c.p05) AS n_clipped_low,
+           count(*) FILTER (WHERE e.value > c.p95) AS n_clipped_high,
+           round(any_value(c.p05), 4) AS p05,
+           round(any_value(c.p95), 4) AS p95
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+)
+def a15_winsorize_gate(spark, sf_dir):
+    """Winsorization gate for a training-data pipeline: per-group exact
+    p05/p95 cut points (Spark `percentile` ≡ DuckDB quantile_cont) and
+    how many rows each tail clip would touch. The cuts frame is tiny →
+    broadcast back onto the fact scan; at scale the approx percentile
+    swaps in with one function change."""
+    ev = t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("value") < F.col("p05"), 1)).alias("n_clipped_low"),
+        F.count(F.when(F.col("value") > F.col("p95"), 1)).alias("n_clipped_high"),
+        F.round(F.first("p05"), 4).alias("p05"),
+        F.round(F.first("p95"), 4).alias("p95"),
+    )
+
+
+@query(
     "w11_value_windows",
     """
     SELECT o_custkey, o_orderkey,

@@ -132,20 +132,22 @@ def compact(
     exactly how a table degrades into millions of tiny files; planning
     and open() overhead then dominates scans). Returns the file count.
 
-    Sizing comes from the source files' actual bytes (input_file metadata
-    — no data pass); the rewrite is one coalesce-style shuffle-free read
-    when shrinking file count. Writes to ``dest_path``; the caller swaps
-    directories (atomicity is storage-specific — table formats own that
-    problem at scale)."""
+    Sizing comes from the source files' actual bytes (Hadoop FileSystem
+    metadata — works on any storage URI, no data pass); the rewrite is
+    one coalesce-style shuffle-free read when shrinking file count.
+    Writes to ``dest_path``; the caller swaps directories (atomicity is
+    storage-specific — table formats own that problem at scale)."""
     import math
-    import os
 
+    from es_to_clickhouse_spark import fsio
+
+    spark = df.sparkSession
     total = 0
     for f in df.inputFiles():
-        local = f.removeprefix("file:")
         try:
-            total += os.path.getsize(local)
-        except OSError:  # non-local storage: fall back to row-count heuristic
+            fs, p = fsio._fs_path(spark, f)
+            total += fs.getFileStatus(p).getLen()
+        except Exception:  # noqa: BLE001 — fall back to row-count heuristic
             total = 0
             break
     if total <= 0:

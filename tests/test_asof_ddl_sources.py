@@ -290,3 +290,22 @@ def test_asof_forward_inclusive_vs_strict(spark):
         left, right, "t", direction="forward", strict=True, num_buckets=2
     ).collect()
     assert strict[0].rv_right == 50.0
+
+
+def test_asof_global_cache_right_same_result(spark):
+    """cache_right=True (checkpoint the right side so its subtree runs
+    once across the union window + carry aggregate) changes the physical
+    execution, never the result."""
+    left = spark.createDataFrame([(i,) for i in range(100)], "t long")
+    right = spark.createDataFrame([(i * 7, i) for i in range(15)], "t long, v int")
+    base = sorted(
+        (r.t, r.v_right)
+        for r in asof_join(left, right, on="t", num_buckets=4).collect()
+    )
+    cached = sorted(
+        (r.t, r.v_right)
+        for r in asof_join(
+            left, right, on="t", num_buckets=4, cache_right=True
+        ).collect()
+    )
+    assert base == cached
