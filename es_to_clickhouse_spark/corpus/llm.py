@@ -1097,6 +1097,107 @@ def txt11_redaction(spark, sf_dir):
 
 
 @query(
+    "txt12_repetition_signal",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ts) - 2 AS n_3grams,
+           len(list_distinct(list_transform(
+             generate_series(1, len(ts) - 2),
+             i -> array_to_string(list_slice(ts, i, i + 2), ' ')
+           ))) AS n_uniq_3grams,
+           (len(ts) - 2 - len(list_distinct(list_transform(
+             generate_series(1, len(ts) - 2),
+             i -> array_to_string(list_slice(ts, i, i + 2), ' ')
+           )))) * 50 > (len(ts) - 2) AS is_repetitive
+    FROM tok WHERE len(ts) >= 3
+    """,
+)
+def txt12_repetition_signal(spark, sf_dir):
+    """Intra-document repetition signal (Gopher-style quality filter):
+    the duplicate-3-gram fraction flags boilerplate/looping text. All
+    counts stay INTEGER (the >2% test is cross-multiplied, never a
+    rounded float) so the oracle is bit-exact; the gram pipeline is
+    transform/slice/array_distinct inside codegen — no explode, no
+    shuffle, one scan."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ts")
+    ).where(F.size("ts") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 2),
+        lambda i: F.array_join(F.slice(F.col("ts"), i, F.lit(3)), " "),
+    )
+    n_g = (F.size("ts") - 2).cast("long")
+    n_u = F.size(F.array_distinct(grams)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_g.alias("n_3grams"),
+        n_u.alias("n_uniq_3grams"),
+        ((n_g - n_u) * 50 > n_g).alias("is_repetitive"),
+    )
+
+
+@query(
+    "c1_clean_pipeline",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             len(ts) AS n_tok,
+             len(list_distinct(ts)) AS n_uniq,
+             greatest(len(ts) - 2, 0) AS n_g,
+             CASE WHEN len(ts) >= 3 THEN
+               len(list_distinct(list_transform(
+                 generate_series(1, len(ts) - 2),
+                 i -> array_to_string(list_slice(ts, i, i + 2), ' '))))
+             ELSE 0 END AS n_ug
+      FROM tok
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_tok < 20 THEN 'too_short'
+                WHEN n_uniq * 100 < 35 * n_tok THEN 'low_uniq'
+                WHEN (n_g - n_ug) * 50 > n_g THEN 'high_rep'
+                ELSE 'kept' END AS verdict
+    FROM m
+    """,
+)
+def c1_clean_pipeline(spark, sf_dir):
+    """End-to-end C4/Gopher-style cleaning pass as ONE declarative plan:
+    length gate → lexical-diversity gate → repetition gate, each doc
+    tagged with its first rejection reason (or 'kept'). Single scan, all
+    signals computed in codegen from one token array, integer-exact
+    threshold tests — the shape of a real 100 TB pretraining filter,
+    where every extra pass over the corpus costs hours."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 2),
+        lambda i: F.array_join(F.slice(F.col("ts"), i, F.lit(3)), " "),
+    )
+    n_tok = F.size("ts").cast("long")
+    n_uniq = F.size(F.array_distinct("ts")).cast("long")
+    n_g = F.greatest(F.size("ts") - 2, F.lit(0)).cast("long")
+    n_ug = F.when(
+        F.size("ts") >= 3, F.size(F.array_distinct(grams)).cast("long")
+    ).otherwise(F.lit(0))
+    verdict = (
+        F.when(n_tok < 20, "too_short")
+        .when(n_uniq * 100 < 35 * n_tok, "low_uniq")
+        .when((n_g - n_ug) * 50 > n_g, "high_rep")
+        .otherwise("kept")
+    )
+    return docs.select("doc_id", "lang", verdict.alias("verdict"))
+
+
+@query(
     "f18_array_agg_sorted",
     """
     SELECT n.n_regionkey AS region_key,
