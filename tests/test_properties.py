@@ -129,3 +129,91 @@ def test_schema_union_first_seen_wins(a, b):
     assert set(u) == set(fa) | set(fb)
     for k, v in fa.items():
         assert u[k] == v  # first map wins on conflicts
+
+
+# -- upsert determinism under physical layout (hypothesis) ---------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=2),   # version (ties likely)
+            st.text(alphabet="abc", min_size=0, max_size=3),  # payload
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_upsert_view_layout_invariant(spark, rows):
+    """Content-stable tie-break property: for ANY multiset of
+    (key, version, payload) rows — duplicate keys, tied versions,
+    identical rows — the upsert winner set is identical across partition
+    layouts and input row orders."""
+    from es_to_clickhouse_spark.sink import upsert_view
+
+    def result(df):
+        return sorted(
+            (r.k, r.v, r.p) for r in upsert_view(df, "k", "v").collect()
+        )
+
+    base = spark.createDataFrame(rows, "k int, v int, p string")
+    expected = result(base)
+    shuffled = spark.createDataFrame(list(reversed(rows)), "k int, v int, p string")
+    assert result(shuffled.repartition(5)) == expected
+    assert result(base.coalesce(1)) == expected
+
+
+# -- ES mapping flatten properties (hypothesis) --------------------------
+
+_field_names = st.text(
+    alphabet="abz.-@", min_size=1, max_size=6
+).filter(lambda s: s.replace(".", "_").replace("-", "_").replace("@", ""))
+
+_es_types = st.sampled_from(["keyword", "long", "date", "boolean", "double"])
+
+
+def _mappings(depth):
+    leaf = st.dictionaries(
+        _field_names, st.fixed_dictionaries({"type": _es_types}), max_size=3
+    )
+    if depth == 0:
+        return leaf
+    return st.dictionaries(
+        _field_names,
+        st.one_of(
+            st.fixed_dictionaries({"type": _es_types}),
+            st.builds(lambda p: {"properties": p}, _mappings(depth - 1)),
+        ),
+        max_size=3,
+    )
+
+
+@given(_mappings(2))
+@settings(max_examples=30, deadline=None)
+def test_flatten_mapping_properties(props):
+    """Every flattened name is fully sanitized (no . - @), every value is
+    a leaf es type, and leaf COUNT is preserved for collision-free
+    mappings (flatten never invents or silently drops typed leaves)."""
+    from es_to_clickhouse_spark.sources.es import flatten_mapping
+
+    flat = flatten_mapping(props)
+    for name, es_type in flat.items():
+        assert not any(ch in name for ch in ".-@")
+        assert es_type in {"keyword", "long", "date", "boolean", "double"}
+
+    def count_leaves(node, prefix=""):
+        names = []
+        for k, v in node.items():
+            full = (f"{prefix}_{k}" if prefix else k)
+            full = full.replace(".", "_").replace("-", "_").replace("@", "")
+            if "properties" in v:
+                names.extend(count_leaves(v["properties"], full))
+            elif "type" in v:
+                names.append(full)
+        return names
+
+    leaves = count_leaves(props)
+    if len(set(leaves)) == len(leaves):  # no post-sanitize collisions
+        assert len(flat) == len(leaves)

@@ -289,3 +289,40 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     got = {(r.imp_id, r.clk_id) for r in spark.read.parquet(str(out)).collect()}
     assert ("i1", "c-hit") in got
     assert ("i-lonely", None) in got  # emitted after watermark passed 10:00
+
+
+def test_streaming_into_typed_evolved_target(spark, tmp_path):
+    """A stream whose batches OMIT a previously-written typed column must
+    keep the target readable: the foreachBatch append projects a typed
+    NULL (bigint), not a string NULL — the streaming twin of the batch
+    typed-evolution guarantee (sink.py)."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.state import StateStore
+    from es_to_clickhouse_spark.streaming.sync import StreamingSync
+
+    wh = tmp_path / "wh"
+    target = WarehouseTarget(spark, str(wh))
+    # batch writer created the table with a typed bigint column
+    target.append(
+        "tbl",
+        spark.createDataFrame(
+            [("0", "2023-12-31T00:00:00", 7)], "_id string, timestamp string, n bigint"
+        ),
+    )
+
+    src_dir = tmp_path / "src"
+    df = spark.createDataFrame(
+        [("1", "2024-01-01T00:00:00", "a")], "_id string, timestamp string, v string"
+    )  # no 'n' column
+    df.write.parquet(str(src_dir))
+    sync = StreamingSync(spark, target, StateStore(spark, str(tmp_path / "state")))
+    q = sync.file_stream(
+        str(src_dir), "tbl", df.schema, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    out = target.read("tbl", dedup=False)
+    assert dict(out.dtypes)["n"] == "bigint"
+    got = {r._id: r.n for r in out.select("_id", "n").collect()}
+    assert got == {"0": 7, "1": None}
