@@ -836,6 +836,54 @@ def g1_pagerank_trade(spark, sf_dir):
 
 
 @query(
+    "g2_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(o_custkey % 100, o_orderkey % 100) AS a,
+             greatest(o_custkey % 100, o_orderkey % 100) AS b
+      FROM orders WHERE o_custkey % 100 != o_orderkey % 100
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+    """,
+)
+def g2_triangle_count(spark, sf_dir):
+    """Per-node triangle counting — the clustering-coefficient primitive.
+    Edges are canonicalized a<b so each triangle enumerates exactly once
+    as (x<y<z) via two hash equi-joins; per-node counts come from a
+    role-union + groupBy. At 100 TB the standard degree-ordering
+    optimization applies unchanged (orient edges low-degree → high-degree
+    before the join); the edge list here is domain-bounded (100 nodes) so
+    joins stay broadcast-size."""
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("u"), (F.col("o_orderkey") % 100).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    e = o.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    roles = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return roles.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+@query(
     "f17_array_hof",
     """
     SELECT vec_id,

@@ -924,6 +924,149 @@ def st5_except_all(spark, sf_dir):
 
 
 @query(
+    "st6_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def st6_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection (min multiplicity per
+    value), completing the bag-semantics set-op family with st5."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@query(
+    "j12_full_outer",
+    """
+    WITH co AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), so AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(co.nationkey, so.nationkey) AS nationkey,
+           coalesce(co.n_customers, 0) AS n_customers,
+           coalesce(so.n_suppliers, 0) AS n_suppliers
+    FROM co FULL OUTER JOIN so ON co.nationkey = so.nationkey
+    """,
+)
+def j12_full_outer(spark, sf_dir):
+    """FULL OUTER join with coalesced keys — the reconciliation shape
+    (rows on either side survive). Both inputs pre-aggregate to one row
+    per key BEFORE the join, so the full-outer shuffle carries key
+    cardinality, not fact cardinality — the way to full-outer-join two
+    100 TB fact tables."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    j = c.alias("c").join(
+        s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "a17_bool_aggs",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a17_bool_aggs(spark, sf_dir):
+    """Boolean aggregates (every / any) + FILTER-clause count — cheap
+    partial-aggregable predicates over the whole fact scan."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )
+
+
+@query(
+    "o6_nulls_ordering",
+    """
+    WITH x AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END
+               AS maybe_price
+      FROM orders
+    )
+    SELECT o_orderkey, maybe_price FROM x
+    ORDER BY maybe_price DESC NULLS LAST, o_orderkey
+    LIMIT 50
+    """,
+)
+def o6_nulls_ordering(spark, sf_dir):
+    """Explicit NULLS LAST ordering under LIMIT — engines default
+    differently (Spark NULLS LAST on DESC, DuckDB NULLS LAST since 0.8
+    but FIRST historically), so portable top-k over a nullable key must
+    pin the null position; unique o_orderkey tie-break keeps the set
+    deterministic."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("maybe_price"),
+    )
+    return o.orderBy(
+        F.col("maybe_price").desc_nulls_last(), F.col("o_orderkey")
+    ).limit(50)
+
+
+@query(
+    "f21_date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           dayofweek(o_orderdate) AS dow_sunday0,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def f21_date_functions(spark, sf_dir):
+    """Calendar function parity: last_day / quarter trunc / datediff /
+    day-of-week / month arithmetic (both engines clamp month-end on
+    add-months). Spark dayofweek is 1=Sunday, DuckDB 0=Sunday — aligned
+    by subtracting 1."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        (F.dayofweek(d) - 1).alias("dow_sunday0"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+    )
+
+
+@query(
     "a10_pivot",
     """
     SELECT user_id % 5 AS user_mod,
