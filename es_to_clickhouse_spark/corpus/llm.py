@@ -1145,6 +1145,61 @@ def txt11_redaction(spark, sf_dir):
 
 
 @query(
+    "d11_incremental_dedup",
+    """
+    WITH fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    hist AS (SELECT f FROM fp WHERE doc_id % 3 != 0),
+    batch AS (SELECT doc_id, f FROM fp WHERE doc_id % 3 = 0)
+    SELECT b.doc_id, b.f AS fingerprint FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.f = b.f)
+    """,
+)
+def d11_incremental_dedup(spark, sf_dir):
+    """Incremental dedup: an arriving batch keeps only docs whose
+    fingerprint is UNSEEN in the historical corpus — a LEFT ANTI join on
+    the md5 key. At 100 TB the history side is a bucketed fingerprint
+    table co-partitioned with the batch hash, so the anti-join is the
+    same one shuffle every append already pays."""
+    fp = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    hist = fp.where(F.col("doc_id") % 3 != 0).select("fingerprint")
+    batch = fp.where(F.col("doc_id") % 3 == 0)
+    return batch.join(hist, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "txt13_extraction_arrays",
+    """
+    SELECT doc_id,
+           list_sort(regexp_extract_all(text, '[0-9]{3,}')) AS long_numbers,
+           list_sort(list_distinct(regexp_extract_all(lower(text),
+             '[a-z]{12,}'))) AS long_words
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def txt13_extraction_arrays(spark, sf_dir):
+    """Span extraction to ARRAY cells: all long digit runs and distinct
+    long words per document (the PII/entity-extraction shape), returned
+    as sorted arrays — regexp_extract_all stays in codegen and the array
+    result is value-checked cell-by-cell against the oracle."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return d.select(
+        "doc_id",
+        F.sort_array(
+            F.expr("regexp_extract_all(text, '[0-9]{3,}')")
+        ).alias("long_numbers"),
+        F.sort_array(
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(text), '[a-z]{12,}')")
+            )
+        ).alias("long_words"),
+    )
+
+
+@query(
     "txt12_repetition_signal",
     """
     WITH tok AS (

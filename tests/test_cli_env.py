@@ -129,3 +129,21 @@ def test_continuous_round_telemetry(spark, tmp_path, caplog):
     assert "[round 2] done: 0 rows" in text
     # final round logs no wait notice
     assert "[round 2] next round" not in text
+
+
+def test_cli_list_and_status_modes(spark, tmp_path, capsys):
+    """--mode list prints matching tables; --mode status prints one JSON
+    line per state row (clickhouse_to_bytehouse.py:205-224 parity)."""
+    import json as _json
+
+    source, wh = tmp_path / "src", tmp_path / "wh"
+    _seed_source(spark, source)
+    env = {"SOURCE_DIR": str(source), "WAREHOUSE_DIR": str(wh)}
+    assert main(["--mode", "full"], environ=env) == 0
+    capsys.readouterr()
+    assert main(["--mode", "list"], environ=env) == 0
+    assert capsys.readouterr().out.strip() == "logs"
+    assert main(["--mode", "status"], environ=env) == 0
+    rows = [_json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows[0]["table_name"] == "logs"
+    assert int(rows[0]["last_sync_count"]) == 3
