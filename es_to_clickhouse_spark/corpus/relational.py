@@ -1067,6 +1067,65 @@ def f21_date_functions(spark, sf_dir):
 
 
 @query(
+    "a18_regression_aggs",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - 1700000000000000 AS DECIMAL(20,0)) / 1000000
+               AS x,
+             CAST(value AS DECIMAL(18,4)) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS DECIMAL(20,0)) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+             AS slope_per_sec
+    FROM s
+    """,
+)
+def a18_regression_aggs(spark, sf_dir):
+    """Per-group least-squares trend (value vs time) decomposed into
+    DECIMAL sums: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Decimal
+    partial aggregation is EXACT, so the result is independent of
+    partition/merge order — the built-in float `regr_slope` is not
+    (its double sums drift with parallelism). One map-side-combinable
+    pass; the epoch offset keeps x² inside the decimal range."""
+    ev = t(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros("ts") - F.lit(1700000000000000)).cast("decimal(20,0)")
+        / 1000000
+    ).alias("x")
+    y = F.col("value").cast("decimal(18,4)").alias("y")
+    b = ev.select("event_type", x, y)
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # exact decimal SUMS; the final slope arithmetic runs once per group
+    # in double (fixed expression order → deterministic; Spark decimal
+    # division would truncate quotient scale instead)
+    n, sx, sy, sxy, sxx = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        F.round(slope, 8).alias("slope_per_sec"),
+    )
+
+
+@query(
     "a10_pivot",
     """
     SELECT user_id % 5 AS user_mod,
