@@ -57,6 +57,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_all() -> None:
     """Import every corpus module (side effect: registration)."""
     from es_to_clickhouse_spark.corpus import (  # noqa: F401
+        behavior,
         core,
         llm,
         relational,

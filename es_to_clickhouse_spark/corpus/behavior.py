@@ -1,0 +1,259 @@
+"""Corpus: behavioral / product analytics over the events stream table.
+
+The reference feeds an analytics warehouse (ES/Mongo activity streams →
+ClickHouse); these are the queries such a warehouse exists to answer —
+cohort retention, event-transition structure, sliding-window actives,
+JSON property extraction, per-entity modal behavior. All are expressed
+as pure Catalyst plans (no UDFs) with exact integer/date arithmetic so
+the DuckDB oracle matches bit-for-bit.
+
+Scale notes:
+- every query shuffles at most twice on `user_id` or a (small) derived
+  grouping key; the per-user windows reuse one sort;
+- b3 converts a sliding-window distinct count into explode + equi-group
+  (shuffle on the window key) instead of a range self-join — O(rows × 7)
+  work, no O(days × rows) candidate pairs, and no window-frame state;
+- JSON extraction (f22) stays JVM-side via ``get_json_object`` (codegen),
+  never a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from es_to_clickhouse_spark.corpus import query, t
+
+# ------------------------------------------------------------ cohorts
+
+
+@query(
+    "b1_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cw, date_trunc('week', e.ts) AS w
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT strftime(CAST(cw AS DATE), '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT user_id) AS n_active
+    FROM a GROUP BY cw, w
+    """,
+)
+def b1_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix: cohort = ISO week of a user's first
+    event; cell (cohort, k) = distinct cohort members active k weeks later.
+    Two shuffles: first-event agg on user_id, then the (cohort, week)
+    re-group; the cohort table joins back broadcast (distinct users ≪
+    events at any SF — it is bounded by the user population)."""
+    e = t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = (
+        e.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cw",
+            F.date_trunc("week", F.col("ts")).alias("w"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cw", "w").agg(
+        F.count_distinct("user_id").alias("n_active")
+    ).select(
+        F.date_format(F.col("cw"), "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(F.to_date("w"), F.to_date("cw")).cast("long") / 7)
+        .cast("long")
+        .alias("week_offset"),
+        "n_active",
+    )
+
+
+# ------------------------------------------- event-transition structure
+
+
+@query(
+    "b2_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def b2_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts between consecutive events of
+    one user (lag over the per-user time order). One shuffle on user_id
+    for the window; the (prev, next) re-group is a 25-row partial-agg
+    reduction that AQE coalesces to nothing."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "b4_trigram_paths",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+      FROM s WHERE p2 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n FROM g
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def b4_trigram_paths(spark, sf_dir):
+    """Top-20 length-3 behavior paths (sequential-pattern n-grams) via two
+    lags over the same per-user sort — the window sort is shared, so the
+    whole extraction is one shuffle. LIMIT carries the (n DESC, path)
+    total order required by the driver's order-insensitive hash."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+# --------------------------------------------- sliding distinct actives
+
+
+@query(
+    "b3_sliding_dau",
+    """
+    WITH u AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM u)
+    SELECT strftime(days.d, '%Y-%m-%d') AS window_start,
+           count(DISTINCT u.user_id) AS n_users
+    FROM days JOIN u ON u.d BETWEEN days.d AND days.d + 6
+    GROUP BY days.d
+    """,
+)
+def b3_sliding_dau(spark, sf_dir):
+    """Distinct users per 7-day forward window, one row per observed day.
+    The naive plan is a range self-join (days × events candidate pairs);
+    instead each (day, user) pair EXPLODES into the ≤7 window starts that
+    cover it, turning the range join into an equi-groupBy — linear work,
+    one shuffle on the window key (the same trick rj1 uses for interval
+    joins). Window starts outside the observed-day set are dropped with a
+    broadcast semi-join."""
+    e = t(spark, sf_dir, "events")
+    u = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = u.select("d").distinct()
+    exploded = u.select(
+        F.explode(
+            F.sequence(F.date_sub(F.col("d"), 6), F.col("d"))
+        ).alias("window_start"),
+        "user_id",
+    )
+    covered = exploded.join(
+        F.broadcast(days.withColumnRenamed("d", "window_start")),
+        "window_start",
+        "left_semi",
+    )
+    return covered.groupBy("window_start").agg(
+        F.count_distinct("user_id").alias("n_users")
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_start"),
+        "n_users",
+    )
+
+
+# --------------------------------------------------- JSON property math
+
+
+@query(
+    "f22_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           count(json_extract_string(props, '$.k')) AS n_with_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f22_json_extract(spark, sf_dir):
+    """JSON path extraction from the raw props payload (the reference
+    stringifies nested docs into JSON columns — es_to_bytehouse.py keeps
+    object fields as json.dumps strings; this is the read-side inverse).
+    ``get_json_object`` runs inside codegen; integer sums are exact."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ------------------------------------------------------- modal behavior
+
+
+@query(
+    "w13_mode_per_group",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_events
+    FROM r WHERE rk = 1
+    """,
+)
+def w13_mode_per_group(spark, sf_dir):
+    """Deterministic per-key mode (most frequent event type, ties broken
+    lexicographically): count-then-rank. The count shuffles on the
+    composite key with map-side partial agg; the window re-shuffles on
+    user_id only — both tiny relative to the scan."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("n_events"),
+        )
+    )
