@@ -248,8 +248,12 @@ def w5_upsert_dedup_view(spark, sf_dir):
              'b' || CAST(event_id % 3 AS VARCHAR)
       FROM events WHERE event_id % 5 = 0
     ), fp AS (
+      -- mirrors row_fingerprint's injective length-prefixed encoding:
+      -- V<len>:<value> per field (cols sorted: _id, _timestamp, variant)
       SELECT _id, variant,
-             md5(concat_ws(chr(31), _id, '2024-01-20 00:00:00', variant)) AS f
+             md5('V' || CAST(length(_id) AS VARCHAR) || ':' || _id
+                 || 'V19:2024-01-20 00:00:00'
+                 || 'V' || CAST(length(variant) AS VARCHAR) || ':' || variant) AS f
       FROM base
     )
     SELECT CAST(_id AS BIGINT) AS event_id, variant FROM (

@@ -138,14 +138,18 @@ def asof_join(
         'nearest' (closer of the two; ties -> backward).
     cuts: precomputed :func:`quantile_cuts` for the global path (skips
         the per-call quantile job; any cut list is correct).
-    cache_right: global path only — localCheckpoint the right side once.
-        The right side feeds BOTH the union window and the per-bucket
-        carry aggregate, and Spark does not share common subtrees across
-        the two branches, so an EXPENSIVE right side (a join/aggregation
-        subtree) is otherwise computed twice. Enable when the right
-        subtree costs more than materializing its output; for cheap or
-        already-materialized right sides the checkpoint overhead loses
-        (measured: ~0.1 s loss on a 2.5k-row aggregate locally).
+    cache_right: global path only — ``persist()`` the right side (lazy
+        cache; this operator never unpersists — the caller owns the
+        unpersist, or LRU eviction handles it). The right side feeds BOTH
+        the union window and the per-bucket carry aggregate, and Spark
+        does not share common subtrees across the two branches, so an
+        EXPENSIVE right side (a join/aggregation subtree) is otherwise
+        computed twice. Enable when the right subtree costs more than
+        materializing its output; for cheap or already-materialized right
+        sides the caching overhead loses (measured: ~0.1 s loss on a
+        2.5k-row aggregate locally). Unlike a ``localCheckpoint``, a
+        persist keeps full lineage, so lost cached blocks recompute
+        instead of failing the job.
     """
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}")

@@ -57,7 +57,6 @@ def connected_components(
     labels = und.select(F.col("a").alias("n")).distinct().withColumn(
         "lab", F.col("n")
     )
-    prev = labels  # labels as of the last convergence probe
     rounds_since_check = 0
     for i in range(max_iter):
         nbr = und.join(labels, und["b"] == labels["n"]).select(
@@ -69,21 +68,26 @@ def connected_components(
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        labels = new
         rounds_since_check += 1
         if rounds_since_check >= check_every or i == max_iter - 1:
+            # Probe against the IMMEDIATELY preceding round's labels
+            # (still bound to `labels` here), never a stale snapshot from
+            # the last probe: min-label propagation is monotone, so "one
+            # round changed nothing" == fixpoint, while comparing to a
+            # k-rounds-old snapshot could spuriously report change (and
+            # raise) when the graph converged during the skipped rounds.
             changed = (
                 new.alias("x")
-                .join(prev.alias("y"), "n")
+                .join(labels.alias("y"), "n")
                 .where(F.col("x.lab") != F.col("y.lab"))
                 .count()
             )
             if changed == 0:
-                return labels.select(
+                return new.select(
                     F.col("n").alias(out_node), F.col("lab").alias(out_label)
                 )
-            prev = labels
             rounds_since_check = 0
+        labels = new
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)"

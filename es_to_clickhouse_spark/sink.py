@@ -183,16 +183,28 @@ class WarehouseTarget:
 
 
 def row_fingerprint(df: DataFrame, cols: list[str] | None = None) -> Column:
-    """Content hash of a row: md5 over NULL-sentineled string casts of
+    """Content hash of a row: md5 over an UNAMBIGUOUS encoding of
     ``cols`` (default: all columns, in ``sorted`` order so the value is
-    independent of projection order). Deterministic across partitioning,
-    file layout, compaction, and engines (DuckDB computes the identical
-    value — used by oracle-checked corpus queries)."""
+    independent of projection order). Each field encodes as ``N;`` when
+    NULL, else ``V<charlen>:<value>`` — the explicit length prefix makes
+    the encoding injective (a separator-based concat would let a data
+    value CONTAINING the separator, or a literal NUL string vs a real
+    NULL, shift field boundaries so two distinct rows collide).
+    Deterministic across partitioning, file layout, compaction, and
+    engines (DuckDB computes the identical value — used by oracle-checked
+    corpus queries)."""
     use = sorted(cols if cols is not None else df.columns)
-    payload = [
-        F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\x00")) for c in use
-    ]
-    return F.md5(F.concat_ws("\x1f", *payload))
+    parts = []
+    for c in use:
+        s = F.col(f"`{c}`").cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N;")).otherwise(
+                F.concat(
+                    F.lit("V"), F.length(s).cast("string"), F.lit(":"), s
+                )
+            )
+        )
+    return F.md5(F.concat(*parts))
 
 
 def upsert_view(

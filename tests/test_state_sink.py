@@ -133,7 +133,8 @@ def test_upsert_tiebreak_content_stable_across_layout(spark):
     rows = [("k", 1, "alpha"), ("k", 1, "beta")]
 
     def fp(_id, ts, v):
-        payload = "\x1f".join([_id, str(ts), v])  # sorted cols: _id,_timestamp,v
+        # sorted cols: _id,_timestamp,v — length-prefixed injective encoding
+        payload = "".join(f"V{len(s)}:{s}" for s in (_id, str(ts), v))
         return hashlib.md5(payload.encode()).hexdigest()
 
     expected = max(rows, key=lambda r: fp(*r))[2]
@@ -145,6 +146,26 @@ def test_upsert_tiebreak_content_stable_across_layout(spark):
     ):
         out = upsert_view(layout, "_id", "_timestamp").collect()
         assert len(out) == 1 and out[0].v == expected
+
+
+def test_row_fingerprint_injective_on_separator_payloads(spark):
+    """Regression (ADVICE sink.py:195): a data value containing the old
+    separator byte, or a literal NUL string next to a real NULL, must NOT
+    alias another row. Under the old '\\x1f'-joined encoding both pairs
+    below collided; the length-prefixed encoding keeps them distinct."""
+    from es_to_clickhouse_spark.sink import row_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            ("a\x1fb", None),  # separator inside the value + real NULL
+            ("a", "b\x1f\x00"),  # old encoding: identical payload
+            ("\x00", None),  # literal NUL string vs
+            (None, None),  # real NULL (old sentinel collision)
+        ],
+        "c1 string, c2 string",
+    )
+    fps = [r.f for r in df.select(row_fingerprint(df).alias("f")).collect()]
+    assert len(set(fps)) == 4, "distinct rows must have distinct fingerprints"
 
 
 class _FlakySink:
