@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from es_to_clickhouse_spark.corpus import query, t
-from es_to_clickhouse_spark.functions import ts_seconds
+from es_to_clickhouse_spark.functions import epoch_micros, ts_seconds
 
 #: process-level table-statistics cache (quantile cut points keyed by
 #: (dataset, table, column)) — the analog of persisted range-partitioner
@@ -1100,7 +1100,7 @@ def a18_regression_aggs(spark, sf_dir):
     pass; the epoch offset keeps x² inside the decimal range."""
     ev = t(spark, sf_dir, "events")
     x = (
-        (F.unix_micros("ts") - F.lit(1700000000000000)).cast("decimal(20,0)")
+        (epoch_micros(F.col("ts")) - F.lit(1700000000000000)).cast("decimal(20,0)")
         / 1000000
     ).alias("x")
     y = F.col("value").cast("decimal(18,4)").alias("y")
@@ -1191,7 +1191,7 @@ def w6_scd2_intervals(spark, sf_dir):
     """SCD2 history construction: each change row becomes a
     [valid_from, valid_to) interval via lead() — the window expression of
     CDC merge (no Delta required; the guide's anti-join+window pattern)."""
-    from es_to_clickhouse_spark.functions import ts_seconds
+    from es_to_clickhouse_spark.functions import epoch_micros, ts_seconds
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
@@ -1230,7 +1230,7 @@ def t9_sessionization_batch(spark, sf_dir):
     """Batch sessionization (30-min gap): lag + cumulative-sum session ids
     — the batch twin of t8's streaming session_window, one shuffle on the
     user key shared by both window passes."""
-    from es_to_clickhouse_spark.functions import ts_seconds
+    from es_to_clickhouse_spark.functions import epoch_micros, ts_seconds
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1240,7 +1240,7 @@ def t9_sessionization_batch(spark, sf_dir):
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            | (epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w)) > 1800 * 1000000),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -1403,7 +1403,7 @@ def w9_trailing_range_window(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_micros(F.col("ts")))
         .rangeBetween(-604800000000, W.currentRow)
     )
     return e.select(
@@ -1446,7 +1446,7 @@ def w12_funnel(spark, sf_dir):
     exact epoch microseconds (floor-truncated identically from the
     source's nanos by both engines)."""
     ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us")
+        "user_id", "event_type", epoch_micros(F.col("ts")).alias("us")
     )
     v = (
         ev.where(F.col("event_type") == "view")

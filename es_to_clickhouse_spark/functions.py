@@ -37,9 +37,24 @@ def py_str(col: Column, dtype: T.DataType) -> Column:
         ).otherwise(F.lit("False"))
     if isinstance(dtype, T.BinaryType):
         return hex_lower(col)
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ renders identically under the UTC-pinned session; isoformat
+        # fidelity (T separator, micros) applies to both flavors.
         return iso_ts(col)
     return col.cast("string")
+
+
+def epoch_micros(col: Column) -> Column:
+    """Exact integer epoch microseconds from ANY temporal column —
+    TIMESTAMP, TIMESTAMP_NTZ, or DATE.
+
+    `F.unix_micros` rejects TIMESTAMP_NTZ outright (Spark 4), and
+    `cast("long")` on a timestamp is seconds, not micros. The
+    `cast("timestamp")` below is a no-op on TIMESTAMP and converts
+    NTZ/DATE via the session timezone, which this engine pins to UTC
+    (session.py) — so the result is stable across clusters and matches
+    DuckDB's `epoch_us` on naive data. Stays in codegen (no UDF)."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def iso_ts(col: Column) -> Column:

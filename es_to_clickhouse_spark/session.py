@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet `timestamp[us]` WITHOUT timezone metadata (what the
+        # testbed — and most lake data written by non-Spark tools —
+        # contains) would otherwise load as TIMESTAMP_NTZ in Spark 4,
+        # which rejects unix_micros()/bigint casts and breaks timestamp
+        # arithmetic. Read it as session-TZ TIMESTAMP (UTC pinned above),
+        # matching how DuckDB/the reference treat naive timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Dimension tables (region/nation/supplier, state tables) should
         # broadcast; 32 MB covers every dim at bench scale and is a sane
         # cluster default.
