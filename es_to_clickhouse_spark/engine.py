@@ -205,6 +205,21 @@ class SyncEngine:
             # watermark that missed rows arriving between the two jobs
             # (permanent re-fetch duplicates on tables without _id).
             batch = df.where(pred)
+            # Idle-round no-op (es/es_to_bytehouse.py:996-1004: zero rows
+            # moved → nothing inserted, state untouched). Without this
+            # probe every idle round appends an EMPTY parquet part — at
+            # the reference's 60 s interval that is ~1440 junk files per
+            # table per day, a scan-degradation scale-killer for any
+            # long-running continuous deployment. The probe is a
+            # limit(1) job: on active rounds it early-exits at the first
+            # matching row (epsilon cost before the real append scan);
+            # on idle rounds it replaces the append's own full scan, so
+            # no round ever scans the source twice in full.
+            if batch.isEmpty():
+                rep = SyncReport(t.name, "incremental", 0, time.time() - t0, st.last_sync_time)
+                self.reporter.table_done(rep.table, rep.rows, rep.seconds)
+                reports.append(rep)
+                continue
             obs = Observation(f"sync_incremental:{target_name}")
             metrics = [F.count(F.lit(1)).alias("n")]
             if st.time_field:

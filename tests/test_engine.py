@@ -198,6 +198,40 @@ def test_continuous_bounded_rounds(pipeline, spark):
     assert rounds[1][0].rows == 0  # second round: nothing new
 
 
+def _part_files(engine, table):
+    import glob
+
+    path = engine.target.table_path(table).replace("file:", "")
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_idle_rounds_write_zero_files(pipeline, spark):
+    """Idle-round no-op (es/es_to_bytehouse.py:996-1004): a continuous
+    round that moves zero rows must write ZERO parquet parts and leave
+    state untouched — otherwise a 60 s-interval daemon litters ~1440
+    empty files per table per day and degrades every later scan."""
+    engine, source = pipeline
+    engine.sync_full()
+    before_files = _part_files(engine, "logs")
+    before_state = engine.state.get("logs")
+    rounds = engine.sync_continuous(max_rounds=5, interval_s=0.0)
+    assert all(r[0].rows == 0 for r in rounds)
+    assert _part_files(engine, "logs") == before_files  # no empty parts
+    after_state = engine.state.get("logs")
+    assert after_state.last_sync_time == before_state.last_sync_time
+    assert after_state.last_id == before_state.last_id
+    # a non-empty round still appends + commits the watermark exactly once
+    _append_rows(spark, source, [(4, "2024-01-04 00:00:00", "d")])
+    reports = engine.sync_incremental_once()
+    assert reports[0].rows == 1
+    new_files = _part_files(engine, "logs")
+    assert len(new_files) > len(before_files)
+    assert engine.state.get("logs").last_sync_time.startswith("2024-01-04")
+    # and the round after THAT is idle again: file count frozen
+    engine.sync_incremental_once()
+    assert _part_files(engine, "logs") == new_files
+
+
 def test_incremental_start_date_bootstrap(pipeline):
     """Mongo --start-date parity: no prior state + start_date → sync rows
     with time > start_date and seed the state
@@ -259,11 +293,12 @@ def test_incremental_round_is_single_source_pass(pipeline, spark):
         sc.setJobGroup("", "", False)
     assert reports[0].rows == 1
     jobs = sc.statusTracker().getJobIdsForGroup("incr-round")
-    # state.get (window collect; AQE splits it into ~3 jobs) + the observed
+    # state.get (window collect; AQE splits it into ~3 jobs) + the
+    # early-exit isEmpty probe (limit-1, NOT a full pass) + the observed
     # append (1 write job — scan and watermark agg fused) + state.commit
-    # (1 write job) = 5; a reintroduced separate watermark-aggregate job
-    # over the source pushes this to 6+
-    assert len(jobs) <= 5, f"expected ≤5 jobs per round, saw {len(jobs)}"
+    # (1 write job) = 6; a reintroduced separate FULL watermark-aggregate
+    # job over the source pushes this to 7+
+    assert len(jobs) <= 6, f"expected ≤6 jobs per round, saw {len(jobs)}"
 
 
 def test_mongo_dialect_keyset_incremental(spark, tmp_path):
