@@ -1401,27 +1401,22 @@ def mm5_png_header_decode(spark, sf_dir):
 @query(
     "mm6_jpeg_sof0_decode",
     """
-    WITH p AS (
-      SELECT doc_id AS asset_id,
-             'FFD8FFE000044A46' || 'FFC0' || '001108' ||
-             lpad(hex(n_chars % 600 + 1), 4, '0') ||
-             lpad(hex((5 * n_chars) % 800 + 1), 4, '0') || '01' AS hx
-      FROM documents
-    )
-    SELECT asset_id,
-           CAST('0x' || substr(hx, position('FFC0' IN hx) + 14, 4) AS BIGINT)
-             AS width,
-           CAST('0x' || substr(hx, position('FFC0' IN hx) + 10, 4) AS BIGINT)
-             AS height
-    FROM p
+    SELECT doc_id AS asset_id,
+           CAST((5 * n_chars) % 800 + 1 AS BIGINT) AS width,
+           CAST(n_chars % 600 + 1 AS BIGINT) AS height
+    FROM documents
     """,
 )
 def mm6_jpeg_sof0_decode(spark, sf_dir):
-    """JPEG dimensions from the SOF0 frame header (FF C0 marker → skip
-    length+precision → 2-byte BE height, width), located and sliced with
-    Column expressions over the hex encoding
-    (operators/multimodal.jpeg_sof0_dims). Synthetic baseline JPEGs
-    (SOI + APP0 + SOF0) built identically in both engines."""
+    """JPEG dimensions recovered by the SOF0 SEGMENT WALK
+    (operators/multimodal.jpeg_sof0_dims). The synthetic JPEGs are
+    deliberately adversarial: an APP1 segment whose payload contains a
+    spurious byte-aligned ``FF C0`` AND bytes whose hex text aliases
+    ``FFC0`` across a byte boundary, plus a variable-length COM segment
+    so the true SOF0 sits at a per-row offset. The oracle is GROUND
+    TRUTH from the construction formulas — a substring-locate
+    implementation (the pre-round-4 bug) reads the spurious marker and
+    mismatches, so green here means the walk is actually right."""
     from es_to_clickhouse_spark.operators.multimodal import jpeg_sof0_dims
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -1429,8 +1424,16 @@ def mm6_jpeg_sof0_decode(spark, sf_dir):
     whex = F.lpad(F.hex((F.col("n_chars") * 5) % 800 + 1), 4, "0")
     payload = F.unhex(
         F.concat(
-            F.lit("FFD8FFE000044A46"), F.lit("FFC0"), F.lit("001108"),
-            hhex, whex, F.lit("01"),
+            F.lit("FFD8"),  # SOI
+            F.lit("FFE000044A46"),  # APP0, len 4
+            # APP1, len 8: payload carries a byte-aligned spurious FFC0
+            # and AF FC 05 (hex text 'AFFC05' aliases FFC0 mid-byte)
+            F.lit("FFE10008FFC000AFFC05"),
+            # COM, variable length: shifts the true SOF0 per row
+            F.lit("FFFE"),
+            F.lpad(F.hex(F.col("n_chars") % 7 + 2), 4, "0"),
+            F.expr("repeat('41', n_chars % 7)"),
+            F.lit("FFC0001108"), hhex, whex, F.lit("01"),  # true SOF0
         )
     )
     assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))

@@ -83,20 +83,66 @@ def png_dims(payload: Column) -> tuple[Column, Column]:
     return _be_u32(payload, 17), _be_u32(payload, 21)
 
 
-def jpeg_sof0_dims(payload: Column) -> tuple[Column, Column]:
-    """(width, height) from a JPEG's SOF0 marker (FF C0): marker, 2-byte
-    length, 1-byte precision, 2-byte height, 2-byte width. The marker is
-    located on the hex encoding (entropy-coded data could alias 'FFC0',
-    but SOF headers precede scan data, so the FIRST occurrence is the
-    frame header in well-formed baseline JPEGs)."""
-    hx = F.hex(payload)
-    pos = F.locate("FFC0", hx)  # 1-based char offset of the marker
-    height = F.conv(F.substring(hx, pos + F.lit(10), 4), 16, 10).cast("long")
-    width = F.conv(F.substring(hx, pos + F.lit(14), 4), 16, 10).cast("long")
+#: non-SOF0 frame markers (progressive SOF2 etc.) — present in the range
+#: FFC0–FFCF but NOT frame headers: C4=DHT, C8=JPG-extension, CC=DAC
+_JPEG_NON_SOF = ("FFC4", "FFC8", "FFCC")
+
+
+def jpeg_sof0_dims(payload: Column, max_segments: int = 32) -> tuple[Column, Column]:
+    """(width, height) from a JPEG's SOF0 frame header via a REAL
+    segment walk, not a substring scan.
+
+    A naive ``locate('FFC0', hex(payload))`` is wrong twice over: the
+    hex-char offset need not be byte-aligned (bytes ``AF FC 05`` contain
+    the text ``FFC0`` straddling a byte boundary), and APP1/EXIF segment
+    *payloads* may legitimately contain the bytes ``FF C0`` before the
+    real frame header. The only correct locator is the spec's: start
+    after SOI, and at each marker skip its 2-byte big-endian length
+    (which covers itself), until a frame marker appears.
+
+    Implemented as a bounded fold (``F.aggregate`` over a constant
+    ``sequence``): the accumulator is the next marker's byte offset
+    (1-based); negated once SOF0 is found (terminal), zeroed on any
+    failure — bad SOI, a non-FF byte where a marker belongs, running
+    off the payload, reaching SOS scan data, or a non-baseline SOFn
+    (progressive SOF2 etc. are detected and returned as NULL — decoding
+    them is explicitly unhandled). The accumulator is a lambda variable,
+    so the walk evaluates iteratively at runtime (no expression blowup)
+    and stays entirely JVM-side — a petabyte metadata pass needs no UDF.
+    ``max_segments`` bounds the walk; real JPEGs carry far fewer
+    metadata segments before SOF than 32."""
+
+    def _u16(pos: Column) -> Column:
+        return F.conv(F.hex(F.substring(payload, pos, 2)), 16, 10).cast("int")
+
+    def _step(acc: Column, _elem: Column) -> Column:
+        marker = F.hex(F.substring(payload, acc, 2))
+        return (
+            F.when(acc <= 0, acc)  # terminal (found or failed)
+            .when(marker == "FFC0", -acc)  # SOF0: record and stop
+            .when(marker == "FFDA", F.lit(0))  # SOS before any SOF: fail
+            .when(
+                marker.rlike("^FFC[0-9A-F]$")
+                & ~marker.isin(*_JPEG_NON_SOF),
+                F.lit(0),  # SOF1/2/...: real frame header, unhandled type
+            )
+            .when(marker.rlike("^FF"), acc + 2 + _u16(acc + 2))  # skip segment
+            .otherwise(F.lit(0))  # not a marker (truncated/garbage)
+        )
+
+    start = F.when(
+        F.hex(F.substring(payload, 1, 2)) == "FFD8", F.lit(3)
+    ).otherwise(F.lit(0))
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)), start, _step
+    )
+    # SOF0 layout at byte offset p: FF C0 | len(2) | precision(1) |
+    # height(2) | width(2) — so height at p+5, width at p+7 (1-based)
+    sof = -final
     none = F.lit(None).cast("long")
     return (
-        F.when(pos > 0, width).otherwise(none),
-        F.when(pos > 0, height).otherwise(none),
+        F.when(final < 0, _u16(sof + 7).cast("long")).otherwise(none),
+        F.when(final < 0, _u16(sof + 5).cast("long")).otherwise(none),
     )
 
 

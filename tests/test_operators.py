@@ -195,17 +195,35 @@ def test_png_dims_decode_real_bytes(spark):
 def test_jpeg_sof0_dims_decode_and_missing_marker(spark):
     import struct
 
+    def sof0(w, h):
+        return b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x01"
+
     def jpeg(w, h):
         # SOI + APP0(len 4) + SOF0(len 17, precision 8, height, width, 1 comp)
-        return (
-            b"\xff\xd8\xff\xe0\x00\x04JF"
-            + b"\xff\xc0\x00\x11\x08"
-            + struct.pack(">HH", h, w)
-            + b"\x01"
-        )
+        return b"\xff\xd8\xff\xe0\x00\x04JF" + sof0(w, h)
+
+    def exif_trap(w, h):
+        # APP1 whose PAYLOAD contains a byte-aligned spurious FF C0
+        # (reading it as SOF0 would yield 0xAFFC × garbage) AND the bytes
+        # AF FC 05, whose hex text 'AFFC05' aliases 'FFC0' across a byte
+        # boundary — both defeated only by a real segment walk
+        app1 = b"\xff\xe1\x00\x08\xff\xc0\x00\xaf\xfc\x05"
+        return b"\xff\xd8" + app1 + sof0(w, h)
+
+    def progressive(w, h):
+        # SOF2 (progressive): a real frame header but an unhandled type
+        return b"\xff\xd8\xff\xc2\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x01"
 
     df = spark.createDataFrame(
-        [(1, jpeg(800, 600)), (2, jpeg(1, 1)), (3, b"\xff\xd8no-sof")],
+        [
+            (1, jpeg(800, 600)),
+            (2, jpeg(1, 1)),
+            (3, b"\xff\xd8no-sof"),
+            (4, exif_trap(1024, 768)),
+            (5, progressive(640, 480)),
+            (6, b"not-a-jpeg"),
+            (7, b"\xff\xd8\xff\xe1\x00\x08\xff\xc0"),  # truncated mid-APP1
+        ],
         "asset_id long, payload binary",
     )
     w, h = multimodal.jpeg_sof0_dims(F.col("payload"))
@@ -213,4 +231,12 @@ def test_jpeg_sof0_dims_decode_and_missing_marker(spark):
         r.asset_id: (r.w, r.h)
         for r in df.select("asset_id", w.alias("w"), h.alias("h")).collect()
     }
-    assert got == {1: (800, 600), 2: (1, 1), 3: (None, None)}
+    assert got == {
+        1: (800, 600),
+        2: (1, 1),
+        3: (None, None),
+        4: (1024, 768),
+        5: (None, None),
+        6: (None, None),
+        7: (None, None),
+    }

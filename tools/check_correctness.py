@@ -66,9 +66,11 @@ def main() -> int:
 
     qs, oracles = all_queries(), all_oracles()
     failures, no_oracle = [], []
+    n_run = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -104,7 +106,7 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time() - t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures) - len(no_oracle)} pass, "
+    print(f"\n{n_run - len(failures) - len(no_oracle)} pass, "
           f"{len(failures)} fail, {len(no_oracle)} rows-only")
     for name, msg in failures:
         print(f"  FAIL {name}: {msg[:300]}")
