@@ -6,19 +6,31 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes to completion through the noop sink (full distributed
 compute, no driver-side materialization cost), after a warm-up of the JVM
 with a trivial job. Timings are per-query wall clock.
+
+Attributability (round 4): earlier rounds showed ±30 % total swings on an
+UNCHANGED hot path — min-of-3 on a shared host cannot tell a regression
+from scheduling noise. Now each query runs 5 warm passes; the headline is
+the per-query MEDIAN (robust to one slow pass, unlike min it doesn't hide
+a real slowdown behind one lucky pass), and the JSON carries min/stddev
+per query plus the pinned cpu count. Any query whose median regresses
+>1.5x against the best prior round's recording (BENCH_r*.json) is listed
+in "regressions" and warned on stderr, so a regression is attributable to
+the round that introduced it instead of drowning in noise.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from es_to_clickhouse_spark.corpus import all_queries
-from es_to_clickhouse_spark.session import get_spark
+from es_to_clickhouse_spark.session import DEFAULT_CPUS, get_spark
 
 #: headline set: one per operator family, weighted toward scan/join/agg
 HEADLINE = [
@@ -52,6 +64,25 @@ HEADLINE = [
     "ts1_hourly_gap_fill",
 ]
 
+WARM_PASSES = 5
+REGRESSION_FACTOR = 1.5
+
+
+def best_prior_per_query(here: str) -> dict[str, float]:
+    """Per-query best (lowest) recorded timing across all prior rounds'
+    BENCH_r*.json — the baseline a median must not exceed by >1.5x."""
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, sec in (rec.get("queries") or {}).items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,14 +99,14 @@ def main() -> None:
     # JVM/codegen warm-up on a tiny unrelated job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Four passes per query: the first (cold) pays one-time plan compile +
-    # whole-stage codegen + file listing; the best of three warm passes is
-    # the steady-state throughput that scales with data volume — at
-    # production scale compile time amortizes to zero, so warm is the
-    # headline, and min-of-3 strips same-machine scheduling noise
-    # (single-pass warm totals vary ±15-30% run to run on this shared
-    # host; the min is the stable estimator of the actual compute cost).
+    # Per query: one cold pass (plan compile + codegen + file listing —
+    # amortizes to zero at production scale), then WARM_PASSES timed warm
+    # passes. Median is the headline estimator; min and stddev ride along
+    # so a reader can separate "machine was noisy" (big stddev, min far
+    # below median) from "query got slower" (min itself moved).
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    stddevs: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -83,11 +114,27 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
         warms = []
-        for _ in range(3):
+        for _ in range(WARM_PASSES):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warms.append(time.time() - t0)
-        timings[name] = round(min(warms), 3)
+        timings[name] = round(statistics.median(warms), 3)
+        mins[name] = round(min(warms), 3)
+        stddevs[name] = round(statistics.pstdev(warms), 3)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = best_prior_per_query(here)
+    regressions = {}
+    for name, med in timings.items():
+        base = prior.get(name)
+        if base and med > REGRESSION_FACTOR * base:
+            regressions[name] = {"median": med, "best_prior": base,
+                                 "ratio": round(med / base, 2)}
+            print(
+                f"REGRESSION {name}: median {med}s > {REGRESSION_FACTOR}x "
+                f"best prior {base}s",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -97,7 +144,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "queries_stddev": stddevs,
+                "min_total": round(sum(mins.values()), 3),
                 "cold_total": round(sum(cold.values()), 3),
+                "warm_passes": WARM_PASSES,
+                "cpus": DEFAULT_CPUS,
+                "regressions": regressions,
                 "sf": sf_num,
             }
         )
