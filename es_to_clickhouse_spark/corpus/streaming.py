@@ -249,10 +249,20 @@ def w5_upsert_dedup_view(spark, sf_dir):
       FROM events WHERE event_id % 5 = 0
     ), fp AS (
       -- mirrors row_fingerprint's injective length-prefixed encoding:
-      -- V<len>:<value> per field (cols sorted: _id, _timestamp, variant)
+      -- V<len>:<value> per field (cols sorted: _id, _timestamp, variant).
+      -- The _timestamp token is DERIVED from the same rendering the
+      -- Spark side produces — cast-to-string of a whole-second UTC
+      -- timestamp, 19 chars ('yyyy-MM-dd HH:mm:ss', no fractional part)
+      -- — instead of a hardcoded 'V19:...' literal, so a change to the
+      -- literal date can't silently desync the two sides. A FRACTIONAL
+      -- _timestamp would render with '.ffffff' on both engines and the
+      -- length prefix would follow it here too.
       SELECT _id, variant,
              md5('V' || CAST(length(_id) AS VARCHAR) || ':' || _id
-                 || 'V19:2024-01-20 00:00:00'
+                 || 'V' || CAST(length(strftime(TIMESTAMP '2024-01-20 00:00:00',
+                                                '%Y-%m-%d %H:%M:%S')) AS VARCHAR)
+                     || ':' || strftime(TIMESTAMP '2024-01-20 00:00:00',
+                                        '%Y-%m-%d %H:%M:%S')
                  || 'V' || CAST(length(variant) AS VARCHAR) || ':' || variant) AS f
       FROM base
     )

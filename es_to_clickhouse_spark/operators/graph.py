@@ -89,8 +89,11 @@ def connected_components(
             rounds_since_check = 0
         labels = new
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(component diameter exceeds max_iter)"
+        f"connected_components did not CONFIRM convergence in {max_iter} "
+        "rounds: propagation needs up to diameter rounds plus one extra "
+        "no-change probe round to prove the fixpoint, so max_iter must "
+        "exceed the worst-case component diameter by at least one (plus "
+        "check_interval slack when probes are sparse)"
     )
 
 
