@@ -78,7 +78,10 @@ def best_prior_per_query(here: str) -> dict[str, float]:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        for name, sec in (rec.get("queries") or {}).items():
+        # the driver wraps bench stdout under "parsed"; a direct run of
+        # this script emits the flat shape
+        queries = rec.get("queries") or (rec.get("parsed") or {}).get("queries")
+        for name, sec in (queries or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
                 best[name] = min(best.get(name, float("inf")), float(sec))
     return best

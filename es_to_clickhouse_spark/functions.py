@@ -44,6 +44,36 @@ def py_str(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
+def upper_bound_index(cuts: list[float], key: Column) -> Column:
+    """Count of sorted ``cuts`` values <= ``key`` (the bucket index for
+    quantile-cut bucketizing), as a BINARY-SEARCH tree of nested CASE
+    WHENs: each row evaluates log2(len(cuts)) comparisons, beating both
+    a linear indicator-sum chain and the array HOF (which scans all
+    cuts per row). Never use the tempting ``F.size(F.filter(array,
+    lambda x: x <= k))`` for this: when the expression ends up in a
+    union child that sits under a join, constraint inference
+    (Union.rewriteConstraints) walks the lambda and crashes with
+    NoSuchElementException remapping its attribute references (Spark 4
+    optimizer bug — regression test in tests/test_asof_ddl_sources.py).
+    Plain comparisons rewrite fine. NULL key yields bucket 0 (every
+    comparison is null → falsy → the search walks left; same as the HOF
+    form, which filtered nothing)."""
+    if not cuts:
+        return F.lit(0)
+    vals = sorted(float(c) for c in cuts)
+
+    def build(lo: int, hi: int) -> Column:
+        # invariant: the answer (count of vals <= key) lies in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(F.lit(vals[mid]) <= key, build(mid + 1, hi)).otherwise(
+            build(lo, mid)
+        )
+
+    return build(0, len(vals))
+
+
 def epoch_micros(col: Column) -> Column:
     """Exact integer epoch microseconds from ANY temporal column —
     TIMESTAMP, TIMESTAMP_NTZ, or DATE.

@@ -85,9 +85,12 @@ def zorder_by(
     for c in cols:
         cuts = _rank_buckets(df, c, bits)
         if cuts:
-            arr = F.array(*[F.lit(float(v)) for v in cuts])
-            k = F.col(c).cast("double")
-            normed.append(F.size(F.filter(arr, lambda x: x <= k)))
+            # indicator-sum bucketize (functions.upper_bound_index), not
+            # the F.filter HOF — see that docstring for the Spark 4
+            # Union-constraint crash the HOF form risks
+            from es_to_clickhouse_spark.functions import upper_bound_index
+
+            normed.append(upper_bound_index(cuts, F.col(c).cast("double")))
         else:
             normed.append(F.lit(0))
     return df.withColumn(out_col, zorder_value(normed, bits))

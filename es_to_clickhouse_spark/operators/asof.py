@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, DateType, TimestampNTZType, TimestampType
 from pyspark.sql.window import Window
 
+from es_to_clickhouse_spark.functions import upper_bound_index
+
 _DIRECTIONS = ("backward", "forward", "nearest")
 
 
@@ -59,6 +61,29 @@ def _key_expr(dt: DataType, col: Column) -> Column:
 
 def _ordering_key(df: DataFrame, on: str) -> Column:
     return _key_expr(df.schema[on].dataType, F.col(on))
+
+
+#: logical-plan operators whose recompute costs a shuffle or a sort —
+#: the signal that a twice-referenced subtree is worth materializing
+_EXPENSIVE_NODES = ("Aggregate", "Join", "Window", "Sort")
+
+
+def _expensive_subtree(df: DataFrame) -> bool:
+    """True when recomputing ``df`` would redo a shuffle-bearing operator
+    (aggregate/join/window/sort). Reads the ANALYZED logical plan, which
+    PySpark materializes eagerly at DataFrame creation — so this is a
+    string scan, not a new optimizer pass (optimizedPlan() here cost
+    ~0.3 s per call on a bench query). Pure scan/filter/project subtrees
+    return False — with column pruning and pushdown those recompute for
+    less than the cost of writing their rows to the block store. The
+    analyzed plan can contain operators the optimizer would collapse
+    (e.g. a pruned-away join); that false positive only costs an
+    unnecessary cache of a cheap subtree, never a wrong result."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — any introspection failure → don't cache
+        return False
+    return any(node in plan for node in _EXPENSIVE_NODES)
 
 
 def _side_tags(direction: str, strict: bool) -> tuple[int, int]:
@@ -122,7 +147,7 @@ def asof_join(
     num_buckets: int | None = None,
     direction: str = "backward",
     cuts: list[float] | None = None,
-    cache_right: bool = False,
+    cache_right: bool | None = None,
 ) -> DataFrame:
     """As-of join (backward / forward / nearest).
 
@@ -144,12 +169,15 @@ def asof_join(
         the union window and the per-bucket carry aggregate, and Spark
         does not share common subtrees across the two branches, so an
         EXPENSIVE right side (a join/aggregation subtree) is otherwise
-        computed twice. Enable when the right subtree costs more than
-        materializing its output; for cheap or already-materialized right
-        sides the caching overhead loses (measured: ~0.1 s loss on a
-        2.5k-row aggregate locally). Unlike a ``localCheckpoint``, a
-        persist keeps full lineage, so lost cached blocks recompute
-        instead of failing the job.
+        computed twice. Default ``None`` = AUTO: persist exactly when the
+        right side's optimized plan contains a shuffle-bearing operator
+        (aggregate/join/window/sort — :func:`_expensive_subtree`); pure
+        scan/filter/project right sides skip the cache, because with
+        pushdown and pruning they recompute for less than materializing
+        (measured: ~0.1 s loss caching a 2.5k-row aggregate locally).
+        Pass True/False to override the heuristic. Unlike a
+        ``localCheckpoint``, a persist keeps full lineage, so lost cached
+        blocks recompute instead of failing the job.
     """
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}")
@@ -174,6 +202,8 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in carry],
     )
     if by is None:
+        if cache_right is None:
+            cache_right = _expensive_subtree(right)
         return _global_asof(
             lefts, rights, on, rcols, carry, suffix, left_tag, num_buckets,
             left, direction, on_dt, cuts, cache_right,
@@ -258,14 +288,19 @@ def _global_asof(
         rights = rights.persist()
 
     def bucket_of(df: DataFrame):
+        """Upper-bound index of the ordering value in the sorted cut
+        list — via :func:`functions.upper_bound_index` (CASE-WHEN
+        indicator sums). The HOF form ``F.size(F.filter(arr, lambda x:
+        x <= k))`` crashes Spark 4's Union.rewriteConstraints when this
+        union sits under the carry-table join (regression test in
+        tests/test_asof_ddl_sources.py)."""
         if not cuts:  # constant / all-null ordering column: single bucket
             return F.lit(0)
-        arr = F.array(*[F.lit(float(c)) for c in cuts])
-        k = _ordering_key(df, on)
-        return F.size(F.filter(arr, lambda x: x <= k))
+        return upper_bound_index(cuts, _ordering_key(df, on))
 
-    unioned = lefts.unionByName(rights)
-    b = unioned.withColumn("_bucket", bucket_of(unioned))
+    b = lefts.withColumn("_bucket", bucket_of(lefts)).unionByName(
+        rights.withColumn("_bucket", bucket_of(rights))
+    )
 
     base = Window.partitionBy("_bucket").orderBy(
         F.col(on).asc(), F.col("_side").asc()
@@ -340,7 +375,7 @@ def _global_asof(
     ).drop(carry_tbl["_bucket"])
     keep = [
         c
-        for c in unioned.columns
+        for c in lefts.columns
         if c != "_side" and not c.startswith("_r_")
     ]
     if direction == "backward":

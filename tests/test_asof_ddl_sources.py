@@ -309,3 +309,30 @@ def test_asof_global_cache_right_same_result(spark):
         ).collect()
     )
     assert base == cached
+
+
+def test_asof_global_cache_right_auto_heuristic(spark):
+    """cache_right=None (default) auto-persists exactly when the right
+    subtree contains a shuffle-bearing operator: an AGGREGATED right side
+    plans an InMemoryRelation (computed once, served to both the union
+    window and the carry aggregate); a plain scan right side does not
+    (recompute beats materialization for pruned scans)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(i,) for i in range(50)], "t long")
+    base_right = spark.createDataFrame(
+        [(i % 10, i) for i in range(100)], "k long, x long"
+    )
+    agg_right = base_right.groupBy("k").agg(F.max("x").alias("v")).select(
+        F.col("k").alias("t"), "v"
+    )
+    out = asof_join(left, agg_right, on="t", num_buckets=4)
+    plan = out._jdf.queryExecution().withCachedData().toString()
+    assert "InMemoryRelation" in plan, "aggregated right side must auto-persist"
+    assert out.count() == 50  # and it still computes
+
+    scan_right = base_right.select(F.col("x").alias("t"), F.col("k").alias("v"))
+    out2 = asof_join(left, scan_right, on="t", num_buckets=4)
+    plan2 = out2._jdf.queryExecution().withCachedData().toString()
+    assert "InMemoryRelation" not in plan2, "scan right side must NOT persist"
+    agg_right.unpersist()
