@@ -1,0 +1,490 @@
+"""Data-quality profiling, time-series features, and training-data
+packing — the operations a 100 TB training-data pipeline runs between
+ingestion (the reference's job, engine.py) and model consumption.
+
+Reference parity note: the reference ships no analytics of its own (it
+moves rows; es/es_to_bytehouse.py), so every query here is engine
+surface beyond parity — each one states its scale plan in the
+docstring. Naming: dq* data quality, ts* time series, pk* packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from es_to_clickhouse_spark.corpus import query, t
+
+
+@query(
+    "ts2_ohlc_downsample",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, value FROM events
+    ), w AS (
+      SELECT user_id, d, value,
+             first_value(value) OVER win AS open_v,
+             last_value(value)  OVER win AS close_v
+      FROM e
+      WINDOW win AS (PARTITION BY user_id, d ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           round(any_value(open_v), 4)  AS open,
+           round(max(value), 4)         AS high,
+           round(min(value), 4)         AS low,
+           round(any_value(close_v), 4) AS close,
+           count(*) AS n_events
+    FROM w GROUP BY user_id, d
+    """,
+)
+def ts2_ohlc_downsample(spark, sf_dir):
+    """OHLC candlestick downsampling (the classic time-series rollup):
+    per user per day, first/max/min/last of `value` under the total
+    order (ts, event_id). One hash partitioning on (user_id, day) serves
+    BOTH the window pass and the groupBy — Spark reuses the exchange, so
+    a 100 TB event log pays a single shuffle."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "ts", "event_id", "value"
+    )
+    win = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    full = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w = e.select(
+        "user_id",
+        "d",
+        "value",
+        F.first("value").over(full).alias("open_v"),
+        F.last("value").over(full).alias("close_v"),
+    )
+    return w.groupBy("user_id", "d").agg(
+        F.round(F.any_value("open_v"), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.any_value("close_v"), 4).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "open", "high", "low", "close", "n_events",
+    )
+
+
+@query(
+    "ts3_ewma_finite",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), lagged AS (
+      SELECT event_type, d, x,
+             lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+             lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           round((1.0 * x
+                  + 0.5 * COALESCE(x1, 0) + 0.25 * COALESCE(x2, 0)
+                  + 0.125 * COALESCE(x3, 0) + 0.0625 * COALESCE(x4, 0))
+                 / (1.0
+                    + CASE WHEN x1 IS NULL THEN 0 ELSE 0.5 END
+                    + CASE WHEN x2 IS NULL THEN 0 ELSE 0.25 END
+                    + CASE WHEN x3 IS NULL THEN 0 ELSE 0.125 END
+                    + CASE WHEN x4 IS NULL THEN 0 ELSE 0.0625 END), 6)
+             AS ewma
+    FROM lagged
+    """,
+)
+def ts3_ewma_finite(spark, sf_dir):
+    """Finite-window EWMA (alpha=0.5, 5 taps) of the per-type daily mean
+    — the smoothing feature every metrics/training-curation pipeline
+    computes. The closed form (weighted sum of a FIXED number of lags,
+    renormalized over available taps) keeps it a pure window expression:
+    no recursion, no UDF, one shuffle on event_type, deterministic
+    because the fixed expression order is identical on both engines."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.avg("value").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lags = daily.select(
+        "event_type", "d", "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3, 4)],
+    )
+    weights = {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.125, 4: 0.0625}
+    num = F.col("x") * weights[0]
+    den = F.lit(weights[0])
+    for k in (1, 2, 3, 4):
+        num = num + F.coalesce(F.col(f"x{k}"), F.lit(0.0)) * weights[k]
+        den = den + F.when(F.col(f"x{k}").isNull(), 0.0).otherwise(weights[k])
+    return lags.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@query(
+    "ts4_rolling_median",
+    """
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 14 PRECEDING AND CURRENT ROW), 4)
+             AS med_15
+    FROM events
+    """,
+)
+def ts4_rolling_median(spark, sf_dir):
+    """Rolling EXACT median over a 15-row trailing frame per user —
+    robust local level estimate (outlier-resistant where a rolling mean
+    is not). Spark has no exact-median window aggregate, so the frame
+    (bounded: 15 values) is gathered with collect_list, sorted, and the
+    middle element(s) read positionally — still pure Column expressions,
+    still one shuffle on user_id; the frame bound keeps per-row state
+    O(15) no matter how large the table is. Even-count frames
+    interpolate (avg of the two middle values), matching DuckDB's
+    median()."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid = (n / 2).cast("int")  # 0-based upper-middle index
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, mid + 1)
+    ).otherwise((F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0)
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(med, 4).alias("med_15")
+    )
+
+
+@query(
+    "ts5_lag_features",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             lag(value, 1) OVER win AS lag1,
+             lag(value, 7) OVER win AS lag7
+      FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, round(value, 4) AS value,
+           round(lag1, 4) AS lag1, round(lag7, 4) AS lag7,
+           round(value - lag1, 4) AS delta1,
+           CASE WHEN lag1 IS NULL OR lag1 = 0 THEN NULL
+                ELSE round((value - lag1) / lag1, 6) END AS pct1
+    FROM w
+    """,
+)
+def ts5_lag_features(spark, sf_dir):
+    """Lag-feature matrix (lag-1, lag-7, delta, percent change) — the
+    standard autoregressive feature block for forecasting training data.
+    One window pass, one shuffle on the entity key; every feature is a
+    pure expression over the same sorted frame, so adding more lags adds
+    zero shuffles."""
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events")
+    lag1 = F.lag("value", 1).over(win)
+    lag7 = F.lag("value", 7).over(win)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(lag1, 4).alias("lag1"),
+        F.round(lag7, 4).alias("lag7"),
+        F.round(F.col("value") - lag1, 4).alias("delta1"),
+        F.when(
+            lag1.isNull() | (lag1 == 0), F.lit(None).cast("double")
+        ).otherwise(F.round((F.col("value") - lag1) / lag1, 6)).alias("pct1"),
+    )
+
+
+@query(
+    "dq2_column_profile",
+    """
+    SELECT 'o_orderkey' AS col, count(*) AS n,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def dq2_column_profile(spark, sf_dir):
+    """Schema-profile pass (per-column row/null/exact-distinct counts) —
+    the first query every ingestion QA job runs. ONE scan: all columns'
+    metrics come from a single aggregate (Spark expands the multi-
+    distinct into one Expand + aggregate pipeline rather than one scan
+    per column; the oracle's UNION ALL shape would scan five times), then
+    a literal-keyed stack unpivots driver-side. At 100 TB the scan
+    dominates, so 1 scan vs 5 is the whole game."""
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"_null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+    row = o.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            f"'{c}'", "_n", f"_null_{c}", f"_dist_{c}",
+        ]
+    return row.selectExpr(
+        f"stack({len(cols)}, {', '.join(stack_args)}) AS (col, n, n_null, n_distinct)"
+    )
+
+
+@query(
+    "dq3_daily_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS cnt FROM events GROUP BY 1
+    ), stats AS (
+      SELECT avg(cnt) AS mu, stddev_samp(cnt) AS sigma FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, cnt,
+           round((cnt - mu) / sigma, 4) AS z
+    FROM daily, stats
+    WHERE abs((cnt - mu) / sigma) > 1.0
+    """,
+)
+def dq3_daily_anomaly(spark, sf_dir):
+    """Volume-anomaly detection: daily row counts z-scored against the
+    whole history; |z| > 1 days surface ingestion gaps and double-loads.
+    The stats side is ONE row — broadcast, so the plan is aggregate →
+    broadcast join → filter: no second shuffle of the daily table. The
+    z computation runs on exact integer counts; only the final ratio is
+    floating (rounded identically on both engines)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = daily.agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .where(F.abs(z) > 1.0)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "dq4_orphan_keys",
+    """
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', count(*)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def dq4_orphan_keys(spark, sf_dir):
+    """Referential-integrity audit: orphan counts along the three FK
+    edges, via LEFT ANTI joins. The parent side of each edge is the
+    smaller table — broadcast where it fits (nation always, customer
+    usually), so the audits are map-side; the lineitem→orders check at
+    100 TB is one shuffled anti join on the natural key, the cheapest
+    possible full verification."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(child, key, parent, pkey, label):
+        orphans = child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        )
+        return orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(label).alias("fk"), "n_orphans"
+        )
+
+    return (
+        audit(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey", "lineitem->orders")
+        .unionByName(audit(o, "o_custkey", F.broadcast(c.select("c_custkey")), "c_custkey", "orders->customer"))
+        .unionByName(audit(c, "c_nationkey", F.broadcast(n), "n_nationkey", "customer->nation"))
+    )
+
+
+@query(
+    "dq5_join_key_skew",
+    """
+    WITH k AS (
+      SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    ), tot AS (SELECT sum(cnt) AS total, avg(cnt) AS avg_cnt FROM k)
+    SELECT l_orderkey, cnt,
+           round(cnt / total, 6) AS share,
+           round(cnt / avg_cnt, 4) AS x_avg
+    FROM k, tot
+    ORDER BY cnt DESC, l_orderkey LIMIT 5
+    """,
+)
+def dq5_join_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic: the 5 heaviest lineitem join keys with
+    their share of all rows and multiple-of-average — the numbers that
+    tell you whether the next join needs salting or AQE skew handling
+    BEFORE you run it. Per-key counts are one partial-aggregated
+    shuffle; the totals row broadcasts; top-5 is a TakeOrdered, never a
+    global sort."""
+    k = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = k.agg(
+        F.sum("cnt").alias("total"), F.avg("cnt").alias("avg_cnt")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 4).alias("x_avg"),
+        )
+        .orderBy(F.col("cnt").desc(), "l_orderkey")
+        .limit(5)
+    )
+
+
+@query(
+    "pk1_context_pack",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             sum(toks) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM d
+    )
+    SELECT CAST(floor((cum - toks) / 512) AS BIGINT) AS window_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def pk1_context_pack(spark, sf_dir):
+    """Context-window packing — the concat-then-chop step of LLM
+    pretraining data prep: documents in a fixed global order, token
+    counts accumulated, each doc assigned to the 512-token window its
+    FIRST token lands in. The running sum uses
+    operators.ordered.global_running_sum (range repartition +
+    per-partition window + broadcast prefix offsets) — NOT a
+    single-partition global window, so packing a 100 TB corpus
+    parallelizes across every executor while producing byte-identical
+    window ids to the oracle's serial cumsum."""
+    from es_to_clickhouse_spark.operators.ordered import global_running_sum
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("toks")
+    )
+    c = global_running_sum(d, ["doc_id"], "toks", out_col="cum")
+    return (
+        c.select(
+            F.floor((F.col("cum") - F.col("toks")) / 512)
+            .cast("bigint")
+            .alias("window_id"),
+            "toks",
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "txt15_zipf_slope",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS f FROM tok GROUP BY w
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+      FROM freq
+    ), top AS (
+      SELECT ln(r) AS x, ln(f) AS y FROM ranked WHERE r <= 100
+    ), s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM top
+    )
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def txt15_zipf_slope(spark, sf_dir):
+    """Zipf-law fit of the corpus vocabulary: least-squares slope of
+    ln(freq) vs ln(rank) over the top-100 tokens (natural text ≈ −1;
+    big deviations flag boilerplate or synthetic spam — a corpus-level
+    quality gate). Token counting is one explode + one aggregate; the
+    rank top-100 is a TakeOrdered (100 rows to one task, not a global
+    sort); the regression runs on 100 rows driver-free via a single
+    aggregate. Deterministic tie-break (freq desc, token asc) keeps the
+    top-100 set identical on both engines."""
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f", "w"
+    ).orderBy(F.col("f").desc(), "w").limit(100).select(
+        "f", F.row_number().over(
+            Window.orderBy(F.col("f").desc(), "w")
+        ).alias("r")
+    )
+    top = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    s = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(F.round(slope, 6).alias("zipf_slope"))

@@ -240,3 +240,35 @@ def test_jpeg_sof0_dims_decode_and_missing_marker(spark):
         6: (None, None),
         7: (None, None),
     }
+
+
+def test_global_running_sum_matches_serial(spark):
+    """Two-phase distributed cumsum == serial cumsum: skewed values,
+    NULLs (contribute 0), more partitions than rows, and a key range
+    that forces several range partitions."""
+    import random
+
+    from es_to_clickhouse_spark.operators.ordered import global_running_sum
+
+    random.seed(13)
+    rows = [(i, random.choice([None, 1, 5, 1000, -3])) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v int")
+    out = {
+        r.k: r.rs
+        for r in global_running_sum(
+            df, ["k"], "v", out_col="rs", num_partitions=16
+        ).collect()
+    }
+    acc = 0
+    for k, v in rows:
+        acc += v or 0
+        assert out[k] == acc, (k, out[k], acc)
+    # more partitions than rows
+    tiny = spark.createDataFrame([(1, 10), (2, 20)], "k long, v int")
+    got = sorted(
+        (r.k, r.rs)
+        for r in global_running_sum(
+            tiny, ["k"], "v", out_col="rs", num_partitions=8
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 30)]

@@ -30,6 +30,8 @@ BNL_ALLOWED = {
     "sim5_lloyd_step",
     "t5_bootstrap_window",
     "t6_auto_mode_split",
+    "dq3_daily_anomaly",  # 1-row mu/sigma stats broadcast
+    "dq5_join_key_skew",  # 1-row total/avg broadcast
 }
 
 
