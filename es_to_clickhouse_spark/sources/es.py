@@ -97,6 +97,88 @@ def scroll_docs(scroll_response: dict, store_source: bool = False) -> list[dict]
     return rows
 
 
+@dataclass
+class ScrollSession:
+    """The full HTTP scroll protocol as a PURE fold over recorded
+    responses — every request the reference daemon would issue, in
+    order, including context cleanup and failure behavior
+    (es/es_to_bytehouse.py:577-673):
+
+    - init:    ``POST {host}/{index}/_search?scroll={timeout}`` with
+               ``{"size": N, "query": {...}}``
+    - page:    ``POST {host}/_search/scroll`` with
+               ``{"scroll": timeout, "scroll_id": id}`` while hits remain
+               (the id is re-read from EVERY response — ES may rotate it)
+    - cleanup: ``DELETE {host}/_search/scroll`` with the LAST scroll_id,
+               issued whenever one exists (es/es_to_bytehouse.py:656-661)
+    - failure: a page error stops the loop and keeps the partial rows —
+               at-least-once with partial progress, never all-or-nothing
+               (es/es_to_bytehouse.py:671-673 returns total_migrated).
+               DELIBERATE divergence: the reference's cleanup sits inside
+               its try block, so an error leaks the scroll context until
+               server-side timeout; here cleanup is issued whenever a
+               scroll_id exists, failure or not (finally semantics)
+
+    ``drain(pages)`` replays recorded response bodies and returns
+    ``(rows, transcript)`` so tests can golden-check the wire exchange
+    with zero network. The production read path is the connector
+    (:class:`EsSource` — scroll managed per shard JVM-side); this class
+    pins the PROTOCOL contract the connector must honor."""
+
+    host: str = "http://localhost:9200"
+    size: int = 1000
+    timeout: str = "5m"
+
+    def initial_request(self, index: str, query: dict | None = None) -> dict:
+        return {
+            "method": "POST",
+            "url": f"{self.host}/{index}/_search",
+            "params": {"scroll": self.timeout},
+            "body": {"size": self.size, "query": query or {"match_all": {}}},
+        }
+
+    def page_request(self, scroll_id: str) -> dict:
+        return {
+            "method": "POST",
+            "url": f"{self.host}/_search/scroll",
+            "body": {"scroll": self.timeout, "scroll_id": scroll_id},
+        }
+
+    def cleanup_request(self, scroll_id: str) -> dict:
+        return {
+            "method": "DELETE",
+            "url": f"{self.host}/_search/scroll",
+            "body": {"scroll_id": scroll_id},
+        }
+
+    def drain(
+        self,
+        index: str,
+        pages: list[dict | Exception],
+        query: dict | None = None,
+        store_source: bool = False,
+    ) -> tuple[list[dict], list[dict]]:
+        """Fold recorded ``pages`` (response bodies, or an Exception to
+        simulate a failed page fetch) through the protocol. Returns the
+        flattened rows and the request transcript."""
+        transcript: list[dict] = []
+        rows: list[dict] = []
+        scroll_id: str | None = None
+        transcript.append(self.initial_request(index, query))
+        for page in pages:
+            if isinstance(page, Exception):
+                break  # partial progress kept; cleanup still runs below
+            scroll_id = page.get("_scroll_id", scroll_id)
+            hits = page.get("hits", {}).get("hits", [])
+            if not hits:
+                break
+            rows.extend(scroll_docs(page, store_source=store_source))
+            transcript.append(self.page_request(scroll_id))
+        if scroll_id:
+            transcript.append(self.cleanup_request(scroll_id))
+        return rows, transcript
+
+
 def range_query(
     time_field: str,
     since: str | None = None,

@@ -257,3 +257,97 @@ def test_jdbc_scan_options_golden():
         "upperBound": "1000000",
         "numPartitions": "64",
     }
+
+
+def _page(scroll_id, ids):
+    return {
+        "_scroll_id": scroll_id,
+        "hits": {"hits": [{"_id": i, "_source": {"v": i}} for i in ids]},
+    }
+
+
+def test_scroll_session_transcript_golden():
+    """Full scroll protocol transcript (es/es_to_bytehouse.py:577-673):
+    init with scroll param + sized match_all body, one page fetch per
+    non-empty page re-reading the rotated scroll_id, and the cleanup
+    DELETE with the LAST id after the empty terminator page."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession
+
+    s = ScrollSession(host="http://es:9200", size=2, timeout="5m")
+    pages = [
+        _page("sid-1", ["a", "b"]),
+        _page("sid-2", ["c"]),  # ES rotated the scroll id
+        _page("sid-2", []),  # terminator
+    ]
+    rows, transcript = s.drain("logs-2024", pages)
+    assert [r["_id"] for r in rows] == ["a", "b", "c"]
+    assert transcript == [
+        {
+            "method": "POST",
+            "url": "http://es:9200/logs-2024/_search",
+            "params": {"scroll": "5m"},
+            "body": {"size": 2, "query": {"match_all": {}}},
+        },
+        {
+            "method": "POST",
+            "url": "http://es:9200/_search/scroll",
+            "body": {"scroll": "5m", "scroll_id": "sid-1"},
+        },
+        {
+            "method": "POST",
+            "url": "http://es:9200/_search/scroll",
+            "body": {"scroll": "5m", "scroll_id": "sid-2"},
+        },
+        {
+            "method": "DELETE",
+            "url": "http://es:9200/_search/scroll",
+            "body": {"scroll_id": "sid-2"},
+        },
+    ]
+
+
+def test_scroll_session_failure_keeps_partial_and_cleans_up():
+    """A failed page fetch keeps already-drained rows (the reference
+    returns total_migrated on error — at-least-once partial progress)
+    and STILL issues the cleanup DELETE (deliberate improvement: the
+    reference leaks the scroll context on error)."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession
+
+    s = ScrollSession()
+    pages = [
+        _page("sid-1", ["a", "b"]),
+        ConnectionError("socket reset"),
+        _page("sid-9", ["never-reached"]),
+    ]
+    rows, transcript = s.drain("idx", pages)
+    assert [r["_id"] for r in rows] == ["a", "b"]
+    assert transcript[-1]["method"] == "DELETE"
+    assert transcript[-1]["body"] == {"scroll_id": "sid-1"}
+    assert len(transcript) == 3  # init + 1 page + cleanup
+
+
+def test_scroll_session_empty_index_no_cleanup():
+    """Zero hits on the first page: no scroll to page through; cleanup
+    only when a scroll_id was ever returned (no id → no DELETE, matching
+    the reference's `if scroll_id` guard)."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession
+
+    s = ScrollSession()
+    rows, transcript = s.drain("empty-idx", [{"hits": {"hits": []}}])
+    assert rows == []
+    assert len(transcript) == 1  # just the init request
+
+
+def test_scroll_session_query_passthrough_matches_range_dsl():
+    """Incremental scroll: the init body embeds the same DSL range_query
+    builds (es/es_to_bytehouse.py:841-861) — wiring the watermark into
+    the protocol start."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession, range_query
+
+    dsl = json.loads(range_query("created_at", "2024-01-01T00:00:00"))
+    s = ScrollSession(size=500)
+    req = s.initial_request("logs", query=dsl["query"])
+    assert req["body"]["query"] == {
+        "bool": {"filter": {"range": {"created_at": {"gt": "2024-01-01T00:00:00"}}}}
+    }
+    assert req["body"]["size"] == 500
