@@ -1469,6 +1469,57 @@ def mm4_resize_dims(spark, sf_dir):
 
 
 @query(
+    "mm7_wav_header_decode",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(n_chars % 2 + 1 AS BIGINT) AS channels,
+           CAST(CASE n_chars % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS BIGINT) AS sample_rate,
+           CAST(CASE n_chars % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+                ELSE 24 END AS BIGINT) AS bits
+    FROM documents
+    """,
+)
+def mm7_wav_header_decode(spark, sf_dir):
+    """WAV/RIFF header decode (channels, sample rate, bit depth) from
+    raw bytes — LITTLE-endian, unlike PNG/JPEG, so the byte-wise parse
+    order is part of what's under test. Payloads are canonical PCM
+    headers synthesized per row (channel/rate/bits varied by n_chars);
+    the oracle is ground truth from the construction formulas, so Spark
+    must actually invert the wire format (operators/multimodal.py
+    wav_header — pure Column math, no codec, no UDF)."""
+    from es_to_clickhouse_spark.operators.multimodal import wav_header
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # pre-encoded little-endian field hex, selected per row
+    ch = F.element_at(
+        F.array(F.lit("0100"), F.lit("0200")), (F.col("n_chars") % 2 + 1).cast("int")
+    )
+    rate = F.element_at(
+        F.array(F.lit("401F0000"), F.lit("803E0000"), F.lit("44AC0000")),
+        (F.col("n_chars") % 3 + 1).cast("int"),
+    )
+    bits = F.element_at(
+        F.array(F.lit("0800"), F.lit("1000"), F.lit("1800")),
+        (F.col("n_chars") % 3 + 1).cast("int"),
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"), F.lit("24080000"),  # RIFF + size
+            F.lit("57415645"), F.lit("666D7420"), F.lit("10000000"),  # WAVE fmt len16
+            F.lit("0100"), ch,  # PCM tag, channels
+            rate, F.lit("00000000"), F.lit("0000"),  # rate, byte_rate, align
+            bits,
+        )
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    c, r, b = wav_header(F.col("payload"))
+    return assets.select(
+        "asset_id", c.alias("channels"), r.alias("sample_rate"), b.alias("bits")
+    )
+
+
+@query(
     "txt8_edit_distance",
     """
     SELECT doc_id,

@@ -488,3 +488,213 @@ def txt15_zipf_slope(spark, sf_dir):
         F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
     return s.select(F.round(slope, 6).alias("zipf_slope"))
+
+
+@query(
+    "pk2_curriculum_bins",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+      FROM documents
+    ), binned AS (
+      SELECT d.doc_id, d.n_chars,
+             (CASE WHEN q[1] <= d.n_chars THEN 1 ELSE 0 END
+            + CASE WHEN q[2] <= d.n_chars THEN 1 ELSE 0 END
+            + CASE WHEN q[3] <= d.n_chars THEN 1 ELSE 0 END
+            + CASE WHEN q[4] <= d.n_chars THEN 1 ELSE 0 END
+            + CASE WHEN q[5] <= d.n_chars THEN 1 ELSE 0 END
+            + CASE WHEN q[6] <= d.n_chars THEN 1 ELSE 0 END
+            + CASE WHEN q[7] <= d.n_chars THEN 1 ELSE 0 END
+            + CASE WHEN q[8] <= d.n_chars THEN 1 ELSE 0 END
+            + CASE WHEN q[9] <= d.n_chars THEN 1 ELSE 0 END) AS bin
+      FROM documents d, cuts
+    )
+    SELECT bin, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM binned GROUP BY bin
+    """,
+)
+def pk2_curriculum_bins(spark, sf_dir):
+    """Curriculum binning: documents into difficulty deciles by length —
+    the ordering step of curriculum-learning data prep. NOT a global
+    ntile (which would funnel every row through one window partition):
+    exact decile cut values are ONE aggregate row, broadcast, and each
+    row buckets itself with 9 comparisons — fully parallel, same scale
+    shape as the as-of bucketizer. Spark's exact `percentile` and
+    DuckDB's quantile_cont share the same linear-interpolation
+    definition, and the scores are integers, so the cuts match
+    bit-for-bit."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.col("n_chars").cast("double").alias("score")
+    )
+    probs = [i / 10 for i in range(1, 10)]
+    cuts = d.agg(
+        F.expr(
+            "percentile(score, array({}))".format(",".join(str(p) for p in probs))
+        ).alias("q")
+    )
+    binned = d.crossJoin(F.broadcast(cuts))
+    bin_col = None
+    for i in range(1, 10):
+        term = F.when(
+            F.element_at(F.col("q"), i) <= F.col("score"), F.lit(1)
+        ).otherwise(F.lit(0))
+        bin_col = term if bin_col is None else bin_col + term
+    return (
+        binned.select(bin_col.alias("bin"), "n_chars")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "w14_rank_distributions",
+    """
+    SELECT event_id, user_id,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def w14_rank_distributions(spark, sf_dir):
+    """Distribution-rank window battery (percent_rank, cume_dist, ntile)
+    PER USER — per-entity score normalization for feature pipelines.
+    Partitioned by the entity key, so unlike a global ntile this
+    parallelizes: one shuffle, three rank functions over one shared
+    sort. Ranks are exact small rationals — round(6) renders identically
+    on both engines."""
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "txt16_boilerplate_sentences",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             trim(lower(unnest(string_split(text, '. ')))) AS sent
+      FROM documents
+    ), f AS (
+      SELECT md5(sent) AS fp, count(DISTINCT doc_id) AS n_docs,
+             min(sent) AS sample_sentence
+      FROM s WHERE length(sent) > 20 GROUP BY md5(sent)
+    )
+    SELECT fp, n_docs, sample_sentence FROM f WHERE n_docs >= 3
+    """,
+)
+def txt16_boilerplate_sentences(spark, sf_dir):
+    """Cross-document boilerplate mining: sentences normalized and
+    fingerprinted, then grouped by hash to find text repeated across >= 3
+    DISTINCT documents — headers, disclaimers, and template spam that
+    document-level dedup never sees (the documents differ; their
+    sentences don't). One explode + one aggregate on the 16-byte
+    fingerprint (never the sentence text) — at 100 TB the shuffle
+    carries hashes, not prose. The md5 is engine-stable, so the oracle
+    matches exactly."""
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\. ")).alias("raw"),
+    ).select("doc_id", F.trim(F.lower(F.col("raw"))).alias("sent"))
+    return (
+        s.where(F.length("sent") > 20)
+        .groupBy(F.md5("sent").alias("fp"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("sent").alias("sample_sentence"),
+        )
+        .where(F.col("n_docs") >= 3)
+    )
+
+
+@query(
+    "d12_minhash_estimate_error",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != ''))
+               AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, lang, ts,
+             [list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min'),
+              list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min'),
+              list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min'),
+              list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min')]
+               AS mh
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (CASE WHEN a.mh[1] = b.mh[1] THEN 1 ELSE 0 END
+            + CASE WHEN a.mh[2] = b.mh[2] THEN 1 ELSE 0 END
+            + CASE WHEN a.mh[3] = b.mh[3] THEN 1 ELSE 0 END
+            + CASE WHEN a.mh[4] = b.mh[4] THEN 1 ELSE 0 END) / 4.0 AS est,
+             round(len(list_intersect(a.ts, b.ts))
+                   / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+                   4) AS exact_j
+      FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(est, 4) AS est_jaccard, exact_j AS exact_jaccard,
+           round(abs(est - exact_j), 4) AS abs_err
+    FROM pairs WHERE exact_j >= 0.2 OR est >= 0.25
+    """,
+)
+def d12_minhash_estimate_error(spark, sf_dir):
+    """MinHash estimator calibration: for every same-language candidate
+    pair, the k=4 signature-agreement estimate of Jaccard vs the exact
+    token-set Jaccard, with absolute error — the query you run BEFORE
+    trusting LSH thresholds at scale (it tells you what k buys). Blocked
+    self-join (lang here; LSH bands at 100 TB) keeps the pair space
+    linear-ish; signatures and token sets come from ONE tokenize pass
+    shared by both measures. The md5 minhash is engine-stable, so
+    estimate AND exact match the oracle bit-for-bit."""
+    from es_to_clickhouse_spark.operators.dedup import jaccard, minhash_signature
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(tokens(F.col("text"))).alias("ts"),
+        F.array(*minhash_signature(F.col("text"), k=4)).alias("mh"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("ts").alias("ts_a"), F.col("mh").alias("mh_a"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("ts").alias("ts_b"), F.col("mh").alias("mh_b"),
+    )
+    est = None
+    for i in range(1, 5):
+        term = F.when(
+            F.element_at("mh_a", i) == F.element_at("mh_b", i), F.lit(1)
+        ).otherwise(F.lit(0))
+        est = term if est is None else est + term
+    est = est / 4.0
+    exact = F.round(jaccard(F.col("ts_a"), F.col("ts_b")), 4)
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 4).alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+        .where((F.col("exact_jaccard") >= 0.2) | (F.col("est_jaccard") >= 0.25))
+    )

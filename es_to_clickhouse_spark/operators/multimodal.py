@@ -146,6 +146,42 @@ def jpeg_sof0_dims(payload: Column, max_segments: int = 32) -> tuple[Column, Col
     )
 
 
+def _le_u16(payload: Column, byte_pos: int) -> Column:
+    """Little-endian uint16 at 1-based ``byte_pos`` — byte-wise hex parse
+    with the byte order swapped (WAV/RIFF is little-endian, unlike
+    PNG/JPEG network order). Pure Column math, stays in codegen."""
+    lo = F.conv(F.hex(F.substring(payload, byte_pos, 1)), 16, 10).cast("long")
+    hi = F.conv(F.hex(F.substring(payload, byte_pos + 1, 1)), 16, 10).cast("long")
+    return lo + hi * 256
+
+
+def _le_u32(payload: Column, byte_pos: int) -> Column:
+    return _le_u16(payload, byte_pos) + _le_u16(payload, byte_pos + 2) * 65536
+
+
+def wav_header(payload: Column) -> tuple[Column, Column, Column]:
+    """(channels, sample_rate, bits_per_sample) from a canonical WAV
+    header (RIFF spec, public wire format): ``RIFF`` + size + ``WAVE`` +
+    ``fmt `` chunk with PCM fields at fixed little-endian offsets —
+    channels at byte 23, sample rate at 25, bits at 35 (1-based).
+    Returns NULLs unless both the ``RIFF``/``WAVE`` magics and the
+    ``fmt `` chunk id match (canonical layout; files with extension
+    chunks before ``fmt `` are out of scope and fail closed). Like
+    png_dims/jpeg_sof0_dims this needs no codec and no UDF — an audio
+    metadata pass over petabytes runs fully JVM-side."""
+    magic_ok = (
+        (F.hex(F.substring(payload, 1, 4)) == F.lit("52494646"))  # 'RIFF'
+        & (F.hex(F.substring(payload, 9, 4)) == F.lit("57415645"))  # 'WAVE'
+        & (F.hex(F.substring(payload, 13, 4)) == F.lit("666D7420"))  # 'fmt '
+    )
+    none = F.lit(None).cast("long")
+    return (
+        F.when(magic_ok, _le_u16(payload, 23)).otherwise(none),
+        F.when(magic_ok, _le_u32(payload, 25)).otherwise(none),
+        F.when(magic_ok, _le_u16(payload, 35)).otherwise(none),
+    )
+
+
 def sample_frames(df: DataFrame, frames_mod: int = 3) -> DataFrame:
     """Frame-sampling plumbing over mapInPandas: each asset yields
     ``asset_id % frames_mod + 1`` deterministic fake frames.

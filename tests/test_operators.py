@@ -272,3 +272,42 @@ def test_global_running_sum_matches_serial(spark):
         ).collect()
     )
     assert got == [(1, 10), (2, 30)]
+
+
+def test_wav_header_decode_and_reject(spark):
+    """wav_header inverts real little-endian RIFF bytes built with
+    struct.pack, and fails closed on wrong magics/truncation."""
+    import struct
+
+    def wav(ch, rate, bits):
+        return (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                          ch * bits // 8, bits)
+        )
+
+    df = spark.createDataFrame(
+        [
+            (1, wav(2, 44100, 16)),
+            (2, wav(1, 8000, 8)),
+            (3, b"RIFX" + wav(1, 8000, 8)[4:]),  # big-endian RIFX: reject
+            (4, b"RIFF1234WAVEdata"),  # no fmt chunk at canonical offset
+            (5, b"short"),
+        ],
+        "asset_id long, payload binary",
+    )
+    c, r, b = multimodal.wav_header(F.col("payload"))
+    got = {
+        row.asset_id: (row.c, row.r, row.b)
+        for row in df.select(
+            "asset_id", c.alias("c"), r.alias("r"), b.alias("b")
+        ).collect()
+    }
+    assert got == {
+        1: (2, 44100, 16),
+        2: (1, 8000, 8),
+        3: (None, None, None),
+        4: (None, None, None),
+        5: (None, None, None),
+    }

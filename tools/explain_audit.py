@@ -32,6 +32,7 @@ BNL_ALLOWED = {
     "t6_auto_mode_split",
     "dq3_daily_anomaly",  # 1-row mu/sigma stats broadcast
     "dq5_join_key_skew",  # 1-row total/avg broadcast
+    "pk2_curriculum_bins",  # 1-row decile-cuts broadcast
 }
 
 
