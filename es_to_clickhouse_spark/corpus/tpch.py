@@ -646,3 +646,74 @@ def q22_dormant_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_suppkey, l.l_orderkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    ), per_order AS (
+      SELECT l.l_orderkey,
+             count(DISTINCT l.l_suppkey) AS n_supp
+      FROM lineitem l GROUP BY l.l_orderkey
+    ), late_per_order AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_late
+      FROM late GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM (SELECT DISTINCT l_suppkey, late.l_orderkey
+          FROM late) lw
+    JOIN per_order p ON p.l_orderkey = lw.l_orderkey
+    JOIN late_per_order lp ON lp.l_orderkey = lw.l_orderkey
+    JOIN supplier s ON s.s_suppkey = lw.l_suppkey
+    WHERE p.n_supp > 1 AND lp.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 adapted (late := l_shipdate > o_orderdate + 30 days —
+    the trimmed schema has no commit/receipt dates): suppliers who were
+    the SOLE late supplier on a finished multi-supplier order. The
+    original's double correlated EXISTS / NOT EXISTS is DECORRELATED
+    into two per-order distinct-supplier counts joined back — each
+    correlated probe becomes one partial-aggregated shuffle on the
+    order key that every 100 TB optimizer (and Catalyst, via this
+    rewrite) prefers over per-row subquery execution. Supplier is
+    broadcast; the top-10 is a TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    )
+    lw = late.distinct()
+    return (
+        lw.join(per_order, "l_orderkey")
+        .join(late_per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), lw.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
