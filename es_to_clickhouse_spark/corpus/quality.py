@@ -698,3 +698,81 @@ def d12_minhash_estimate_error(spark, sf_dir):
         )
         .where((F.col("exact_jaccard") >= 0.2) | (F.col("est_jaccard") >= 0.25))
     )
+
+
+@query(
+    "emb1_norm_profile",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate
+    FROM n GROUP BY label
+    """,
+)
+def emb1_norm_profile(spark, sf_dir):
+    """Embedding-quality gate: per-label L2-norm profile plus a
+    degenerate (near-zero) vector count — collapsed or unnormalized
+    embeddings are the silent killer of cosine-based dedup and ANN, so
+    this runs BEFORE any similarity job. The norm is a sequential
+    left-fold over the array (F.aggregate) — identical evaluation order
+    to DuckDB's list_sum, so even the floating point matches; one scan,
+    one partial-aggregated shuffle on label."""
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    n = e.select("label", F.sqrt(sq).alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_degenerate"),
+    )
+
+
+@query(
+    "emb2_dimension_drift",
+    """
+    WITH d AS (
+      SELECT gs.i - 1 AS dim, CAST(embedding[gs.i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 8) AS gs(i)
+      WHERE gs.i <= len(embedding)
+    )
+    SELECT dim, count(*) AS n,
+           round(avg(x), 4) AS mean_x,
+           round(stddev_samp(x), 4) AS std_x
+    FROM d GROUP BY dim
+    """,
+)
+def emb2_dimension_drift(spark, sf_dir):
+    """Per-dimension mean/std over the first 8 embedding dimensions —
+    the drift fingerprint you compare across ingestion batches to catch
+    a swapped model or a broken normalizer (any dimension whose mean
+    jumps is a red flag). posexplode carries (dim, value) pairs so the
+    shuffle holds 8 doubles per vector, not the vector; the aggregate is
+    map-side partial. Works at any dimensionality because the explode is
+    pre-filtered to the profiled prefix."""
+    e = t(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 4).alias("mean_x"),
+        F.round(F.stddev_samp("x"), 4).alias("std_x"),
+    )
