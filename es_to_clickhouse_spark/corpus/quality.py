@@ -776,3 +776,103 @@ def emb2_dimension_drift(spark, sf_dir):
         F.round(F.avg("x"), 4).alias("mean_x"),
         F.round(F.stddev_samp("x"), 4).alias("std_x"),
     )
+
+
+@query(
+    "f23_url_parse",
+    """
+    SELECT doc_id,
+           'cdn.example.com' AS host,
+           '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+           source AS src,
+           CAST(doc_id % 100 AS VARCHAR) AS page
+    FROM documents
+    """,
+)
+def f23_url_parse(spark, sf_dir):
+    """URL decomposition (host / path / query parameters) with Spark's
+    built-in parse_url — log and clickstream tables carry URLs in
+    nearly every real ES index the reference migrates. URLs are
+    synthesized per row from document fields and the oracle is ground
+    truth from the construction, so parse_url must actually invert the
+    encoding (host, path, and two query params). Pure codegen
+    expressions — a petabyte URL-normalization pass stays JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn.example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?src="),
+        F.col("source"),
+        F.lit("&page="),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("src")).alias("src"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias("page"),
+    )
+
+
+@query(
+    "ts6_cross_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DECIMAL(20,0)) AS x,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DECIMAL(20,0)) AS y
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(count(*) AS DECIMAL(20,0)) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM daily
+    )
+    SELECT round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS view_click_corr
+    FROM s
+    """,
+)
+def ts6_cross_correlation(spark, sf_dir):
+    """Pearson correlation between daily view volume and daily click
+    volume, decomposed into EXACT decimal sums (same technique as a18's
+    regression): integer counts accumulate in DECIMAL so partial-
+    aggregation order cannot move the result, and the one-row corr
+    formula runs in double with a fixed expression order — unlike the
+    built-in float `corr`, whose double sums drift with parallelism.
+    Two map-side-combinable aggregates, no window, no per-row state."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("decimal(20,0)")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("decimal(20,0)")
+        .alias("y"),
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(F.round(corr, 6).alias("view_click_corr"))
