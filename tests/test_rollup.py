@@ -1,0 +1,92 @@
+"""Incremental rollup (continuous aggregate) maintenance — rollup.py."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from es_to_clickhouse_spark.rollup import (
+    batch_partials,
+    read_rollup,
+    refresh_rollup,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "d string, user_id long, value double")
+
+
+def _full_recompute(spark, all_rows):
+    return {
+        (r.d, r.user_id): (r.v_sum, r.v_cnt, r.v_min, r.v_max)
+        for r in batch_partials(
+            _events(spark, all_rows), ["d", "user_id"], "value"
+        ).collect()
+    }
+
+
+def test_incremental_refresh_equals_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    b1 = [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 4.0), ("2024-01-02", 1, 7.0)]
+    b2 = [("2024-01-02", 1, 3.0), ("2024-01-03", 2, 5.0)]  # touches d2, d3 only
+    assert refresh_rollup(spark, path, _events(spark, b1), ["d", "user_id"], "value") == 2
+    assert refresh_rollup(spark, path, _events(spark, b2), ["d", "user_id"], "value") == 2
+    # partition-value inference reads d back as DATE; normalize to str
+    got = {
+        (str(r.d), r.user_id): (r.v_sum, r.v_cnt, r.v_min, r.v_max)
+        for r in read_rollup(spark, path).collect()
+    }
+    assert got == _full_recompute(spark, b1 + b2)
+    # derived avg merges correctly across batches (d2/u1: (7+3)/2)
+    avg = {
+        (str(r.d), r.user_id): r.v_avg for r in read_rollup(spark, path).collect()
+    }
+    assert avg[("2024-01-02", 1)] == 5.0
+
+
+def test_untouched_partitions_not_rewritten(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    refresh_rollup(
+        spark,
+        path,
+        _events(spark, [("2024-01-01", 1, 1.0), ("2024-01-02", 1, 2.0)]),
+        ["d", "user_id"],
+        "value",
+    )
+
+    def files_of(day):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(path, f"d={day}", "*.parquet"))
+        }
+
+    before = files_of("2024-01-01")
+    assert before
+    # batch touching ONLY 2024-01-02: day-1 partition must be byte-identical
+    refresh_rollup(
+        spark,
+        path,
+        _events(spark, [("2024-01-02", 1, 9.0)]),
+        ["d", "user_id"],
+        "value",
+    )
+    assert files_of("2024-01-01") == before
+    got = {
+        (str(r.d), r.user_id): (r.v_sum, r.v_cnt)
+        for r in read_rollup(spark, path).collect()
+    }
+    assert got[("2024-01-02", 1)] == (11.0, 2)
+    assert got[("2024-01-01", 1)] == (1.0, 1)
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    refresh_rollup(
+        spark, path, _events(spark, [("2024-01-01", 1, 1.0)]), ["d", "user_id"], "value"
+    )
+    before = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert refresh_rollup(spark, path, _events(spark, []), ["d", "user_id"], "value") == 0
+    after = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert after == before
