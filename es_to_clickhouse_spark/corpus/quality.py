@@ -172,7 +172,8 @@ def ts4_rolling_median(spark, sf_dir):
            round(lag1, 4) AS lag1, round(lag7, 4) AS lag7,
            round(value - lag1, 4) AS delta1,
            CASE WHEN lag1 IS NULL OR lag1 = 0 THEN NULL
-                ELSE round((value - lag1) / lag1, 6) END AS pct1
+                ELSE CAST(floor((value - lag1) / lag1 * 1000000) AS BIGINT)
+           END AS pct1_ppm
     FROM w
     """,
 )
@@ -181,7 +182,11 @@ def ts5_lag_features(spark, sf_dir):
     standard autoregressive feature block for forecasting training data.
     One window pass, one shuffle on the entity key; every feature is a
     pure expression over the same sorted frame, so adding more lags adds
-    zero shuffles."""
+    zero shuffles. The percent change renders as FLOORED integer ppm,
+    not round(x, 6): decimal round on a double sits 1 ulp apart between
+    engines at .5 boundaries (Spark BigDecimal HALF_UP vs DuckDB
+    C-style; bit us at sf0.1 row 84116), while floor of the identical
+    IEEE quotient is deterministic everywhere."""
     win = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = t(spark, sf_dir, "events")
     lag1 = F.lag("value", 1).over(win)
@@ -194,8 +199,12 @@ def ts5_lag_features(spark, sf_dir):
         F.round(lag7, 4).alias("lag7"),
         F.round(F.col("value") - lag1, 4).alias("delta1"),
         F.when(
-            lag1.isNull() | (lag1 == 0), F.lit(None).cast("double")
-        ).otherwise(F.round((F.col("value") - lag1) / lag1, 6)).alias("pct1"),
+            lag1.isNull() | (lag1 == 0), F.lit(None).cast("bigint")
+        )
+        .otherwise(
+            F.floor((F.col("value") - lag1) / lag1 * 1000000).cast("bigint")
+        )
+        .alias("pct1_ppm"),
     )
 
 
@@ -649,7 +658,8 @@ def txt16_boilerplate_sentences(spark, sf_dir):
     )
     SELECT id_a, id_b, round(est, 4) AS est_jaccard, exact_j AS exact_jaccard,
            round(abs(est - exact_j), 4) AS abs_err
-    FROM pairs WHERE exact_j >= 0.2 OR est >= 0.25
+    FROM pairs
+    WHERE (exact_j >= 0.2 OR est >= 0.25) AND id_a % 10 = 3
     """,
 )
 def d12_minhash_estimate_error(spark, sf_dir):
@@ -696,7 +706,14 @@ def d12_minhash_estimate_error(spark, sf_dir):
             exact.alias("exact_jaccard"),
             F.round(F.abs(est - exact), 4).alias("abs_err"),
         )
-        .where((F.col("exact_jaccard") >= 0.2) | (F.col("est_jaccard") >= 0.25))
+        # deterministic 10% calibration sample on the left id: the
+        # estimator's error distribution needs a sample, not every pair
+        # (3.2M rows at sf0.1 without it); modulo keeps both engines'
+        # samples identical
+        .where(
+            ((F.col("exact_jaccard") >= 0.2) | (F.col("est_jaccard") >= 0.25))
+            & (F.col("id_a") % 10 == 3)
+        )
     )
 
 
