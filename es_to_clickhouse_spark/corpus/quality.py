@@ -893,3 +893,88 @@ def ts6_cross_correlation(spark, sf_dir):
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return s.select(F.round(corr, 6).alias("view_click_corr"))
+
+
+@query(
+    "sim6_knn_graph",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % 25 = 7
+    ), p AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+                      i -> CAST(e.embedding[i] AS DOUBLE)
+                           * CAST(q.qe[i] AS DOUBLE))) AS dot,
+             list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             list_sum(list_transform(q.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nb
+      FROM embeddings e, q
+      WHERE e.vec_id != q.qid
+    ), scored AS (
+      SELECT qid, neighbor_id,
+             CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT)
+               AS cos_ppm
+      FROM p
+    ), ranked AS (
+      SELECT qid, neighbor_id, cos_ppm,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_ppm DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, cos_ppm, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def sim6_knn_graph(spark, sf_dir):
+    """Exact k-NN graph (top-3 cosine neighbors per sampled query
+    vector) — the substrate for graph-based dedup clustering and
+    embedding-space QA. The sampled query side broadcasts (sim1's
+    allowlisted pattern); scoring is a map-side zip_with dot product
+    with the SAME sequential fold order as DuckDB's list_sum, and
+    ranking happens on FLOORED integer ppm (ts5's lesson: never rank or
+    compare cross-engine on rounded doubles), tie-broken by neighbor
+    id, so the graph is bit-stable. At 100 TB the broadcast side stays
+    the sampled probe set and the big side streams — same plan."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def sq(a):
+        return F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+
+    p = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("embedding"), F.col("qe")).alias("dot"),
+            sq(F.col("embedding")).alias("na"),
+            sq(F.col("qe")).alias("nb"),
+        )
+    )
+    scored = p.select(
+        "qid",
+        "neighbor_id",
+        F.floor(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))) * 1000000
+        )
+        .cast("bigint")
+        .alias("cos_ppm"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_ppm").desc(), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )

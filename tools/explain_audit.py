@@ -33,6 +33,7 @@ BNL_ALLOWED = {
     "dq3_daily_anomaly",  # 1-row mu/sigma stats broadcast
     "dq5_join_key_skew",  # 1-row total/avg broadcast
     "pk2_curriculum_bins",  # 1-row decile-cuts broadcast
+    "sim6_knn_graph",  # sampled probe-set broadcast (sim1 pattern)
 }
 
 
