@@ -978,3 +978,54 @@ def sim6_knn_graph(spark, sf_dir):
         scored.select("*", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "dq6_json_key_profile",
+    """
+    WITH kv AS (
+      SELECT event_id, user_id,
+             unnest(json_keys(props)) AS k,
+             props
+      FROM events WHERE props IS NOT NULL
+    ), v AS (
+      SELECT event_id, user_id, k,
+             CAST(json_extract(props, '$.' || k) AS VARCHAR) AS val
+      FROM kv
+    )
+    SELECT k, count(*) AS n_rows,
+           count(DISTINCT val) AS n_vals,
+           min(val) AS min_val, max(val) AS max_val,
+           count(DISTINCT user_id) AS n_users
+    FROM v GROUP BY k
+    """,
+)
+def dq6_json_key_profile(spark, sf_dir):
+    """Semi-structured profiling: every key appearing in the `props`
+    JSON column with row count, distinct-value count, min/max (as raw
+    JSON scalars — min/max are lexicographic on the rendered value, the
+    honest contract for mixed-type JSON), and distinct users — the
+    query that tells you what schema is hiding inside a schemaless
+    column before you promote keys to real columns (the reference's
+    detect_new_fields does this row-by-row in Python; here it's one
+    explode + one aggregate, JVM-side json_object_keys /
+    get_json_object)."""
+    e = t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    kv = e.select(
+        "event_id",
+        "user_id",
+        "props",
+        F.explode(F.json_object_keys("props")).alias("k"),
+    )
+    v = kv.select(
+        "user_id",
+        "k",
+        F.expr("get_json_object(props, concat('$.', k))").alias("val"),
+    )
+    return v.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("val").alias("n_vals"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
