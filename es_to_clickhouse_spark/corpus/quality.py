@@ -1029,3 +1029,99 @@ def dq6_json_key_profile(spark, sf_dir):
         F.max("val").alias("max_val"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "b5_session_duration_stats",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sess_id
+      FROM g
+    ), sess AS (
+      SELECT user_id, sess_id,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sess_id
+    )
+    , agg AS (
+      SELECT list_sort(list(dur_us)) AS arr, count(*) AS n,
+             sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounces
+      FROM sess
+    )
+    SELECT CAST(n AS BIGINT) AS n_sessions,
+           CAST(bounces AS BIGINT) AS n_bounces,
+           CAST(arr[greatest(CAST(ceil(n * 0.5) AS INT), 1)] AS BIGINT)
+             AS p50_dur_us,
+           CAST(arr[greatest(CAST(ceil(n * 0.95) AS INT), 1)] AS BIGINT)
+             AS p95_dur_us,
+           CAST(arr[CAST(n AS INT)] AS BIGINT) AS max_dur_us
+    FROM agg
+    """,
+)
+def b5_session_duration_stats(spark, sf_dir):
+    """Session-quality rollup over batch sessionization (t9's 30-min-gap
+    sessions): corpus-wide session count, bounce count (single-event
+    sessions), and DISCRETE p50/p95/max duration. Events reduce to one
+    row per session first (one user_id shuffle shared with the session
+    windows), so the final stats run over session-level rows only. The
+    discrete quantile selects by identical ceil(q*n) index arithmetic
+    on both engines — exact and immune to interpolation/rounding drift.
+    The sorted-list selection at the end is the oracle-comparable form;
+    at billions of sessions swap qdisc for percentile_approx and the
+    rest of the plan is unchanged."""
+    from es_to_clickhouse_spark.functions import epoch_micros
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = t(spark, sf_dir, "events")
+    g = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+               > 1800 * 1000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_sess"),
+    )
+    s = g.select(
+        "user_id", "ts",
+        F.sum("new_sess").over(wsum).cast("long").alias("sess_id"),
+    )
+    sess = s.groupBy("user_id", "sess_id").agg(
+        (epoch_micros(F.max("ts")) - epoch_micros(F.min("ts"))).alias("dur_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # discrete (type-1) quantile: value at ceil(q*n) in the sorted list —
+    # exact integer selection, immune to interpolation/rounding drift;
+    # the identical index arithmetic runs on both engines
+    agg = sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.sort_array(F.collect_list("dur_us")).alias("_arr"),
+    )
+    arr = F.col("_arr")
+    n = F.size(arr)
+
+    def qdisc(q):
+        idx = F.greatest(F.ceil(n * q).cast("int"), F.lit(1))
+        return F.element_at(arr, idx).cast("bigint")
+
+    return agg.select(
+        "n_sessions",
+        "n_bounces",
+        qdisc(0.5).alias("p50_dur_us"),
+        qdisc(0.95).alias("p95_dur_us"),
+        F.element_at(arr, n).cast("bigint").alias("max_dur_us"),
+    )

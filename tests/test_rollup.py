@@ -90,3 +90,60 @@ def test_empty_batch_is_noop(spark, tmp_path):
     assert refresh_rollup(spark, path, _events(spark, []), ["d", "user_id"], "value") == 0
     after = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     assert after == before
+
+
+def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
+    """Structured Streaming → continuous aggregate: a file stream feeds
+    refresh_rollup per micro-batch (foreachBatch), and the maintained
+    rollup equals a batch recompute over everything streamed — the
+    at-scale shape for live dashboards over a synced table (each batch
+    touches only its grain partitions; history is never re-read)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rollup_path = str(tmp_path / "rollup")
+    schema = "d string, user_id long, value double"
+
+    b1 = spark.createDataFrame(
+        [("2024-01-01", 1, 2.0), ("2024-01-01", 1, 4.0), ("2024-01-02", 2, 10.0)],
+        schema,
+    )
+    b1.write.mode("append").parquet(str(src))
+
+    def handle(batch, batch_id):
+        refresh_rollup(
+            batch.sparkSession, rollup_path, batch, ["d", "user_id"], "value"
+        )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # second wave of files → second streaming run picks up ONLY new files
+    b2 = spark.createDataFrame(
+        [("2024-01-02", 2, 6.0), ("2024-01-03", 1, 1.0)], schema
+    )
+    b2.write.mode("append").parquet(str(src))
+    q2 = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (str(r.d), r.user_id): (r.v_sum, r.v_cnt, r.v_avg)
+        for r in read_rollup(spark, rollup_path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): (6.0, 2, 3.0),
+        ("2024-01-02", 2): (16.0, 2, 8.0),
+        ("2024-01-03", 1): (1.0, 1, 1.0),
+    }
