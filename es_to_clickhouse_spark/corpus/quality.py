@@ -698,7 +698,12 @@ def d12_minhash_estimate_error(spark, sf_dir):
     est = est / 4.0
     exact = F.round(jaccard(F.col("ts_a"), F.col("ts_b")), 4)
     return (
-        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+        # pinned repartition: a single-file source scans as ONE partition
+        # and the broadcast pair join would run the whole quadratic
+        # verify in that task (d5's lesson); round-robin spread is
+        # enough because the small side broadcasts
+        a.repartition(spark.sparkContext.defaultParallelism)
+        .join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_a",
             "id_b",
