@@ -1085,9 +1085,16 @@ def txt10_contamination_check(spark, sf_dir):
     hashed per doc (distinct within doc), then a hash equi-join finds
     overlaps; at 100 TB the join shuffles on the gram hash (uniform by
     construction) and the eval side is tiny → broadcast."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+    # pinned repartition: a single-file source scans as one partition,
+    # and the md5 8-gram hashing (the dominant cost, computed once per
+    # join side) would otherwise run single-threaded
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+        )
     )
     grams = (
         docs.where(F.size("ts") >= 8)
