@@ -1130,3 +1130,80 @@ def b5_session_duration_stats(spark, sf_dir):
         qdisc(0.95).alias("p95_dur_us"),
         F.element_at(arr, n).cast("bigint").alias("max_dur_us"),
     )
+
+
+@query(
+    "f24_string_functions",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 1)) || lower(substr(text, 2, 19))
+             AS cap20,
+           reverse(lang) AS rev_lang,
+           translate(lang, 'aeiou', '01234') AS vowel_coded,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           split_part(source, '-', 1) AS source_head,
+           repeat(lang, 2) AS lang2,
+           left(text, 5) AS head5,
+           right(text, 5) AS tail5
+    FROM documents
+    """,
+)
+def f24_string_functions(spark, sf_dir):
+    """String-function battery (capitalize / reverse / translate / lpad /
+    split_part / repeat / left / right) — the everyday normalization
+    vocabulary of ingestion SQL, each verified byte-for-byte against
+    DuckDB's implementation. All codegen expressions; a petabyte
+    string-normalization pass never leaves the JVM."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.lower(F.substring("text", 2, 19)),
+        ).alias("cap20"),
+        F.reverse("lang").alias("rev_lang"),
+        F.translate("lang", "aeiou", "01234").alias("vowel_coded"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.split_part("source", F.lit("-"), F.lit(1)).alias("source_head"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.left("text", F.lit(5)).alias("head5"),
+        F.right("text", F.lit(5)).alias("tail5"),
+    )
+
+
+@query(
+    "mm8_gif_header_decode",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(n_chars % 1600 + 1 AS BIGINT) AS width,
+           CAST((3 * n_chars) % 900 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def mm8_gif_header_decode(spark, sf_dir):
+    """GIF Logical Screen Descriptor decode (third container format
+    after PNG big-endian and WAV little-endian): magic-gated
+    little-endian uint16 width/height. Synthetic GIF89a headers vary
+    per row; the oracle is ground truth from the construction formulas
+    (operators/multimodal.gif_dims must invert the LE byte order)."""
+    from es_to_clickhouse_spark.operators.multimodal import gif_dims
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = F.col("n_chars") % 1600 + 1
+    h = (F.col("n_chars") * 3) % 900 + 1
+    # little-endian u16 hex: low byte then high byte
+    def le16(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"), F.lpad(F.hex(F.floor(v / 256)), 2, "0")
+        )
+
+    payload = F.unhex(
+        F.concat(
+            F.lit("474946383961"),  # 'GIF89a'
+            le16(w), le16(h),
+            F.lit("F7000000"),  # packed fields, bg index, aspect
+        )
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    gw, gh = gif_dims(F.col("payload"))
+    return assets.select("asset_id", gw.alias("width"), gh.alias("height"))

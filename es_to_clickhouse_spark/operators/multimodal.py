@@ -182,6 +182,20 @@ def wav_header(payload: Column) -> tuple[Column, Column, Column]:
     )
 
 
+def gif_dims(payload: Column) -> tuple[Column, Column]:
+    """(width, height) from a GIF's Logical Screen Descriptor: magic
+    ``GIF87a``/``GIF89a`` then LITTLE-endian uint16 width at byte 7 and
+    height at byte 9 (1-based). Fails closed (NULLs) on any other
+    magic. Pure Column byte math like png_dims/wav_header."""
+    magic = F.substring(payload, 1, 6).cast("string")
+    ok = magic.isin("GIF87a", "GIF89a")
+    none = F.lit(None).cast("long")
+    return (
+        F.when(ok, _le_u16(payload, 7)).otherwise(none),
+        F.when(ok, _le_u16(payload, 9)).otherwise(none),
+    )
+
+
 def sample_frames(df: DataFrame, frames_mod: int = 3) -> DataFrame:
     """Frame-sampling plumbing over mapInPandas: each asset yields
     ``asset_id % frames_mod + 1`` deterministic fake frames.
