@@ -1207,3 +1207,46 @@ def mm8_gif_header_decode(spark, sf_dir):
     assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
     gw, gh = gif_dims(F.col("payload"))
     return assets.select("asset_id", gw.alias("width"), gh.alias("height"))
+
+
+@query(
+    "w15_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             CAST(d - INTERVAL (row_number() OVER
+                    (PARTITION BY user_id ORDER BY d)) DAY AS DATE) AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           strftime(min(d), '%Y-%m-%d') AS streak_start,
+           strftime(max(d), '%Y-%m-%d') AS streak_end,
+           count(*) AS len_days
+    FROM grp GROUP BY user_id, anchor
+    """,
+)
+def w15_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (the streak feature behind retention and habit metrics). The
+    classic trick — date minus row_number is constant within a
+    consecutive run — turns streak detection into one distinct + one
+    window + one groupBy, all sharing the user_id shuffle; no self-join,
+    no iteration, no per-row state."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    return grp.groupBy("user_id", "anchor").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).alias("len_days"),
+    ).drop("anchor")
