@@ -40,6 +40,55 @@ def sample_pipeline(size: int = 1000) -> str:
 
 
 @dataclass
+class KeysetSession:
+    """The reference's Mongo full-scan protocol as a PURE fold over
+    recorded batches (mongodb/mongodb_to_bytehouse.py:524-565): repeated
+    ``find(query).sort("_id", 1).limit(batch_size)`` where the query is
+    ``{}`` on the first page and ``{"_id": {"$gt": last_id}}`` after —
+    keyset pagination, NOT an open server cursor, so the scan is
+    restartable from any watermark and needs no server-side state. The
+    loop ends on the first empty batch; a failed fetch keeps the rows
+    already drained (at-least-once partial progress, the reference
+    returns total_synced on error). ``drain(batches)`` replays recorded
+    batch results and returns ``(rows, queries)`` so tests golden-check
+    the wire exchange with zero network; the production read path is the
+    connector (:class:`MongoSource`, partitioner splitting on _id), and
+    this class pins the PROTOCOL the watermark logic must honor."""
+
+    batch_size: int = 1000
+
+    def query_for(self, last_id: str | None) -> dict:
+        q = {"_id": {"$gt": last_id}} if last_id else {}
+        return {"filter": q, "sort": [("_id", 1)], "limit": self.batch_size}
+
+    def drain(
+        self,
+        batches: list[list[dict] | Exception],
+        store_source: bool = False,
+    ) -> tuple[list[dict], list[dict]]:
+        rows: list[dict] = []
+        queries: list[dict] = []
+        last_id: str | None = None
+        queries.append(self.query_for(last_id))
+        for batch in batches:
+            if isinstance(batch, Exception):
+                break  # partial progress kept
+            if not batch:
+                break
+            for doc in batch:
+                row = {"_id": str(doc.get("_id", ""))}
+                if store_source:
+                    row["_source"] = json.dumps(
+                        doc, ensure_ascii=False, default=str
+                    )
+                row.update({k: v for k, v in doc.items() if k != "_id"})
+                rows.append(row)
+                last_id = doc.get("_id")
+            queries.append(self.query_for(last_id))
+        return rows, queries
+
+
+@dataclass
 class MongoSource:
     uri: str = "mongodb://localhost:27017"
     database: str = "test"

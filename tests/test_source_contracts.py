@@ -351,3 +351,50 @@ def test_scroll_session_query_passthrough_matches_range_dsl():
         "bool": {"filter": {"range": {"created_at": {"gt": "2024-01-01T00:00:00"}}}}
     }
     assert req["body"]["size"] == 500
+
+
+def test_mongo_keyset_session_transcript_golden():
+    """Keyset-scan protocol (mongodb_to_bytehouse.py:524-565): first
+    query unfiltered, every later query `_id $gt last-seen`, all sorted
+    ascending with the batch limit; loop ends at the first empty batch."""
+    from es_to_clickhouse_spark.sources.mongo import KeysetSession
+
+    s = KeysetSession(batch_size=2)
+    batches = [
+        [{"_id": "a1", "v": 1}, {"_id": "a2", "v": 2}],
+        [{"_id": "b9", "v": 3}],
+        [],
+    ]
+    rows, queries = s.drain(batches)
+    assert [r["_id"] for r in rows] == ["a1", "a2", "b9"]
+    assert queries == [
+        {"filter": {}, "sort": [("_id", 1)], "limit": 2},
+        {"filter": {"_id": {"$gt": "a2"}}, "sort": [("_id", 1)], "limit": 2},
+        {"filter": {"_id": {"$gt": "b9"}}, "sort": [("_id", 1)], "limit": 2},
+    ]
+
+
+def test_mongo_keyset_session_failure_keeps_partial():
+    """A failed page fetch keeps drained rows — restartable from the
+    last _id watermark (keyset pagination needs no server cursor)."""
+    from es_to_clickhouse_spark.sources.mongo import KeysetSession
+
+    s = KeysetSession(batch_size=10)
+    rows, queries = s.drain(
+        [[{"_id": "x", "n": 9}], ConnectionError("reset"), [{"_id": "y"}]]
+    )
+    assert [r["_id"] for r in rows] == ["x"]
+    # next restart would resume from 'x'
+    assert queries[-1]["filter"] == {"_id": {"$gt": "x"}}
+
+
+def test_mongo_keyset_session_store_source_json():
+    """STORE_SOURCE fidelity: the raw doc serialized with default=str
+    (mongodb_to_bytehouse.py:542-543)."""
+    from es_to_clickhouse_spark.sources.mongo import KeysetSession
+
+    rows, _ = KeysetSession().drain(
+        [[{"_id": "a", "k": 5}], []], store_source=True
+    )
+    assert json.loads(rows[0]["_source"]) == {"_id": "a", "k": 5}
+    assert rows[0]["k"] == 5
