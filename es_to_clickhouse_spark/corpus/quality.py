@@ -1250,3 +1250,41 @@ def w15_activity_streaks(spark, sf_dir):
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
         F.count(F.lit(1)).alias("len_days"),
     ).drop("anchor")
+
+
+@query(
+    "dq7_null_drift_by_day",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           CAST(count(*) - count(user_id) AS BIGINT) AS null_user,
+           CAST(count(*) - count(value) AS BIGINT) AS null_value,
+           CAST(count(*) - count(props) AS BIGINT) AS null_props,
+           CAST(count(*) - count(event_type) AS BIGINT) AS null_type
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def dq7_null_drift_by_day(spark, sf_dir):
+    """Completeness drift: per-day null counts for every nullable
+    column — the time axis dq2's whole-table profile lacks. A column
+    whose null count jumps on one day pinpoints the broken producer
+    deploy; integer counts make the check exact at any parallelism.
+    One scan, one map-side-combinable aggregate keyed on day."""
+    e = t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("d")
+    n = F.count(F.lit(1))
+    return (
+        e.groupBy(day)
+        .agg(
+            n.alias("n"),
+            (n - F.count("user_id")).cast("bigint").alias("null_user"),
+            (n - F.count("value")).cast("bigint").alias("null_value"),
+            (n - F.count("props")).cast("bigint").alias("null_props"),
+            (n - F.count("event_type")).cast("bigint").alias("null_type"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n", "null_user", "null_value", "null_props", "null_type",
+        )
+    )
