@@ -274,6 +274,35 @@ def test_global_running_sum_matches_serial(spark):
     assert got == [(1, 10), (2, 30)]
 
 
+def test_global_running_sum_stable_across_executions(spark):
+    """The ADVICE r4 high finding: bucket assignment must be a pure
+    function of row values, not spark_partition_id after a sampled
+    range shuffle — otherwise the totals job and the caller's later
+    action(s) can disagree on a row's bucket and corrupt the sums.
+    Pin it: string order keys (pk1's shape), NULLs in the order key
+    (land in bucket 0, nulls-first), and the SAME returned DataFrame
+    collected three times must be identical and serially correct."""
+    from es_to_clickhouse_spark.operators.ordered import global_running_sum
+
+    rows = [(f"doc_{i:04d}", (i * 37) % 11 - 3) for i in range(300)]
+    rows += [(None, 99), (None, 1)]  # NULL keys: nulls-first, bucket 0
+    df = spark.createDataFrame(rows, "k string, v int").repartition(7)
+    out_df = global_running_sum(
+        df, ["k", "v"], "v", out_col="rs", num_partitions=16
+    )
+    key = lambda t: (t[0] is not None, t[0] or "", t[1])
+    runs = [
+        sorted(((r.k, r.v, r.rs) for r in out_df.collect()), key=key)
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    acc, expect = 0, []
+    for k, v in sorted(rows, key=key):
+        acc += v
+        expect.append((k, v, acc))
+    assert runs[0] == expect
+
+
 def test_wav_header_decode_and_reject(spark):
     """wav_header inverts real little-endian RIFF bytes built with
     struct.pack, and fails closed on wrong magics/truncation."""
