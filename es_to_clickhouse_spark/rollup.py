@@ -81,11 +81,21 @@ def refresh_rollup(
     if fsio.exists(spark, path):
         # Hive partition-value inference may read the leading grain back
         # as date/int; cast to the batch's type so merges stay
-        # schema-stable round after round
+        # schema-stable round after round. A NULL grain lands in (and
+        # reads back from) the __HIVE_DEFAULT_PARTITION__ directory as
+        # NULL — isin() never matches NULL, so it needs its own isNull
+        # arm or the dynamic overwrite would replace that partition with
+        # only the new batch's partials, losing prior state.
+        non_null = [v for v in touched if v is not None]
+        cond = (
+            F.col(lead).isin(non_null) if non_null else F.lit(False)
+        )
+        if len(non_null) < len(touched):
+            cond = cond | F.col(lead).isNull()
         old = (
             spark.read.parquet(path)
             .withColumn(lead, F.col(lead).cast(new.schema[lead].dataType))
-            .where(F.col(lead).isin(touched))
+            .where(cond)
         )
         merged = _merge(old.unionByName(new), grain_cols)
     # dynamic overwrite: ONLY the partitions present in `merged` are

@@ -81,6 +81,34 @@ def test_untouched_partitions_not_rewritten(spark, tmp_path):
     assert got[("2024-01-01", 1)] == (1.0, 1)
 
 
+def test_null_leading_grain_keeps_prior_state(spark, tmp_path):
+    """The r4 ADVICE medium finding: a NULL leading grain lands in the
+    __HIVE_DEFAULT_PARTITION__ directory, and `isin(touched)` never
+    matches NULL — without an isNull arm the second batch's dynamic
+    overwrite would replace that partition with only its own partials,
+    silently dropping batch 1's contribution."""
+    path = str(tmp_path / "rollup")
+    b1 = [(None, 1, 5.0), ("2024-01-01", 1, 1.0)]
+    b2 = [(None, 1, 3.0)]  # touches ONLY the null partition
+    refresh_rollup(spark, path, _events(spark, b1), ["d", "user_id"], "value")
+    refresh_rollup(spark, path, _events(spark, b2), ["d", "user_id"], "value")
+    got = {
+        (r.d if r.d is None else str(r.d), r.user_id): (
+            r.v_sum, r.v_cnt, r.v_min, r.v_max,
+        )
+        for r in read_rollup(spark, path).collect()
+    }
+    assert got[(None, 1)] == (8.0, 2, 3.0, 5.0)  # merged, not replaced
+    assert got[("2024-01-01", 1)] == (1.0, 1, 1.0, 1.0)
+    # an all-null batch (non_null empty → lit(False) | isNull arm)
+    refresh_rollup(spark, path, _events(spark, [(None, 1, 2.0)]), ["d", "user_id"], "value")
+    got2 = {
+        (r.d if r.d is None else str(r.d), r.user_id): (r.v_sum, r.v_cnt)
+        for r in read_rollup(spark, path).collect()
+    }
+    assert got2[(None, 1)] == (10.0, 3)
+
+
 def test_empty_batch_is_noop(spark, tmp_path):
     path = str(tmp_path / "rollup")
     refresh_rollup(
