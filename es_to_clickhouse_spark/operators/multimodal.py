@@ -126,6 +126,11 @@ def jpeg_sof0_dims(payload: Column, max_segments: int = 32) -> tuple[Column, Col
                 & ~marker.isin(*_JPEG_NON_SOF),
                 F.lit(0),  # SOF1/2/...: real frame header, unhandled type
             )
+            # spec-legal 0xFF fill/padding before a marker: the marker is
+            # the LAST FF plus the type byte, so consume one fill byte
+            # per step (bounded by max_segments) rather than misreading
+            # "FFFF" as a marker with a payload length
+            .when(marker == "FFFF", acc + 1)
             .when(marker.rlike("^FF"), acc + 2 + _u16(acc + 2))  # skip segment
             .otherwise(F.lit(0))  # not a marker (truncated/garbage)
         )

@@ -214,6 +214,15 @@ def test_jpeg_sof0_dims_decode_and_missing_marker(spark):
         # SOF2 (progressive): a real frame header but an unhandled type
         return b"\xff\xd8\xff\xc2\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x01"
 
+    def fill_padded(w, h):
+        # spec-legal 0xFF fill bytes before markers: between segments and
+        # immediately before SOF0 — a walk that reads "FFFF" as a marker
+        # with a length would jump to a garbage offset
+        return (
+            b"\xff\xd8" + b"\xff\xff\xff" + b"\xff\xe0\x00\x04JF"
+            + b"\xff\xff" + sof0(w, h)
+        )
+
     df = spark.createDataFrame(
         [
             (1, jpeg(800, 600)),
@@ -223,6 +232,8 @@ def test_jpeg_sof0_dims_decode_and_missing_marker(spark):
             (5, progressive(640, 480)),
             (6, b"not-a-jpeg"),
             (7, b"\xff\xd8\xff\xe1\x00\x08\xff\xc0"),  # truncated mid-APP1
+            (8, fill_padded(320, 240)),
+            (9, b"\xff\xd8" + b"\xff" * 40),  # all-fill: walk exhausts, NULL
         ],
         "asset_id long, payload binary",
     )
@@ -239,6 +250,8 @@ def test_jpeg_sof0_dims_decode_and_missing_marker(spark):
         5: (None, None),
         6: (None, None),
         7: (None, None),
+        8: (320, 240),
+        9: (None, None),
     }
 
 
