@@ -1082,8 +1082,10 @@ def b5_session_duration_stats(spark, sf_dir):
     discrete quantile selects by identical ceil(q*n) index arithmetic
     on both engines — exact and immune to interpolation/rounding drift.
     The sorted-list selection at the end is the oracle-comparable form;
-    at billions of sessions swap qdisc for percentile_approx and the
-    rest of the plan is unchanged."""
+    at billions of sessions the single array cell is the hazard — the
+    implemented swap is sk8_session_p95_sketch (corpus/sketch.py): the
+    same session plan feeding rollup.py's mergeable bottom-k quantile
+    sample, oracle-checked and incrementally maintainable."""
     from es_to_clickhouse_spark.functions import epoch_micros
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -10,6 +10,7 @@ under the full value-hash oracle like every other corpus query.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from es_to_clickhouse_spark.corpus import query, t
 from es_to_clickhouse_spark.operators.sketch import (
@@ -185,6 +186,181 @@ def sk5_hll_distinct(spark, sf_dir):
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return approx.join(exact, "event_type")
+
+
+@query(
+    "sk7_quantile_sketch_calibration",
+    f"""
+    WITH h AS (
+      SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS v,
+             {_DUCK_H32.format(x="'qsk'||CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents
+    ), r AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h
+    ), s AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS vr,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM r WHERE rn <= 64
+    ), est AS (
+      SELECT lang,
+             CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                           THEN v END) AS BIGINT) AS p50_est,
+             CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                           THEN v END) AS BIGINT) AS p95_est
+      FROM s GROUP BY lang
+    ), q AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS vr,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), ex AS (
+      SELECT lang,
+             CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                           THEN n_chars END) AS BIGINT) AS p50_exact,
+             CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                           THEN n_chars END) AS BIGINT) AS p95_exact
+      FROM q GROUP BY lang
+    )
+    SELECT est.lang, p50_est, p95_est, p50_exact, p95_exact
+    FROM est JOIN ex USING (lang)
+    """,
+)
+def sk7_quantile_sketch_calibration(spark, sf_dir):
+    """Calibration of the rollup's mergeable quantile partial (rollup.py
+    ``v_qsk``): per-language p50/p95 of n_chars estimated from the
+    k=64 bottom-k-by-hash sample NEXT TO the exact discrete quantiles,
+    so the sketch's rank error is visible in the result — the same
+    estimator-vs-truth pattern as sk1/sk5/d12. The sample selection and
+    the ceil(p*n) nearest-rank arithmetic are replicated bit-for-bit by
+    the DuckDB oracle (engine-stable md5 hash, doc_id tiebreak), so
+    this runs under the full value-hash gate. Exercises the REAL rollup
+    code path: batch_partials builds the sample, sketch_quantile reads
+    it — what ClickHouse ``quantileState`` gives the reference's target
+    warehouse, maintained incrementally here instead."""
+    from es_to_clickhouse_spark.rollup import batch_partials, sketch_quantile
+
+    d = t(spark, sf_dir, "documents")
+    parts = batch_partials(
+        d, ["lang"], "n_chars", key_col="doc_id", quantile_k=64
+    )
+    est = parts.select(
+        "lang",
+        sketch_quantile(F.col("v_qsk"), 0.5).cast("bigint").alias("p50_est"),
+        sketch_quantile(F.col("v_qsk"), 0.95).cast("bigint").alias("p95_est"),
+    )
+    wv = Window.partitionBy("lang").orderBy("n_chars")
+    wn = Window.partitionBy("lang")
+    q = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wv).alias("vr"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def exq(p, name):
+        idx = F.greatest(
+            F.ceil(F.lit(p) * F.col("n")).cast("int"), F.lit(1)
+        )
+        return (
+            F.max(F.when(F.col("vr") == idx, F.col("n_chars")))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    exact = q.groupBy("lang").agg(exq(0.5, "p50_exact"), exq(0.95, "p95_exact"))
+    return est.join(exact, "lang")
+
+
+@query(
+    "sk8_session_p95_sketch",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sess_id
+      FROM g
+    ), sess AS (
+      SELECT user_id, sess_id,
+             CAST(user_id AS VARCHAR)||'#'||CAST(sess_id AS VARCHAR) AS skey,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+      FROM s GROUP BY user_id, sess_id
+    ), r AS (
+      SELECT v, skey FROM (
+        SELECT CAST(dur_us AS DOUBLE) AS v, skey,
+               row_number() OVER (
+                 ORDER BY {_DUCK_H32.format(x="'qsk'||skey")}, skey) AS rn
+        FROM sess
+      ) WHERE rn <= 128
+    ), q AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS vr, count(*) OVER () AS n
+      FROM r
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+           CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                         THEN v END) AS BIGINT) AS p50_est,
+           CAST(max(CASE WHEN vr = greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)
+                         THEN v END) AS BIGINT) AS p95_est,
+           (SELECT CAST(max(dur_us) AS BIGINT) FROM sess) AS max_dur_us
+    FROM q
+    """,
+)
+def sk8_session_p95_sketch(spark, sf_dir):
+    """b5's AT-SCALE path made real: session-duration p50/p95 from the
+    rollup's mergeable bottom-k quantile sample (k=128) instead of
+    collecting every duration into one array cell. Same sessionization
+    plan as b5 (30-min gap, one user_id shuffle); the session rows then
+    reduce to a bounded sketch whose estimate the DuckDB oracle
+    replicates bit-for-bit (md5 bottom-k + ceil(p*n) selection). At a
+    billion sessions b5's exact array cell is the scale hazard — this
+    query IS the documented swap, incrementally maintainable via
+    rollup.refresh_rollup since bottom-k merges exactly."""
+    from es_to_clickhouse_spark.functions import epoch_micros
+    from es_to_clickhouse_spark.rollup import batch_partials, sketch_quantile
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = t(spark, sf_dir, "events")
+    g = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+               > 1800 * 1000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_sess"),
+    )
+    s = g.select(
+        "user_id", "ts",
+        F.sum("new_sess").over(wsum).cast("long").alias("sess_id"),
+    )
+    sess = s.groupBy("user_id", "sess_id").agg(
+        (epoch_micros(F.max("ts")) - epoch_micros(F.min("ts"))).alias("dur_us")
+    )
+    keyed = sess.select(
+        F.lit(1).alias("_g"),
+        F.concat_ws("#", F.col("user_id"), F.col("sess_id")).alias("skey"),
+        "dur_us",
+    )
+    parts = batch_partials(
+        keyed, ["_g"], "dur_us", key_col="skey", quantile_k=128
+    )
+    return parts.select(
+        F.col("v_cnt").cast("bigint").alias("n_sessions"),
+        sketch_quantile(F.col("v_qsk"), 0.5).cast("bigint").alias("p50_est"),
+        sketch_quantile(F.col("v_qsk"), 0.95).cast("bigint").alias("p95_est"),
+        F.col("v_max").cast("bigint").alias("max_dur_us"),
+    )
 
 
 @query(

@@ -133,6 +133,42 @@ def hll_distinct(
     return agg.select(*group_cols, est.cast("long").alias(out_col))
 
 
+def bottom_k_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "qsk",
+    fanout: int = 8,
+) -> DataFrame:
+    """The ``k`` rows with the smallest keyed hash per group, with the
+    hash exposed as ``_qh`` — a deterministic uniform row sample whose
+    defining property is MERGEABILITY: bottom-k of a union equals
+    bottom-k of the per-part bottom-k's, exactly. That makes it the
+    quantile partial for incremental rollups (rollup.py): estimates
+    from the merged sample are bit-identical to a full recompute.
+
+    Two-level selection like kmv_distinct — k per (group, hash-slice)
+    first, then k of <= fanout*k survivors — so no task ever sorts a
+    whole group. ``key_col`` should uniquely identify rows (it is the
+    sampling unit and the tie-break)."""
+    hashed = df.withColumn("_qh", hash32(F.col(key_col), salt))
+    w1 = Window.partitionBy(*group_cols, F.col("_qh") % fanout).orderBy(
+        "_qh", key_col
+    )
+    lvl1 = (
+        hashed.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("_qh", key_col)
+    return (
+        lvl1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

@@ -11,7 +11,8 @@ re-expressed in Spark terms):
 
 1. the new micro-batch aggregates to MERGEABLE partial state
    (sum/count/min/max — avg is derived sum/count at read time, never
-   stored, because stored averages don't merge);
+   stored, because stored averages don't merge — plus two optional
+   sketch partials, below);
 2. only the grain partitions the batch TOUCHES are read back, merged
    (union + re-aggregate), and rewritten via dynamic partition
    overwrite — untouched partitions are not read, not written, not
@@ -20,43 +21,174 @@ re-expressed in Spark terms):
    so point/range queries prune to partitions and the overwrite is
    atomic per partition.
 
+Sketch partials — the two aggregate states every warehouse dashboard
+needs that plain sum/cnt/min/max can't derive (the reference's target
+warehouse gets them as ClickHouse ``quantileState``/``uniqState``;
+clickhouse/clickhouse_to_bytehouse.py materializes into exactly such
+tables):
+
+- ``v_qsk`` (``key_col=``): quantile sample — the ``quantile_k`` rows
+  with the smallest md5-derived hash of ``key_col``, stored as a sorted
+  ``array<struct<h,v>>``. Bottom-k-by-hash is EXACTLY mergeable
+  (bottom-k of a union == bottom-k of the per-part bottom-k's), so the
+  incrementally-maintained sample is bit-identical to a recompute, and
+  the estimator is engine-reproducible (DuckDB computes the same md5
+  hash — the oracle pattern of operators/sketch.py). Rank error of the
+  p-quantile estimate ~ sqrt(p(1-p)/k): ~3.1% at the median for k=256.
+- ``v_hllr`` (``distinct_col=``): deterministic HLL registers (classic
+  Flajolet HLL over the same engine-stable hash, p=``HLL_P``), stored
+  SPARSE as a sorted ``array<struct<reg,rho>>`` — register-wise max is
+  the merge, also exactly order-independent. ~6.5% standard error at
+  p=8 (raw HLL, no bias branch — see operators/sketch.py hll_distinct
+  for why the correction is deliberately omitted).
+
 Delivery contract: merging the same batch twice double-counts (the
-partials are additive), so the caller feeds EXACTLY-ONCE batches —
-the engine's watermark predicates (incremental.py) provide precisely
-that stream; for at-least-once sources, dedup first (sink.upsert_view).
+partials are additive, and re-inserting a row re-draws the same hash
+but duplicates its mass in sum/cnt), so the caller feeds EXACTLY-ONCE
+batches — the engine's watermark predicates (incremental.py) provide
+precisely that stream; for at-least-once sources, dedup first
+(sink.upsert_view).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from es_to_clickhouse_spark import fsio
+from es_to_clickhouse_spark.operators.sketch import bottom_k_rows, hash32
 
 #: partial-state suffixes a rollup row carries per value column
 PARTIALS = ("sum", "cnt", "min", "max")
+#: optional sketch partials (present when key_col / distinct_col given)
+SKETCH_PARTIALS = ("qsk", "hllr")
+
+QUANTILE_K = 256
+HLL_P = 8
+
+
+def _hll_registers(
+    batch: DataFrame, grain_cols: list[str], distinct_col: str, p: int
+) -> DataFrame:
+    """Sparse HLL register state per grain: array<struct<reg,rho>> of
+    per-register maxima (same arithmetic as operators/sketch.py
+    hll_distinct — top ``p`` hash bits select the register, rho is the
+    leading-zero count of the low bits + 1, every step engine-exact)."""
+    low = 32 - p
+    hv = hash32(F.col(distinct_col))
+    w = hv.bitwiseAND((1 << low) - 1)
+    rho = F.when(w == 0, F.lit(low + 1)).otherwise(
+        F.lit(low + 1) - F.length(F.bin(w))
+    )
+    return (
+        batch.where(F.col(distinct_col).isNotNull())
+        .select(
+            *grain_cols,
+            F.shiftright(hv, low).cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*grain_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+        .groupBy(*grain_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("reg"), F.col("rho")))
+            ).alias("v_hllr")
+        )
+    )
 
 
 def batch_partials(
-    batch: DataFrame, grain_cols: list[str], value_col: str
+    batch: DataFrame,
+    grain_cols: list[str],
+    value_col: str,
+    key_col: str | None = None,
+    distinct_col: str | None = None,
+    quantile_k: int = QUANTILE_K,
+    hll_p: int = HLL_P,
 ) -> DataFrame:
-    """Aggregate a micro-batch to mergeable partial state per grain."""
-    return batch.groupBy(*grain_cols).agg(
+    """Aggregate a micro-batch to mergeable partial state per grain.
+
+    ``key_col`` (a unique row id) enables the ``v_qsk`` quantile sample;
+    ``distinct_col`` enables the ``v_hllr`` approx-distinct registers.
+    Both ride as extra columns joined on the grain — the joins are
+    grain-co-partitioned aggregates over the same batch, and the sketch
+    sides are bounded (<= quantile_k rows / <= 2^hll_p registers per
+    grain) regardless of batch size."""
+    out = batch.groupBy(*grain_cols).agg(
         F.sum(value_col).alias("v_sum"),
         F.count(value_col).alias("v_cnt"),
         F.min(value_col).alias("v_min"),
         F.max(value_col).alias("v_max"),
     )
+    if key_col is not None:
+        sample = bottom_k_rows(
+            batch.where(F.col(value_col).isNotNull()),
+            grain_cols,
+            key_col,
+            quantile_k,
+        )
+        qsk = sample.groupBy(*grain_cols).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_qh").alias("h"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("v_qsk")
+        )
+        out = out.join(qsk, list(grain_cols), "left")
+    if distinct_col is not None:
+        out = out.join(
+            _hll_registers(batch, grain_cols, distinct_col, hll_p),
+            list(grain_cols),
+            "left",
+        )
+    return out
 
 
-def _merge(parts: DataFrame, grain_cols: list[str]) -> DataFrame:
-    """Merge partial-state rows that share a grain (associative)."""
-    return parts.groupBy(*grain_cols).agg(
+def _merge(
+    parts: DataFrame, grain_cols: list[str], quantile_k: int = QUANTILE_K
+) -> DataFrame:
+    """Merge partial-state rows that share a grain (associative).
+
+    sums/counts add, min/max fold, the quantile sample re-selects the
+    ``quantile_k`` smallest hashes of the concatenated samples (flatten
+    + sort + slice — array ops, deliberately no lambda HOFs: this plan
+    contains a union, and Spark 4's Union constraint rewrite crashes on
+    array-lambda expressions under joins), and HLL registers re-max by
+    register via explode (bounded: rows-per-grain × 2^p entries)."""
+    aggs = [
         F.sum("v_sum").alias("v_sum"),
         F.sum("v_cnt").alias("v_cnt"),
         F.min("v_min").alias("v_min"),
         F.max("v_max").alias("v_max"),
-    )
+    ]
+    if "v_qsk" in parts.columns:
+        # collect_list skips NULL arrays (all-null grains stay empty)
+        aggs.append(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("v_qsk"))),
+                1,
+                quantile_k,
+            ).alias("v_qsk")
+        )
+    merged = parts.groupBy(*grain_cols).agg(*aggs)
+    if "v_hllr" in parts.columns:
+        regs = (
+            parts.select(*grain_cols, F.explode("v_hllr").alias("_e"))
+            .groupBy(*grain_cols, "_e.reg")
+            .agg(F.max("_e.rho").alias("rho"))
+            .groupBy(*grain_cols)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("reg"), F.col("rho")))
+                ).alias("v_hllr")
+            )
+        )
+        merged = merged.join(regs, list(grain_cols), "left")
+    return merged
 
 
 def refresh_rollup(
@@ -65,14 +197,21 @@ def refresh_rollup(
     batch: DataFrame,
     grain_cols: list[str],
     value_col: str,
+    key_col: str | None = None,
+    distinct_col: str | None = None,
+    quantile_k: int = QUANTILE_K,
+    hll_p: int = HLL_P,
 ) -> int:
     """Merge one micro-batch into the rollup at ``path``; returns the
     number of grain partitions touched. Only touched partitions of the
     leading grain column are read (partition-pruned via an IN filter on
     driver-collected touched keys — bounded by the batch's distinct
     grains, not table size) and rewritten (dynamic partition
-    overwrite)."""
-    new = batch_partials(batch, grain_cols, value_col)
+    overwrite). ``key_col``/``distinct_col``/``quantile_k``/``hll_p``
+    must be consistent across every refresh of the same rollup table."""
+    new = batch_partials(
+        batch, grain_cols, value_col, key_col, distinct_col, quantile_k, hll_p
+    )
     lead = grain_cols[0]
     touched = [r[0] for r in new.select(lead).distinct().collect()]
     if not touched:
@@ -97,7 +236,7 @@ def refresh_rollup(
             .withColumn(lead, F.col(lead).cast(new.schema[lead].dataType))
             .where(cond)
         )
-        merged = _merge(old.unionByName(new), grain_cols)
+        merged = _merge(old.unionByName(new), grain_cols, quantile_k)
     # dynamic overwrite: ONLY the partitions present in `merged` are
     # replaced; every other partition's files are untouched
     (
@@ -110,9 +249,48 @@ def refresh_rollup(
     return len(touched)
 
 
+def sketch_quantile(v_qsk: Column, p: float) -> Column:
+    """Discrete (type-1, ceil(p*n)) quantile estimate from the ``v_qsk``
+    sample — the same nearest-rank arithmetic the corpus's exact
+    discrete quantiles use (b5), applied to the sample. NULL when the
+    sample is empty/NULL. The `transform` lambda is confined to the
+    READ path: never put it in the merge plan, whose union would trip
+    Spark 4's Union.rewriteConstraints lambda crash under a join."""
+    vals = F.array_sort(F.transform(v_qsk, lambda e: e["v"]))
+    n = F.size(vals)
+    idx = F.greatest(F.ceil(F.lit(float(p)) * n).cast("int"), F.lit(1))
+    return F.when(n > 0, F.element_at(vals, idx))
+
+
+def sketch_distinct(v_hllr_name: str = "v_hllr", p: int = HLL_P) -> Column:
+    """Distinct-count estimate from the sparse ``v_hllr`` registers —
+    the raw-HLL estimator of operators/sketch.py hll_distinct (missing
+    registers contribute 2^0 = 1 each; all float steps exact powers of
+    two, so the result is engine-reproducible). Takes the COLUMN NAME:
+    the per-register fold needs a variable shift (``shiftleft(1L,
+    rho)``), which only the SQL expression form supports."""
+    m = 1 << p
+    alpha_mm = 0.7213 / (1.0 + 1.079 / m) * m * m
+    s = F.expr(
+        f"aggregate({v_hllr_name}, CAST(0.0 AS DOUBLE),"
+        " (acc, e) -> acc + 1.0 / shiftleft(1L, e.rho))"
+    )
+    n = F.size(F.col(v_hllr_name))
+    est = F.floor(F.lit(alpha_mm) / (s + (F.lit(float(m)) - n)))
+    return F.when(n >= 0, est.cast("long"))
+
+
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     """The query view over the rollup: derived avg alongside the raw
     mergeable state (avg computed at read time — stored averages can't
-    merge)."""
+    merge), plus p50/p95 and approx-distinct estimates when the sketch
+    partials are present."""
     df = spark.read.parquet(path)
-    return df.withColumn("v_avg", F.col("v_sum") / F.col("v_cnt"))
+    df = df.withColumn("v_avg", F.col("v_sum") / F.col("v_cnt"))
+    if "v_qsk" in df.columns:
+        df = df.withColumn(
+            "v_p50", sketch_quantile(F.col("v_qsk"), 0.5)
+        ).withColumn("v_p95", sketch_quantile(F.col("v_qsk"), 0.95))
+    if "v_hllr" in df.columns:
+        df = df.withColumn("v_distinct", sketch_distinct("v_hllr"))
+    return df

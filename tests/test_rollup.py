@@ -120,6 +120,85 @@ def test_empty_batch_is_noop(spark, tmp_path):
     assert after == before
 
 
+def test_sketch_partials_incremental_equals_recompute(spark, tmp_path):
+    """v_qsk (bottom-k-by-hash quantile sample) and v_hllr (HLL
+    registers) are EXACTLY mergeable: the incrementally-maintained
+    state after three overlapping batches is bit-identical to a one-shot
+    batch_partials over the union — not merely within sketch error."""
+    import random
+
+    from es_to_clickhouse_spark.rollup import batch_partials
+
+    random.seed(7)
+    rows = [
+        (f"2024-01-{1 + (i % 3):02d}", i, float((i * 131) % 1000), i % 37)
+        for i in range(900)
+    ]
+    schema = "d string, rid long, value double, uid long"
+    batches = [rows[0:300], rows[300:650], rows[650:900]]
+    path = str(tmp_path / "rollup")
+    for b in batches:
+        refresh_rollup(
+            spark, path, spark.createDataFrame(b, schema), ["d"], "value",
+            key_col="rid", distinct_col="uid", quantile_k=64,
+        )
+    got = {
+        str(r.d): (list(r.v_qsk), list(r.v_hllr), r.v_sum, r.v_cnt)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        str(r.d): (list(r.v_qsk), list(r.v_hllr), r.v_sum, r.v_cnt)
+        for r in batch_partials(
+            spark.createDataFrame(rows, schema), ["d"], "value",
+            key_col="rid", distinct_col="uid", quantile_k=64,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sketch_estimates_within_documented_bounds(spark, tmp_path):
+    """Read-time estimators vs exact answers on deterministic data:
+    p50/p95 from the k=256 sample within ~4-sigma rank error
+    (sqrt(p(1-p)/k)), HLL distinct within 3x its 6.5% standard error.
+    Deterministic hash -> the observed errors are fixed, so the
+    assertions cannot flake."""
+    from es_to_clickhouse_spark.rollup import read_rollup
+
+    n = 5000
+    rows = [("g", i, float(i), i % 1200) for i in range(n)]
+    schema = "d string, rid long, value double, uid long"
+    path = str(tmp_path / "rollup")
+    refresh_rollup(
+        spark, path, spark.createDataFrame(rows, schema), ["d"], "value",
+        key_col="rid", distinct_col="uid",
+    )
+    r = read_rollup(spark, path).collect()[0]
+    # values are 0..4999 uniform: rank error of the estimate = value
+    # error / n. 4 sigma at p=.5, k=256 -> .125; at p=.95 -> .055
+    assert abs(r.v_p50 - 2500.0) / n < 0.125, r.v_p50
+    assert abs(r.v_p95 - 4750.0) / n < 0.055, r.v_p95
+    assert abs(r.v_distinct - 1200) / 1200 < 0.195, r.v_distinct
+    assert r.v_avg == sum(range(n)) / n
+
+
+def test_sketch_null_values_excluded_but_counted_consistently(spark, tmp_path):
+    """NULL values: excluded from the quantile sample (matching v_cnt's
+    count(value) semantics); NULL distinct keys excluded from HLL."""
+    from es_to_clickhouse_spark.rollup import read_rollup
+
+    rows = [("g", 1, 10.0, 5), ("g", 2, None, None), ("g", 3, 30.0, 5)]
+    schema = "d string, rid long, value double, uid long"
+    path = str(tmp_path / "rollup")
+    refresh_rollup(
+        spark, path, spark.createDataFrame(rows, schema), ["d"], "value",
+        key_col="rid", distinct_col="uid",
+    )
+    r = read_rollup(spark, path).collect()[0]
+    assert r.v_cnt == 2 and len(r.v_qsk) == 2
+    assert sorted(e.v for e in r.v_qsk) == [10.0, 30.0]
+    assert r.v_p50 in (10.0, 30.0) and r.v_distinct >= 1
+
+
 def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
     """Structured Streaming → continuous aggregate: a file stream feeds
     refresh_rollup per micro-batch (foreachBatch), and the maintained

@@ -25,6 +25,10 @@ BNL_ALLOWED = {
     "txt7_tfidf_terms",  # 1-row corpus-size N broadcast
     "g1_pagerank_trade",  # 1-row dangling-mass broadcast per iteration
     "a14_histogram",  # 1-row min/max bounds broadcast
+    # single-grain rollup partial: batch_partials joins the 1-row global
+    # aggregate with the 1-row quantile sample on a constant grain key,
+    # which Catalyst constant-folds away -> 1x1 BNLJ, bounded by design
+    "sk8_session_p95_sketch",
     "sim1_cosine_topk",
     "sim4_ivf_cells",
     "sim5_lloyd_step",
