@@ -1,0 +1,105 @@
+"""Live-connector environment gate — the S7/S11/S15 closure test.
+
+The ES scroll protocol, the Mongo keyset protocol, and the ClickHouse
+DDL/INSERT/pushdown builders are all golden-tested as pure folds
+(tests/test_source_contracts.py); the ONLY untested surface is the
+literal socket I/O, which needs connector jars and live servers this
+sandbox cannot provide. This module records the evidence and becomes a
+real round-trip the moment an environment supplies the pieces:
+
+Recorded resolution attempt (round 5, this sandbox):
+
+    spark.jars.packages=com.clickhouse:clickhouse-jdbc:0.6.0,
+                        org.elasticsearch:elasticsearch-spark-30_2.13:8.13.4
+    -> Ivy: "Host repo1.maven.org not found.
+        url=https://repo1.maven.org/maven2/com/clickhouse/clickhouse-jdbc/..."
+       "Host repos.spark-packages.org not found."
+       "module not found: com.clickhouse#clickhouse-jdbc;0.6.0"
+    -> [JAVA_GATEWAY_EXITED] Java gateway process exited before sending
+       its port number (session cannot even build)
+    DNS probe: urlopen https://repo1.maven.org/maven2/
+    -> URLError [Errno -2] Name or service not known
+
+i.e. no DNS egress at all — not a wrong coordinate, not a missing
+mirror. Everything query-expressible about S7/S11/S15 is green
+elsewhere; COVERAGE.md marks them done-modulo-environment.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+
+import pytest
+
+
+def _network_available() -> bool:
+    try:
+        socket.setdefaulttimeout(3)
+        socket.getaddrinfo("repo1.maven.org", 443)
+        return True
+    except OSError:
+        return False
+
+
+def _jvm_has_class(spark, cls: str) -> bool:
+    try:
+        getattr(spark._jvm.java.lang.Class, "forName")(cls)
+        return True
+    except Exception:
+        return False
+
+
+def test_clickhouse_jdbc_round_trip_or_skip(spark):
+    """Full JDBC write+read through sources/jdbc.py when the environment
+    provides a driver jar (CLASSPATH) and a live server (CH_JDBC_URL);
+    otherwise skip with the recorded diagnosis so the gap stays visible
+    and attributable to the environment, not the engine."""
+    if not _jvm_has_class(spark, "com.clickhouse.jdbc.ClickHouseDriver"):
+        pytest.skip(
+            "done-modulo-environment: no ClickHouse JDBC driver on the "
+            "classpath and no network to fetch one (recorded attempt: "
+            "spark.jars.packages -> 'Host repo1.maven.org not found' / "
+            "'module not found: com.clickhouse#clickhouse-jdbc;0.6.0' / "
+            "JAVA_GATEWAY_EXITED; DNS probe: Errno -2 Name or service "
+            "not known). Builders are golden-tested in "
+            "test_source_contracts.py; only socket I/O is unexercised."
+        )
+    url = os.environ.get("CH_JDBC_URL")
+    if not url:
+        pytest.skip(
+            "ClickHouse driver present but no live server (set "
+            "CH_JDBC_URL=jdbc:clickhouse://host:8123/db to enable the "
+            "round-trip)."
+        )
+    from es_to_clickhouse_spark.sources.jdbc import JdbcSource
+
+    src = JdbcSource(url=url)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    src.write_table(df, "sg_probe", mode="overwrite")
+    back = src.read_table(spark, "sg_probe")
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_es_spark_connector_or_skip(spark):
+    """ES connector presence gate (S2/S11 live path). The scroll
+    protocol itself — slice fan-out, resume, cleanup, failure replay —
+    is a pure fold with transcript goldens (sources/es.py:155,
+    test_source_contracts.py); this gate only covers the wire."""
+    if not _jvm_has_class(spark, "org.elasticsearch.spark.sql.DefaultSource"):
+        pytest.skip(
+            "done-modulo-environment: elasticsearch-spark connector not "
+            "on the classpath and no network to fetch it (same recorded "
+            "resolution failure as the ClickHouse gate)."
+        )
+    if not os.environ.get("ES_NODES"):
+        pytest.skip("ES connector present but no live cluster (set ES_NODES).")
+
+
+def test_network_probe_is_still_dead():
+    """If this ever FAILS, the environment gained egress — revisit the
+    two gates above and run the live round-trips instead of skipping."""
+    assert not _network_available(), (
+        "Network egress detected: the connector round-trips can now run. "
+        "Provision jars via spark.jars.packages and drop this guard."
+    )
