@@ -51,6 +51,35 @@ class SyncReport:
     watermark: str | None = None
 
 
+def _mono_time(new: str | None, old: str | None) -> str | None:
+    """Monotone watermark merge: a LATE-UPDATE batch (old created_at
+    caught via the update-time OR-clause) has a batch-max time BELOW the
+    stored watermark — committing it verbatim would regress the
+    watermark and re-fetch every newer row on the next round, forever
+    (duplicate ingestion found by tests/test_soak.py round 2). Timestamp
+    watermarks are ``cast("string")`` of a timestamp — fixed-width ISO,
+    so lexicographic order IS chronological order."""
+    if new is None:
+        return old
+    if old is None:
+        return new
+    return new if new > old else old
+
+
+def _mono_id(new: str | None, old: str | None) -> str | None:
+    """Monotone id-watermark merge; numeric ids compare numerically
+    ('99' > '100' lexicographically — the keyset-predicate side already
+    casts back to the native type, incremental.py)."""
+    if new is None:
+        return old
+    if old is None:
+        return new
+    try:
+        return new if int(new) > int(old) else old
+    except ValueError:
+        return new if new > old else old
+
+
 @dataclass
 class SyncEngine:
     """One engine instance = one (source catalog → warehouse target) pipeline."""
@@ -243,16 +272,25 @@ class SyncEngine:
             rows = observed["n"]
             max_time = observed.get("max_t")
             if rows > 0:
-                # commit only when rows moved (es/es_to_bytehouse.py:996-1004)
+                # commit only when rows moved (es/es_to_bytehouse.py:996-1004),
+                # and merge every watermark MONOTONICALLY: a late-update
+                # batch's maxima can sit below the stored marks
                 self.state.commit(
                     SyncState(
                         table_name=target_name,
                         source_name=t.name,
                         time_field=st.time_field,
                         update_time_field=st.update_time_field,
-                        last_sync_time=max_time or st.last_sync_time,
-                        last_update_time=observed.get("max_u") or st.last_update_time,
-                        last_id=observed.get("max_id") or st.last_id,
+                        last_sync_time=_mono_time(max_time, st.last_sync_time),
+                        last_update_time=_mono_time(
+                            observed.get("max_u"), st.last_update_time
+                        ),
+                        last_id=_mono_id(
+                            str(observed["max_id"])
+                            if observed.get("max_id") is not None
+                            else None,
+                            st.last_id,
+                        ),
                         last_sync_count=rows,
                     )
                 )
