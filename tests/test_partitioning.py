@@ -137,3 +137,92 @@ def test_aqe_splits_skewed_join_partitions(spark):
     # k=7 matches 180k rows; other dim keys (0,10,...,90 pattern) match 1 each
     expected = 180_000 + big.where((F.col("k") != 7) & (F.col("k") < 100)).count()
     assert n == expected
+
+
+def test_triangle_salting_balances_pair_work(spark):
+    """Skew-resilience property for the d5 salted triangle pairing
+    (operators/dedup.py ngram_jaccard_pairs): its 57s->13.7s unskew is
+    oracle-verified for OUTPUT equality, but the parallelism claim was
+    only measured — this pins it structurally so a refactor can't
+    silently re-straggle the quadratic work.
+
+    Replicates the salting math exactly (same Murmur3 salt, collected
+    once from the JVM): for every hypothesis-generated block-size
+    distribution — including the degenerate all-one-block corpus — the
+    candidate-comparison count of the heaviest (block, partner_salt)
+    bucket must stay a small multiple of the balanced share 2/n_salts.
+    A de-salted refactor concentrates ~100% in one bucket; a halved
+    salt space ~2x the share — both fail instantly. Also pins the plan:
+    the explicit repartition on (_block, _salt_b) must survive (it is
+    what defeats the one-task single-file scan, and AQE cannot restore
+    it because quadratic compute is invisible to byte-size heuristics).
+    """
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from es_to_clickhouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    import inspect
+
+    # keep the Python replica below honest: it models the operator's
+    # ACTUAL salt space (drifting defaults would fail here, not silently)
+    n_salts = inspect.signature(ngram_jaccard_pairs).parameters["n_salts"].default
+    assert n_salts == 16
+    # the implementation's exact salt: abs(murmur3(id)) % n_salts
+    salt_of = {
+        r.id: r.s
+        for r in spark.range(3000)
+        .select("id", (F.abs(F.hash(F.col("id"))) % n_salts).alias("s"))
+        .collect()
+    }
+
+    @given(
+        st.lists(st.integers(min_value=50, max_value=400), min_size=1, max_size=6)
+    )
+    @settings(max_examples=50, deadline=None)
+    def check(block_sizes):
+        nid = iter(range(3000))
+        max_bucket, total, per_block_nonempty = 0, 0, []
+        for b, size in enumerate(block_sizes):
+            counts = [0] * n_salts
+            for _ in range(size):
+                counts[salt_of[next(nid)]] += 1
+            nonempty = 0
+            left_cum = 0
+            for j in range(n_salts):
+                left_cum += counts[j]
+                bucket = left_cum * counts[j]  # |a side| x |b side|
+                if bucket:
+                    nonempty += 1
+                total += bucket
+                max_bucket = max(max_bucket, bucket)
+            per_block_nonempty.append(nonempty)
+        # balanced share is ~2/n_salts; 2x headroom absorbs Murmur salt
+        # fluctuation at size>=50 while still failing hard on any
+        # re-straggle (de-salted ~= 1.0, halved salts ~= 2x share)
+        assert max_bucket <= max(4.0 / n_salts * total, 1.0), (
+            block_sizes, max_bucket, total,
+        )
+        # the quadratic work of EVERY block spreads over most salt buckets
+        assert all(ne >= n_salts // 2 for ne in per_block_nonempty), (
+            block_sizes, per_block_nonempty,
+        )
+
+    check()
+
+    # degenerate corpus through the real operator: ONE block, and the
+    # pinned exchange on (_block, _salt_b) present in the optimized plan
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 40).cast("string")).alias("text"),
+        F.lit("all").alias("lang"),
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.99)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan and "_salt_b" in plan, plan
+    # single-token docs: exact-duplicate pairs only, jaccard 1.0 — the
+    # degenerate all-one-block corpus still returns the right SET
+    got = pairs.collect()
+    assert got and all(r.jaccard == 1.0 for r in got)
+    assert all(r.id_a < r.id_b for r in got)
+    assert len(got) == len({(r.id_a, r.id_b) for r in got})
