@@ -58,7 +58,12 @@ def decode_image(payload: bytes) -> object:
 
     Deliberately stubbed; callers use :func:`sample_frames` (deterministic
     fake) for plumbing tests. HEADER decode (dimensions) needs no codec:
-    see :func:`png_dims` / :func:`jpeg_sof0_dims`.
+    see :func:`png_dims` / :func:`jpeg_sof0_dims`. Probed round 5:
+    ``import PIL`` → ModuleNotFoundError, ``import cv2`` likewise, and
+    the sandbox has no package egress (tests/test_connector_env.py) —
+    so a real decode body stays environment-blocked; wiring one behind
+    this signature (PIL ``Image.open(BytesIO(payload))``) requires no
+    change to any caller's Arrow contract.
     """
     raise NotImplementedError("image decode requires codec libs (not installed)")
 
