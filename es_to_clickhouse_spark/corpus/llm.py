@@ -1624,3 +1624,43 @@ def dq1_category_drift(spark, sf_dir):
     b = d.join(ids_a, "doc_id", "left_anti")
     out = category_drift(a, b, "lang")
     return out.select("n_categories", F.round("kl", 6).alias("kl"))
+
+
+@query(
+    "fz1_fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM names)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           levenshtein(a.p_name, c.p_name) AS dist
+    FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 3
+    """,
+)
+def fz1_fuzzy_name_match(spark, sf_dir):
+    """Blocked fuzzy join — entity-resolution's bread and butter (match
+    'red bolt' ~ 'old bolt', never 'red bolt' x every name): distinct
+    names block on their head noun, pairs within a block verify with
+    exact JVM levenshtein <= 3. txt8 tests the distance primitive; this
+    is the JOIN shape around it. Blocking is what makes fuzzy matching
+    scale — the quadratic work is confined within blocks (the LSH-band
+    pattern of d5/d8; if a block ever grows pathological, d5's salted
+    triangle pairing is the unskew, operators/dedup.py:91). The
+    distinct-names pre-aggregate means a 100 TB catalog fuzzy-matches
+    over its NAME VOCABULARY, not its row count."""
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    b = names.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun")
+    )
+    a = b.select(F.col("p_name").alias("name_a"), "noun")
+    c = b.select(F.col("p_name").alias("name_b"), "noun")
+    return (
+        a.join(c, "noun")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 3)
+    )

@@ -1819,3 +1819,94 @@ def a16_unpivot(spark, sf_dir):
         ]
     )
     return wide.unpivot("o_orderpriority", ["F", "O", "P"], "status", "n")
+
+
+@query(
+    "w16_scd2_state_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+      FROM events
+    ), chg AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered WHERE event_type IS DISTINCT FROM prev_et
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM chg
+    """,
+)
+def w16_scd2_state_history(spark, sf_dir):
+    """SCD2 dimension history (operators/scd.py): each user's
+    event_type stream collapses to state VERSIONS with [valid_from,
+    valid_to) intervals and an is_current flag — the warehouse answer
+    to "what was this entity's state at time T" that the reference
+    leaves to consumers of its raw replicated stream. Change detection
+    is a null-safe lag compare; intervals are a lead over the change
+    rows; both windows share one user_id Exchange, no self-join, no
+    global sort — per-entity linear work at any scale."""
+    from es_to_clickhouse_spark.operators.scd import scd2_intervals
+
+    hist = scd2_intervals(
+        t(spark, sf_dir, "events"),
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        tiebreak_cols=["event_id"],
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        ts_seconds(F.col("valid_from")).alias("valid_from"),
+        ts_seconds(F.col("valid_to")).alias("valid_to"),
+        "is_current",
+    )
+
+
+@query(
+    "j13_bloom_semi_join",
+    """
+    WITH keys AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem SEMI JOIN keys ON l_suppkey = s_suppkey
+    GROUP BY l_returnflag
+    """,
+)
+def j13_bloom_semi_join(spark, sf_dir):
+    """Semi-join through an EXPLICIT Bloom runtime filter
+    (operators/bloom.py): one nation's supplier keys collapse to a
+    driver-held bitmap baked into lineitem's scan as a literal-array
+    probe, so the scan stage discards ~96% of rows BEFORE any exchange;
+    an exact semi-join on the survivors removes false positives. The
+    oracle is a plain semi-join — the Bloom stage is
+    equivalence-preserving by construction (no false negatives), which
+    is exactly the property the value-hash gate certifies here. At
+    100 TB this is the difference between shuffling every lineitem row
+    to the join and shuffling only candidates."""
+    from es_to_clickhouse_spark.operators.bloom import bloom_semi_join
+
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    keys = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .where(F.col("n_name") == "NATION_3")
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    hits = bloom_semi_join(li, keys, "l_suppkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )

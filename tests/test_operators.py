@@ -353,3 +353,67 @@ def test_wav_header_decode_and_reject(spark):
         4: (None, None, None),
         5: (None, None, None),
     }
+
+
+def test_scd2_intervals_change_detection_and_nulls(spark):
+    """SCD2: consecutive duplicates collapse, NULL<->value transitions
+    are changes (null-safe compare), leading all-NULL state opens no
+    version, and intervals chain [valid_from, valid_to) with exactly
+    one current version per entity that ever had state."""
+    from es_to_clickhouse_spark.operators.scd import scd2_intervals
+
+    rows = [
+        # entity 1: a, a, b, b, a  -> versions a, b, a
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+        # entity 2: NULL, NULL, x, NULL -> versions x, NULL
+        (2, 1, None), (2, 2, None), (2, 3, "x"), (2, 4, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, s string")
+    out = sorted(
+        (r.k, r.valid_from, r.valid_to, r.s, r.is_current)
+        for r in scd2_intervals(df, ["k"], ["s"], "t", ["t"]).collect()
+    )
+    assert out == [
+        (1, 1, 3, "a", False),
+        (1, 3, 5, "b", False),
+        (1, 5, None, "a", True),
+        (2, 3, 4, "x", False),
+        (2, 4, None, None, True),
+    ]
+
+
+def test_bloom_semi_join_exact_and_prefiltered(spark):
+    """Bloom runtime filter (operators/bloom.py): (a) bloom_semi_join
+    output == plain semi-join on adversarial keys (hash-colliding
+    strings, negatives interleaved, NULLs on both sides); (b) ZERO
+    false negatives from the pre-filter alone; (c) the probe lives in
+    the big side's plan as a literal-array filter (element_at), i.e.
+    before any exchange, not as a join."""
+    from es_to_clickhouse_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"k{i % 97}") for i in range(2000)] + [(9999, None)],
+        "row_id long, key string",
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 97, 3)] + [(None,)], "key string"
+    )
+    got = sorted(r.row_id for r in bloom_semi_join(big, small, "key").collect())
+    want = sorted(
+        r.row_id
+        for r in big.join(small.select("key").distinct(), "key", "semi").collect()
+    )
+    assert got == want and got  # equal AND non-trivial
+
+    words, m = bloom_bitmap(small, "key")
+    pre = big.where(bloom_might_contain(words, m, F.col("key")))
+    pre_keys = {r.key for r in pre.select("key").distinct().collect()}
+    true_keys = {r.key for r in small.collect() if r.key is not None}
+    assert true_keys <= pre_keys  # no false negatives, ever
+
+    plan = bloom_semi_join(big, small, "key")._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan  # probe is a scan-stage literal filter
