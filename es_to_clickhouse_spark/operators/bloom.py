@@ -98,12 +98,29 @@ def bloom_might_contain(
     return out
 
 
+#: largest key count worth a literal bitmap: 1M keys -> 8M bits -> ~1 MB
+#: of longs in the plan. Past this the literal bloats every task's
+#: serialized plan, so the pre-filter is skipped and the exact semi-join
+#: (whose build side Spark will broadcast or shuffle as usual) stands
+#: alone — same results, just without the scan-stage discard.
+MAX_FILTER_KEYS = 1_000_000
+
+
 def bloom_semi_join(
     big: DataFrame, small: DataFrame, key_col: str
 ) -> DataFrame:
     """``big SEMI JOIN small ON key_col`` with the Bloom pre-filter in
     the big side's scan stage. Exact — false positives die in the final
-    semi-join; false negatives cannot exist."""
-    words, m_bits = bloom_bitmap(small, key_col)
+    semi-join; false negatives cannot exist. Small sides beyond
+    ``MAX_FILTER_KEYS`` skip the bitmap (plan-size boundary, see above)
+    and degrade gracefully to the plain semi-join."""
+    n = small.where(F.col(key_col).isNotNull()).select(key_col).distinct().count()
+    exact = small.select(key_col).distinct()
+    if n > MAX_FILTER_KEYS:
+        return big.join(exact, key_col, "semi")
+    m_bits = 64
+    while m_bits < BITS_PER_KEY * max(n, 1):
+        m_bits *= 2
+    words, m_bits = bloom_bitmap(small, key_col, m_bits)
     pre = big.where(bloom_might_contain(words, m_bits, F.col(key_col)))
-    return pre.join(small.select(key_col).distinct(), key_col, "semi")
+    return pre.join(exact, key_col, "semi")

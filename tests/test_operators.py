@@ -417,3 +417,23 @@ def test_bloom_semi_join_exact_and_prefiltered(spark):
 
     plan = bloom_semi_join(big, small, "key")._jdf.queryExecution().executedPlan().toString()
     assert "element_at" in plan  # probe is a scan-stage literal filter
+
+
+def test_bloom_semi_join_fallback_above_key_cap(spark, monkeypatch):
+    """Past MAX_FILTER_KEYS the literal bitmap would bloat every task's
+    serialized plan — the operator must degrade to the plain semi-join
+    (same results, no element_at probe in the plan)."""
+    from es_to_clickhouse_spark.operators import bloom
+
+    monkeypatch.setattr(bloom, "MAX_FILTER_KEYS", 10)
+    big = spark.createDataFrame(
+        [(i, f"k{i % 50}") for i in range(300)], "row_id long, key string"
+    )
+    small = spark.createDataFrame([(f"k{i}",) for i in range(30)], "key string")
+    out = bloom.bloom_semi_join(big, small, "key")
+    want = sorted(
+        r.row_id for r in big.join(small.distinct(), "key", "semi").collect()
+    )
+    assert sorted(r.row_id for r in out.collect()) == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" not in plan  # no literal probe on the fallback path

@@ -217,8 +217,12 @@ def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
     b1.write.mode("append").parquet(str(src))
 
     def handle(batch, batch_id):
+        # sketch partials maintained through the STREAMING path too:
+        # user_id doubles as the sample/distinct key (unique per grain
+        # row here, which is all the exactly-once contract needs)
         refresh_rollup(
-            batch.sparkSession, rollup_path, batch, ["d", "user_id"], "value"
+            batch.sparkSession, rollup_path, batch, ["d", "user_id"], "value",
+            key_col="user_id", distinct_col="user_id",
         )
 
     stream = spark.readStream.schema(schema).parquet(str(src))
@@ -254,3 +258,19 @@ def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
         ("2024-01-02", 2): (16.0, 2, 8.0),
         ("2024-01-03", 1): (1.0, 1, 1.0),
     }
+    # streaming-maintained sketches == one-shot recompute, bit-exact
+    from es_to_clickhouse_spark.rollup import batch_partials
+
+    everything = b1.unionByName(b2)
+    want_sk = {
+        (str(r.d), r.user_id): (list(r.v_qsk), list(r.v_hllr))
+        for r in batch_partials(
+            everything, ["d", "user_id"], "value",
+            key_col="user_id", distinct_col="user_id",
+        ).collect()
+    }
+    got_sk = {
+        (str(r.d), r.user_id): (list(r.v_qsk), list(r.v_hllr))
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    assert got_sk == want_sk
