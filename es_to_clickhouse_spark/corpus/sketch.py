@@ -384,3 +384,58 @@ def sk6_weighted_sample(spark, sf_dir):
     return weighted_sample(d, "doc_id", "n_chars", 50).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "sk9_hll_rollup_calibration",
+    f"""
+    WITH h AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             {_DUCK_H32.format(x="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+      SELECT d, hv >> 24 AS reg,
+             CASE WHEN (hv & 16777215) = 0 THEN 25
+                  ELSE 25 - length(bin(hv & 16777215)) END AS rho
+      FROM h
+    ), mx AS (
+      SELECT d, reg, max(rho) AS maxrho FROM r GROUP BY d, reg
+    ), a AS (
+      SELECT d, count(*) AS n,
+             sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << maxrho)) AS s
+      FROM mx GROUP BY d
+    ), x AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT a.d,
+           CAST(floor(CAST(47072.71267120224 AS DOUBLE)
+                      / (s + (CAST(256.0 AS DOUBLE) - n))) AS BIGINT)
+             AS approx_distinct,
+           x.exact_distinct
+    FROM a JOIN x USING (d)
+    """,
+)
+def sk9_hll_rollup_calibration(spark, sf_dir):
+    """Calibration of the rollup's mergeable approx-distinct partial
+    (rollup.py ``v_hllr`` + ``sketch_distinct`` — the ClickHouse
+    ``uniqState`` analog): daily distinct users estimated from the
+    SPARSE register state next to the exact count, the sk5/sk7
+    estimator-vs-truth pattern. Exercises the REAL rollup code path —
+    _hll_registers builds the per-grain state, sketch_distinct's
+    SQL-expression fold reads it — and the DuckDB oracle reproduces
+    every register and every float step bit-for-bit (exact powers of
+    two; raw HLL, no libm-dependent bias branch)."""
+    from es_to_clickhouse_spark.rollup import batch_partials, sketch_distinct
+
+    e = t(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("d"), "user_id",
+        F.lit(1.0).alias("one"),
+    )
+    parts = batch_partials(e, ["d"], "one", distinct_col="user_id")
+    approx = parts.select("d", sketch_distinct("v_hllr").alias("approx_distinct"))
+    exact = e.groupBy("d").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return approx.join(exact, "d")
