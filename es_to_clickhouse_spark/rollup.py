@@ -41,6 +41,16 @@ tables):
   the merge, also exactly order-independent. ~6.5% standard error at
   p=8 (raw HLL, no bias branch — see operators/sketch.py hll_distinct
   for why the correction is deliberately omitted).
+- ``v_topk`` + ``v_topk_err`` (``topk_col=``): heavy-hitter summary
+  (Misra-Gries / SpaceSaving family, the ``topKState`` analog): <=
+  ``topk_k`` per-key LOWER-bound counts plus one cumulated undercount
+  bound. Exact per-batch counts compress deterministically (total
+  (count desc, key asc) order); merges sum key-wise then re-compress.
+  Guarantee (Agarwal et al., Mergeable Summaries): stored <= true <=
+  stored + err for present keys, true <= err for absent keys — so any
+  key with true count > err is guaranteed present. Unlike v_qsk/v_hllr
+  the state is split-dependent (compress points differ), but the BOUNDS
+  hold on every path and replaying identical batches is bit-identical.
 
 Delivery contract: merging the same batch twice double-counts (the
 partials are additive, and re-inserting a row re-draws the same hash
@@ -55,16 +65,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from es_to_clickhouse_spark import fsio
 from es_to_clickhouse_spark.operators.sketch import bottom_k_rows, hash32
 
 #: partial-state suffixes a rollup row carries per value column
 PARTIALS = ("sum", "cnt", "min", "max")
-#: optional sketch partials (present when key_col / distinct_col given)
-SKETCH_PARTIALS = ("qsk", "hllr")
+#: optional sketch partials (present when key_col / distinct_col /
+#: topk_col given)
+SKETCH_PARTIALS = ("qsk", "hllr", "topk")
 
 QUANTILE_K = 256
 HLL_P = 8
+TOPK_K = 32
 
 
 def _hll_registers(
@@ -98,6 +112,59 @@ def _hll_registers(
     )
 
 
+def _mg_compress(
+    counts: DataFrame, grain_cols: list[str], k: int
+) -> DataFrame:
+    """Misra-Gries compress over exact per-(grain, key) counts: keep the
+    top ``k`` by (count desc, key asc — a TOTAL order, so every step is
+    deterministic), subtract the (k+1)-th count from the survivors, drop
+    non-positives. The subtraction is what makes the summary MERGEABLE
+    with a provable bound (Agarwal et al., "Mergeable Summaries"):
+    stored count <= true count <= stored + err, where err accumulates
+    every subtracted delta. Input must have columns ``_tk`` (key) and
+    ``_tc`` (count)."""
+    w = Window.partitionBy(*grain_cols).orderBy(
+        F.desc("_tc"), F.asc("_tk")
+    )
+    wg = Window.partitionBy(*grain_cols)
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_delta",
+        F.max(F.when(F.col("_rn") == k + 1, F.col("_tc")).otherwise(0)).over(wg),
+    )
+    kept = ranked.where(
+        (F.col("_rn") <= k) & (F.col("_tc") - F.col("_delta") > 0)
+    )
+    return kept.groupBy(*grain_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_tk").alias("key"),
+                    (F.col("_tc") - F.col("_delta")).alias("cnt"),
+                )
+            )
+        ).alias("v_topk"),
+        F.max("_delta").alias("_d"),
+    )
+
+
+def _topk_partial(
+    batch: DataFrame, grain_cols: list[str], topk_col: str, k: int
+) -> DataFrame:
+    """Per-grain heavy-hitter summary of a micro-batch: exact counts
+    (one map-side-combinable aggregate), then one MG compress. State is
+    ``v_topk`` (key-sorted array of <= k lower-bound counts) plus
+    ``v_topk_err`` (the cumulated undercount bound)."""
+    counts = (
+        batch.where(F.col(topk_col).isNotNull())
+        .groupBy(*grain_cols, F.col(topk_col).cast("string").alias("_tk"))
+        .agg(F.count(F.lit(1)).alias("_tc"))
+    )
+    out = _mg_compress(counts, grain_cols, k)
+    return out.select(
+        *grain_cols, "v_topk", F.col("_d").cast("long").alias("v_topk_err")
+    )
+
+
 def batch_partials(
     batch: DataFrame,
     grain_cols: list[str],
@@ -106,15 +173,19 @@ def batch_partials(
     distinct_col: str | None = None,
     quantile_k: int = QUANTILE_K,
     hll_p: int = HLL_P,
+    topk_col: str | None = None,
+    topk_k: int = TOPK_K,
 ) -> DataFrame:
     """Aggregate a micro-batch to mergeable partial state per grain.
 
     ``key_col`` (a unique row id) enables the ``v_qsk`` quantile sample;
-    ``distinct_col`` enables the ``v_hllr`` approx-distinct registers.
-    Both ride as extra columns joined on the grain — the joins are
-    grain-co-partitioned aggregates over the same batch, and the sketch
-    sides are bounded (<= quantile_k rows / <= 2^hll_p registers per
-    grain) regardless of batch size."""
+    ``distinct_col`` enables the ``v_hllr`` approx-distinct registers;
+    ``topk_col`` enables the ``v_topk`` heavy-hitter summary (ClickHouse
+    ``topKState`` analog). All ride as extra columns joined on the grain
+    — the joins are grain-co-partitioned aggregates over the same batch,
+    and the sketch sides are bounded (<= quantile_k rows / <= 2^hll_p
+    registers / <= topk_k counters per grain) regardless of batch
+    size."""
     out = batch.groupBy(*grain_cols).agg(
         F.sum(value_col).alias("v_sum"),
         F.count(value_col).alias("v_cnt"),
@@ -145,11 +216,24 @@ def batch_partials(
             list(grain_cols),
             "left",
         )
+    if topk_col is not None:
+        out = out.join(
+            _topk_partial(batch, grain_cols, topk_col, topk_k),
+            list(grain_cols),
+            "left",
+        )
+        # a grain with only NULL topk values: empty summary, zero err
+        out = out.withColumn(
+            "v_topk_err", F.coalesce(F.col("v_topk_err"), F.lit(0))
+        )
     return out
 
 
 def _merge(
-    parts: DataFrame, grain_cols: list[str], quantile_k: int = QUANTILE_K
+    parts: DataFrame,
+    grain_cols: list[str],
+    quantile_k: int = QUANTILE_K,
+    topk_k: int = TOPK_K,
 ) -> DataFrame:
     """Merge partial-state rows that share a grain (associative).
 
@@ -157,8 +241,11 @@ def _merge(
     ``quantile_k`` smallest hashes of the concatenated samples (flatten
     + sort + slice — array ops, deliberately no lambda HOFs: this plan
     contains a union, and Spark 4's Union constraint rewrite crashes on
-    array-lambda expressions under joins), and HLL registers re-max by
-    register via explode (bounded: rows-per-grain × 2^p entries)."""
+    array-lambda expressions under joins), HLL registers re-max by
+    register via explode (bounded: rows-per-grain × 2^p entries), and
+    top-k summaries merge by key-wise count sum followed by one MG
+    compress — the new delta joins the accumulated error bounds
+    (mergeable-summaries guarantee: stored <= true <= stored + err)."""
     aggs = [
         F.sum("v_sum").alias("v_sum"),
         F.sum("v_cnt").alias("v_cnt"),
@@ -175,6 +262,28 @@ def _merge(
             ).alias("v_qsk")
         )
     merged = parts.groupBy(*grain_cols).agg(*aggs)
+    if "v_topk" in parts.columns:
+        summed = (
+            parts.select(*grain_cols, F.explode("v_topk").alias("_e"))
+            .groupBy(*grain_cols, F.col("_e.key").alias("_tk"))
+            .agg(F.sum("_e.cnt").alias("_tc"))
+        )
+        errs = parts.groupBy(*grain_cols).agg(
+            F.sum("v_topk_err").alias("_prev_err")
+        )
+        tk = (
+            _mg_compress(summed, grain_cols, topk_k)
+            .join(errs, list(grain_cols), "right")
+            .select(
+                *grain_cols,
+                "v_topk",
+                (
+                    F.coalesce(F.col("_d"), F.lit(0))
+                    + F.coalesce(F.col("_prev_err"), F.lit(0))
+                ).cast("long").alias("v_topk_err"),
+            )
+        )
+        merged = merged.join(tk, list(grain_cols), "left")
     if "v_hllr" in parts.columns:
         regs = (
             parts.select(*grain_cols, F.explode("v_hllr").alias("_e"))
@@ -201,16 +310,20 @@ def refresh_rollup(
     distinct_col: str | None = None,
     quantile_k: int = QUANTILE_K,
     hll_p: int = HLL_P,
+    topk_col: str | None = None,
+    topk_k: int = TOPK_K,
 ) -> int:
     """Merge one micro-batch into the rollup at ``path``; returns the
     number of grain partitions touched. Only touched partitions of the
     leading grain column are read (partition-pruned via an IN filter on
     driver-collected touched keys — bounded by the batch's distinct
     grains, not table size) and rewritten (dynamic partition
-    overwrite). ``key_col``/``distinct_col``/``quantile_k``/``hll_p``
-    must be consistent across every refresh of the same rollup table."""
+    overwrite). The sketch options (``key_col``/``distinct_col``/
+    ``topk_col`` and their size knobs) must be consistent across every
+    refresh of the same rollup table."""
     new = batch_partials(
-        batch, grain_cols, value_col, key_col, distinct_col, quantile_k, hll_p
+        batch, grain_cols, value_col, key_col, distinct_col, quantile_k,
+        hll_p, topk_col, topk_k,
     )
     lead = grain_cols[0]
     touched = [r[0] for r in new.select(lead).distinct().collect()]
@@ -236,7 +349,7 @@ def refresh_rollup(
             .withColumn(lead, F.col(lead).cast(new.schema[lead].dataType))
             .where(cond)
         )
-        merged = _merge(old.unionByName(new), grain_cols, quantile_k)
+        merged = _merge(old.unionByName(new), grain_cols, quantile_k, topk_k)
     # dynamic overwrite: ONLY the partitions present in `merged` are
     # replaced; every other partition's files are untouched
     (

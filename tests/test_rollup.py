@@ -274,3 +274,76 @@ def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
         for r in spark.read.parquet(rollup_path).collect()
     }
     assert got_sk == want_sk
+
+
+def test_topk_partial_bounds_and_determinism(spark, tmp_path):
+    """Heavy-hitter partial (v_topk/v_topk_err — the topKState analog):
+    after a multi-batch refresh over a skewed stream, (a) every stored
+    count is a LOWER bound and stored+err an UPPER bound of the true
+    count, (b) every key whose true count exceeds err is present —
+    so the genuinely heavy keys can never be lost, (c) absent keys have
+    true count <= err, and (d) replaying the identical batch sequence
+    into a fresh rollup yields a bit-identical summary (deterministic
+    compress via the total (count desc, key asc) order)."""
+    import collections
+
+    k = 8
+    # skewed: 'hot' ~ 45%, 'warm' ~ 20%, long tail of 30 cold keys
+    stream = (
+        ["hot"] * 450 + ["warm"] * 200 + [f"cold{i % 30}" for i in range(350)]
+    )
+    # deterministic interleave so batches mix hot and cold
+    stream = [stream[(i * 131) % len(stream)] for i in range(len(stream))]
+    batches = [stream[0:250], stream[250:600], stream[600:1000]]
+    true = collections.Counter(stream)
+
+    def run(path):
+        for b in batches:
+            df = spark.createDataFrame(
+                [("g", i, 1.0, key) for i, key in enumerate(b)],
+                "d string, rid long, value double, page string",
+            )
+            refresh_rollup(
+                spark, path, df, ["d"], "value", topk_col="page", topk_k=k
+            )
+        return spark.read.parquet(path).collect()[0]
+
+    r = run(str(tmp_path / "r1"))
+    stored = {e.key: e.cnt for e in r.v_topk}
+    err = r.v_topk_err
+    assert len(stored) <= k and err > 0
+    for key, cnt in stored.items():
+        assert cnt <= true[key] <= cnt + err, (key, cnt, true[key], err)
+    for key, tc in true.items():
+        if tc > err:
+            assert key in stored, (key, tc, err)
+        if key not in stored:
+            assert tc <= err, (key, tc, err)
+    # the two real heavy hitters survive with tight lower bounds
+    assert stored["hot"] >= true["hot"] - err
+    assert stored["warm"] >= true["warm"] - err
+
+    r2 = run(str(tmp_path / "r2"))
+    assert [tuple(e) for e in r2.v_topk] == [tuple(e) for e in r.v_topk]
+    assert r2.v_topk_err == err
+
+
+def test_topk_partial_small_grain_is_exact(spark, tmp_path):
+    """Fewer distinct keys than topk_k: no compress ever fires, err
+    stays 0, and the summary IS the exact count table."""
+    path = str(tmp_path / "rollup")
+    rows = [("g", i, 1.0, ["a", "b", "c"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "d string, rid long, value double, page string"
+    )
+    refresh_rollup(spark, path, df, ["d"], "value", topk_col="page", topk_k=8)
+    refresh_rollup(
+        spark, path,
+        spark.createDataFrame(
+            [("g", 99, 1.0, "a")], "d string, rid long, value double, page string"
+        ),
+        ["d"], "value", topk_col="page", topk_k=8,
+    )
+    r = spark.read.parquet(path).collect()[0]
+    assert r.v_topk_err == 0
+    assert {e.key: e.cnt for e in r.v_topk} == {"a": 31, "b": 30, "c": 30}
