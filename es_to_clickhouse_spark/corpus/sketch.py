@@ -439,3 +439,42 @@ def sk9_hll_rollup_calibration(spark, sf_dir):
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return approx.join(exact, "d")
+
+
+@query(
+    "sk10_topk_rollup_exact",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+           event_type AS key,
+           count(*) AS cnt,
+           CAST(0 AS BIGINT) AS err
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def sk10_topk_rollup_exact(spark, sf_dir):
+    """Oracle coverage for the rollup's heavy-hitter partial
+    (rollup.py ``v_topk``/``v_topk_err``) in its EXACT regime: with
+    fewer distinct keys than ``topk_k`` the Misra-Gries compress never
+    fires, so the summary IS the per-grain count table and the error
+    bound is 0 — which a plain GROUP BY oracle can certify. The lossy
+    regime's guarantees (stored <= true <= stored + err; heavy keys
+    never lost; deterministic replay) are split-dependent and pinned by
+    tests/test_rollup.py instead. Exercises the real code path: exact
+    counts -> windowed compress -> key-sorted array state -> explode."""
+    from es_to_clickhouse_spark.rollup import batch_partials
+
+    e = t(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("d"),
+        "event_type",
+        F.lit(1.0).alias("one"),
+    )
+    parts = batch_partials(e, ["d"], "one", topk_col="event_type", topk_k=32)
+    return parts.select(
+        "d", F.explode("v_topk").alias("_e"), F.col("v_topk_err").alias("err")
+    ).select(
+        "d",
+        F.col("_e.key").alias("key"),
+        F.col("_e.cnt").alias("cnt"),
+        "err",
+    )
