@@ -113,7 +113,7 @@ def _hll_registers(
 
 
 def _mg_compress(
-    counts: DataFrame, grain_cols: list[str], k: int
+    counts: DataFrame, grain_cols: list[str], k: int, fanout: int = 8
 ) -> DataFrame:
     """Misra-Gries compress over exact per-(grain, key) counts: keep the
     top ``k`` by (count desc, key asc — a TOTAL order, so every step is
@@ -122,12 +122,28 @@ def _mg_compress(
     with a provable bound (Agarwal et al., "Mergeable Summaries"):
     stored count <= true count <= stored + err, where err accumulates
     every subtracted delta. Input must have columns ``_tk`` (key) and
-    ``_tc`` (count)."""
+    ``_tc`` (count).
+
+    The selection is TWO-LEVEL like kmv_distinct: top (k+1) per
+    (grain, key-hash slice) first, then (k+1) of the <= fanout*(k+1)
+    survivors — a single-grain window would sort EVERY distinct key of
+    the grain in one task (a billion-key day = one straggler). Exact:
+    any key in the grain's global top (k+1) is in its slice's top
+    (k+1), and only top-k keys can outrank the subtracted delta."""
+    sliced = counts.withColumn("_sl", F.pmod(F.hash("_tk"), F.lit(fanout)))
+    w1 = Window.partitionBy(*grain_cols, "_sl").orderBy(
+        F.desc("_tc"), F.asc("_tk")
+    )
+    lvl1 = (
+        sliced.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k + 1)
+        .drop("_rn1", "_sl")
+    )
     w = Window.partitionBy(*grain_cols).orderBy(
         F.desc("_tc"), F.asc("_tk")
     )
     wg = Window.partitionBy(*grain_cols)
-    ranked = counts.withColumn("_rn", F.row_number().over(w)).withColumn(
+    ranked = lvl1.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_delta",
         F.max(F.when(F.col("_rn") == k + 1, F.col("_tc")).otherwise(0)).over(wg),
     )
