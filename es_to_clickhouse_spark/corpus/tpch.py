@@ -478,8 +478,10 @@ def q14_promo_revenue(spark, sf_dir):
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15: supplier(s) with max quarterly revenue. The scalar-max
-    subquery becomes a window max over the aggregated (small) frame —
-    the window runs on SF*10k rows, not on lineitem."""
+    subquery becomes a 1-row aggregate broadcast against the aggregated
+    frame (q22's scalar pattern) — an empty-partition global window here
+    would funnel every per-supplier row (SF-linear) through ONE task;
+    the broadcast keeps the max fully map-side."""
     l = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -488,8 +490,8 @@ def q15_top_supplier(spark, sf_dir):
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).where(
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.join(F.broadcast(mx)).where(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (
