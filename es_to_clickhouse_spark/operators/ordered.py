@@ -102,11 +102,22 @@ def _split_points(
         .limit(k)
         .collect()
     )
+    def _usable(v) -> bool:
+        # exclude NULLs AND NaNs from bounds: Python's sorted() scrambles
+        # on NaN (all comparisons False) which would break the bounds'
+        # monotonicity. Row-side semantics stay correct without them:
+        # NULL keys compare falsy against every bound -> bucket 0
+        # (nulls-first), NaN keys compare greater than every bound
+        # (Spark orders NaN last) -> last bucket.
+        if v is None:
+            return False
+        return not (isinstance(v, float) and v != v)
+
     keys = sorted(
         {
             tuple(r[c] for c in order_cols)
             for r in sample
-            if all(r[c] is not None for c in order_cols)
+            if all(_usable(r[c]) for c in order_cols)
         }
     )
     if len(keys) <= 1:

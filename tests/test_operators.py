@@ -437,3 +437,24 @@ def test_bloom_semi_join_fallback_above_key_cap(spark, monkeypatch):
     assert sorted(r.row_id for r in out.collect()) == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "element_at" not in plan  # no literal probe on the fallback path
+
+
+def test_global_running_sum_nan_keys_sort_last(spark):
+    """NaN order keys: Spark sorts NaN after every real double, and the
+    bucket expression sends them to the last bucket (NaN > bound is
+    true in Spark SQL); bounds themselves must never contain NaN or the
+    driver-side sort would scramble. Serial cumsum with NaN-last order
+    is the truth."""
+    import math
+
+    from es_to_clickhouse_spark.operators.ordered import global_running_sum
+
+    rows = [(float(i), 1) for i in range(50)] + [
+        (math.nan, 5), (math.nan, 7),
+    ]
+    df = spark.createDataFrame(rows, "k double, v int").repartition(5)
+    out = global_running_sum(df, ["k", "v"], "v", out_col="rs", num_partitions=8)
+    got = {(("nan" if r.k != r.k else r.k), r.v): r.rs for r in out.collect()}
+    for i in range(50):
+        assert got[(float(i), 1)] == i + 1
+    assert got[("nan", 5)] == 55 and got[("nan", 7)] == 62
