@@ -940,11 +940,18 @@ def sim6_knn_graph(spark, sf_dir):
     ranking happens on FLOORED integer ppm (ts5's lesson: never rank or
     compare cross-engine on rounded doubles), tie-broken by neighbor
     id, so the graph is bit-stable. At 100 TB the broadcast side stays
-    the sampled probe set and the big side streams — same plan."""
+    the sampled probe set and the big side streams — same plan.
+
+    Two measured r5 fixes (2.95 s -> 0.73 s at sf0.1, output
+    byte-identical): (1) each vector's squared norm folds ONCE per row
+    BEFORE the cross join instead of once per PAIR (the fold order per
+    vector is unchanged, so the floats are bit-equal); (2) a pinned
+    repartition on the probe-carrying side — the single-file source
+    scans as ONE partition and a broadcast-join subtree never shuffles,
+    so all n x n/25 fold work otherwise lands on one task, invisible to
+    AQE because the cost is compute, not bytes (the d5/d12 root cause,
+    VERDICT r4)."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = e.where(F.col("vec_id") % 25 == 7).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
 
     def dot(a, b):
         return F.aggregate(
@@ -958,15 +965,22 @@ def sim6_knn_graph(spark, sf_dir):
             a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
 
+    e2 = e.select("vec_id", "embedding", sq(F.col("embedding")).alias("na"))
+    e2 = e2.repartition(spark.sparkContext.defaultParallelism)
+    q = e.where(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        sq(F.col("embedding")).alias("nb"),
+    )
     p = (
-        e.crossJoin(F.broadcast(q))
+        e2.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
             dot(F.col("embedding"), F.col("qe")).alias("dot"),
-            sq(F.col("embedding")).alias("na"),
-            sq(F.col("qe")).alias("nb"),
+            "na",
+            "nb",
         )
     )
     scored = p.select(
