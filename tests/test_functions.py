@@ -133,3 +133,58 @@ def test_alert_hook_rate_limit(monkeypatch):
     speed, eta, pct = speed_eta(50, 100, 10.0)
     assert speed == 5.0 and eta == 10.0 and pct == 50.0
     assert speed_eta(0, None, 0.0) == (0.0, None, None)
+
+
+def test_upper_bound_index_matches_bisect(spark):
+    """upper_bound_index (the binary-search CASE tree under asof
+    bucketing, layout binning, and pk1's running sum) == Python's
+    bisect_right on arbitrary cut lists and keys, including dup cuts,
+    keys equal to cuts, +/-inf-ish extremes, and NULL (bucket 0). One
+    1-row Spark job evaluates every generated case as its own column."""
+    import bisect
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from es_to_clickhouse_spark.functions import upper_bound_index
+
+    finite = st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    )
+
+    @given(
+        st.lists(
+            st.tuples(st.lists(finite, max_size=12), finite),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(cases):
+        cols = []
+        for i, (cuts, key) in enumerate(cases):
+            cols.append(
+                upper_bound_index(cuts, F.lit(float(key))).alias(f"c{i}")
+            )
+            # keys exactly ON a cut exercise the <= boundary
+            if cuts:
+                cols.append(
+                    upper_bound_index(cuts, F.lit(float(cuts[0]))).alias(
+                        f"b{i}"
+                    )
+                )
+        cols.append(
+            upper_bound_index([1.0, 2.0], F.lit(None).cast("double")).alias(
+                "nullkey"
+            )
+        )
+        row = spark.range(1).select(*cols).collect()[0]
+        for i, (cuts, key) in enumerate(cases):
+            want = bisect.bisect_right(sorted(cuts), key)
+            assert row[f"c{i}"] == want, (cuts, key, row[f"c{i}"], want)
+            if cuts:
+                want_b = bisect.bisect_right(sorted(cuts), cuts[0])
+                assert row[f"b{i}"] == want_b
+        assert row["nullkey"] == 0
+
+    check()
