@@ -347,3 +347,74 @@ def test_topk_partial_small_grain_is_exact(spark, tmp_path):
     r = spark.read.parquet(path).collect()[0]
     assert r.v_topk_err == 0
     assert {e.key: e.cnt for e in r.v_topk} == {"a": 31, "b": 30, "c": 30}
+
+
+def test_sketch_merge_exact_under_arbitrary_splits(spark, tmp_path):
+    """Hypothesis over batch split points: however a 600-row stream is
+    cut into refresh_rollup batches, the maintained v_qsk and v_hllr
+    states are bit-identical to the one-shot recompute (their merges
+    are exact, not approximately associative), sums/counts match, and
+    the v_topk BOUNDS hold (its state may differ by split — only the
+    guarantees are split-invariant)."""
+    import collections
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = [
+        (f"2024-01-{1 + (i % 2):02d}", i, float((i * 37) % 50), i % 13,
+         f"pg{(i * 7) % 21}")
+        for i in range(600)
+    ]
+    schema = "d string, rid long, value double, uid long, page string"
+    want = {
+        str(r.d): (list(r.v_qsk), list(r.v_hllr), r.v_sum, r.v_cnt)
+        for r in batch_partials(
+            spark.createDataFrame(rows, schema), ["d"], "value",
+            key_col="rid", distinct_col="uid", quantile_k=32,
+            topk_col="page", topk_k=6,
+        ).collect()
+    }
+    true_counts = {
+        d: collections.Counter(
+            r[4] for r in rows if r[0] == d
+        )
+        for d in {r[0] for r in rows}
+    }
+    case_n = [0]
+
+    @given(st.sets(st.integers(min_value=1, max_value=599), max_size=4))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(cuts):
+        case_n[0] += 1
+        path = str(tmp_path / f"r{case_n[0]}")
+        edges = [0] + sorted(cuts) + [600]
+        for lo, hi in zip(edges, edges[1:]):
+            if lo == hi:
+                continue
+            refresh_rollup(
+                spark, path, spark.createDataFrame(rows[lo:hi], schema),
+                ["d"], "value", key_col="rid", distinct_col="uid",
+                quantile_k=32, topk_col="page", topk_k=6,
+            )
+        got_rows = spark.read.parquet(path).collect()
+        got = {
+            str(r.d): (list(r.v_qsk), list(r.v_hllr), r.v_sum, r.v_cnt)
+            for r in got_rows
+        }
+        assert got == want, sorted(cuts)
+        for r in got_rows:
+            stored = {e.key: e.cnt for e in r.v_topk}
+            err = r.v_topk_err
+            tc = true_counts[str(r.d)]
+            for key, cnt in stored.items():
+                assert cnt <= tc[key] <= cnt + err, (sorted(cuts), key)
+            for key, n in tc.items():
+                if n > err:
+                    assert key in stored, (sorted(cuts), key, n, err)
+
+    check()
