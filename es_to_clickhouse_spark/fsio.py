@@ -87,3 +87,29 @@ def join(*parts: str) -> str:
     for r in rest:
         out += "/" + r.strip("/")
     return out
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic-per-filesystem directory rename (the swap primitive for
+    compaction). Hadoop's contract: atomic on HDFS and local FS;
+    copy-based (non-atomic) on raw S3A — use a consistent store or a
+    table format for multi-writer S3 swaps."""
+    fs, p_src = _fs_path(spark, src)
+    _, p_dst = _fs_path(spark, dst)
+    return bool(fs.rename(p_src, p_dst))
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
+def content_size(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path (one NameNode/liststatus summary call —
+    metadata, not a data scan)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())

@@ -168,6 +168,59 @@ class WarehouseTarget:
             df = upsert_view(df, ID_COL, TS_COL)
         return df
 
+    def compact(
+        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> tuple[int, int]:
+        """Rewrite a table's accumulated small append parts into
+        right-sized files; returns (files_before, files_after).
+
+        Why this exists: every non-empty continuous round appends one
+        part (engine.py), so a 60 s-interval daemon grows ~1440
+        files/table/day — after a month every scan pays a 40k-file
+        listing+open tax. The idle-round skip (r4) stops EMPTY junk;
+        compaction is the other half of the ops story, same as
+        ClickHouse's background merges on the reference's target
+        (MergeTree parts) — but explicit, because a parquet directory
+        has no server doing it for us.
+
+        Plan shape: read all parts -> ``coalesce`` (NARROW — merges
+        input splits without a shuffle; files may come out uneven, which
+        is fine for compaction and the right trade at 100 TB) -> write
+        to a side directory -> two renames swap it in -> delete the
+        backup. Crash safety: leftovers of an interrupted attempt are
+        cleared on the next call; the only non-ideal window (between the
+        two renames) leaves the table ABSENT — a loud reader error, not
+        silent data loss — with the backup intact for recovery. Not for
+        concurrent writers (single-daemon assumption, like the
+        reference's one-process sync loop); raw S3A lacks atomic rename
+        (fsio.rename docstring).
+        """
+        import math
+
+        path = self.table_path(table)
+        tmp, bak = path + "__compacting", path + "__pre_compact"
+        for leftover in (tmp, bak):
+            fsio.delete(self.spark, leftover)
+        n_before = len(
+            [f for f in fsio.listdir(self.spark, path) if f.endswith(".parquet")]
+        )
+        size = fsio.content_size(self.spark, path)
+        n_out = max(1, math.ceil(size / target_file_bytes))
+        if n_before <= n_out:
+            return (n_before, n_before)  # already compact: no-op
+        live = self.live_schema(table)
+        df = self.read(table, dedup=False)
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        fsio.rename(self.spark, path, bak)
+        fsio.rename(self.spark, tmp, path)
+        if live:
+            self._write_schema(table, live)  # sidecar lives IN the dir
+        fsio.delete(self.spark, bak)
+        n_after = len(
+            [f for f in fsio.listdir(self.spark, path) if f.endswith(".parquet")]
+        )
+        return (n_before, n_after)
+
     def max_of(self, table: str, column: str):
         """SELECT max(col) watermark seed (es/es_to_bytehouse.py:1115-1131),
         guarded by the NULL/empty filter (P9)."""

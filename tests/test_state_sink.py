@@ -226,3 +226,44 @@ def test_max_of_with_null_empty_guard(spark, tmp_path):
     # P9: empty strings excluded from max()
     assert target.max_of("tbl", "ts") == "2024-01-01"
     assert target.max_of("tbl", "missing_col") is None
+
+
+def test_compact_many_small_parts(spark, tmp_path):
+    """Compaction: N tiny append parts collapse to few files with
+    byte-identical content (duplicate _id versions preserved — dedup
+    stays a READ-time view), the schema sidecar survives the swap,
+    leftovers of a crashed attempt are cleared, and appends keep
+    working afterwards."""
+    from es_to_clickhouse_spark import fsio
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+
+    wh = WarehouseTarget(spark, str(tmp_path / "wh"))
+    for i in range(12):
+        wh.append(
+            "logs",
+            spark.createDataFrame(
+                [(str(i % 4), f"p{i}")], "_id string, payload string"
+            ),
+        )
+    before_rows = sorted(
+        (r._id, r.payload) for r in wh.read("logs", dedup=False).collect()
+    )
+    schema_before = wh.live_schema("logs")
+    # crashed-attempt leftovers must not break the swap
+    fsio.mkdirs(spark, wh.table_path("logs") + "__compacting")
+    n_before, n_after = wh.compact("logs")
+    assert n_before >= 12 and n_after <= 2
+    after_rows = sorted(
+        (r._id, r.payload) for r in wh.read("logs", dedup=False).collect()
+    )
+    assert after_rows == before_rows  # every version survives
+    assert wh.live_schema("logs") == schema_before
+    assert wh.read("logs", dedup=True).count() == 4  # upsert view intact
+    # second compact is a no-op (already compact)
+    assert wh.compact("logs") == (n_after, n_after)
+    # life goes on: appends still work post-swap
+    wh.append(
+        "logs",
+        spark.createDataFrame([("9", "new")], "_id string, payload string"),
+    )
+    assert wh.read("logs", dedup=True).count() == 5
