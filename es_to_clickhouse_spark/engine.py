@@ -306,9 +306,17 @@ class SyncEngine:
         pattern: str | None = None,
         interval_s: float = 60.0,
         max_rounds: int | None = None,
+        compact_every: int | None = None,
     ) -> list[list[SyncReport]]:
         """Continuous micro-batch loop (es/es_to_bytehouse.py:1069-1102).
-        ``max_rounds`` bounds the loop for tests; None = run forever."""
+        ``max_rounds`` bounds the loop for tests; None = run forever.
+
+        ``compact_every``: run ``target.compact`` on every synced table
+        each N rounds — the maintenance the reference outsources to its
+        warehouse's background merges. Appends-per-round otherwise
+        accumulate one parquet part each (~1440/table/day at the
+        reference's 60 s interval), and compaction amortizes to a
+        bounded rewrite because only post-compaction appends pile up."""
         rounds = []
         n = 0
         while max_rounds is None or n < max_rounds:
@@ -317,6 +325,15 @@ class SyncEngine:
             reports = self.sync_incremental_once(pattern)
             rounds.append(reports)
             n += 1
+            if compact_every and n % compact_every == 0:
+                for rep in reports:
+                    tname = sanitize_table_name(rep.table, self.dialect)
+                    if self.target.table_exists(tname):
+                        before, after = self.target.compact(tname)
+                        if after < before:
+                            log.info(
+                                "%s: compacted %d -> %d parts", tname, before, after
+                            )
             done = max_rounds is not None and n >= max_rounds
             self.reporter.round_done(
                 n,

@@ -421,3 +421,20 @@ def test_incremental_predicate_reaches_scan(pipeline, spark):
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThan(created_at" in plan
+
+
+def test_continuous_compaction_bounds_file_count(pipeline, spark):
+    """compact_every in the continuous loop: many 1-row rounds would
+    otherwise accumulate one part each; with periodic compaction the
+    file count stays bounded while contents (incl. watermark advance)
+    stay exact."""
+    engine, source = pipeline
+    engine.sync_full()
+    for i in range(4, 12):
+        _append_rows(spark, source, [(i, f"2024-01-{i:02d} 00:00:00", f"p{i}")])
+        engine.sync_continuous(max_rounds=1, interval_s=0.0, compact_every=1)
+    files = _part_files(engine, "logs")
+    assert len(files) <= 3, files  # bounded, not one-per-round
+    got = engine.target.read("logs", dedup=True)
+    assert got.count() == 11
+    assert engine.state.get("logs").last_sync_time.startswith("2024-01-11")
