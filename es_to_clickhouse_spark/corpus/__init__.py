@@ -60,6 +60,7 @@ def load_all() -> None:
         behavior,
         core,
         llm,
+        mixing,
         quality,
         relational,
         sketch,

@@ -458,3 +458,59 @@ def test_global_running_sum_nan_keys_sort_last(spark):
     for i in range(50):
         assert got[(float(i), 1)] == i + 1
     assert got[("nan", 5)] == 55 and got[("nan", 7)] == 62
+
+
+def test_temperature_rates_conserve_budget(spark):
+    from es_to_clickhouse_spark.operators.mixture import temperature_rates
+
+    rows = [(i, "s%d" % (i % 3), 100 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    rates = temperature_rates(df, "src", "w", alpha=0.5, budget_frac=0.8).collect()
+    total = sum(r.tok for r in rates)
+    spent = sum(r.rate * r.tok for r in rates)
+    # sum_s rate_s * tok_s == budget (exact up to the ppb weight quantization)
+    assert abs(spent - 0.8 * total) / total < 1e-6
+    # alpha<1 flattens: the biggest source gets the smallest rate
+    by_tok = sorted(rates, key=lambda r: r.tok)
+    assert by_tok[-1].rate == min(r.rate for r in rates)
+
+
+def test_epoch_replicate_counts_and_determinism(spark):
+    from es_to_clickhouse_spark.operators.mixture import epoch_replicate
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b", 10) for i in range(60)],
+        "doc_id long, src string, w long",
+    )
+    rates = spark.createDataFrame(
+        [("a", 400, 2.0), ("b", 200, 1.5)], "src string, tok long, rate double"
+    )
+    out = epoch_replicate(df, rates, "src", "doc_id")
+    per_src = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # integer rate -> exact replication; fractional -> between floor and ceil copies
+    assert per_src["a"] == 80
+    assert 20 <= per_src["b"] <= 40
+    # deterministic: the exact (doc_id, epoch) multiset reproduces
+    ids1 = sorted(map(tuple, out.select("doc_id", "epoch").collect()))
+    ids2 = sorted(map(tuple, out.select("doc_id", "epoch").collect()))
+    assert ids1 == ids2
+    # epochs are dense from 0
+    assert out.agg(F.min("epoch")).first()[0] == 0
+
+
+def test_mixture_sample_subset_and_passthrough(spark):
+    from es_to_clickhouse_spark.operators.mixture import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", 1) for i in range(200)],
+        "doc_id long, src string, w long",
+    )
+    rates = spark.createDataFrame(
+        [("a", 100, 0.5), ("b", 100, 1.7)], "src string, tok long, rate double"
+    )
+    kept = mixture_sample(df, rates, "src", "doc_id")
+    per = {r.src: r.n for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per["b"] == 100  # rate >= 1 passes through whole
+    assert 30 <= per["a"] <= 70  # ~50% hash keep
+    # kept ids are a subset of the input
+    assert kept.join(df, ["doc_id"], "left_anti").count() == 0
