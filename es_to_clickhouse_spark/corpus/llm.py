@@ -1664,3 +1664,63 @@ def fz1_fuzzy_name_match(spark, sf_dir):
         )
         .where(F.col("dist") <= 3)
     )
+
+
+@query(
+    "iv1_inverted_index",
+    """
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              x -> x != ''))) AS term
+      FROM documents
+    ), occ AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents
+    ), stats AS (
+      SELECT term, count(*) AS cf FROM occ GROUP BY term
+    )
+    SELECT ex.term, count(*) AS df, min(stats.cf) AS cf,
+           array_to_string(list_sort(list(ex.doc_id))[1:15], ',') AS postings
+    FROM ex JOIN stats ON ex.term = stats.term
+    GROUP BY ex.term ORDER BY df DESC, ex.term LIMIT 30
+    """,
+)
+def iv1_inverted_index(spark, sf_dir):
+    """Inverted-index construction: per-term document frequency,
+    collection frequency, and a bounded sorted posting list (first 15
+    doc ids) for the top-30 terms by df.
+
+    The oracle states the plain semantics (global sort of each term's
+    postings); the Spark plan is the SCALE-SAFE version: postings are
+    selected TWO-LEVEL — min-15 within a hash slice of the doc space,
+    then min-15 of the <= 8x15 survivors — so no task ever materializes
+    a hot term's (stopword's) full posting list. min-15 of per-slice
+    min-15s equals the global min-15 (any global survivor survives its
+    slice), and df sums exactly because the slices partition doc ids.
+    One shuffle keyed on (term, slice), one tiny one on term, TakeOrdered
+    for the top-30.
+    """
+    from es_to_clickhouse_spark.operators.sketch import hash32
+
+    d = t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    ex = d.select("doc_id", F.explode(toks).alias("term")).withColumn(
+        "_sl", hash32(F.col("doc_id"), "iv") % 8
+    )
+    l1 = ex.groupBy("term", "_sl").agg(
+        F.count(F.lit(1)).alias("cf1"),
+        F.countDistinct("doc_id").alias("df1"),
+        F.slice(F.array_sort(F.collect_set("doc_id")), 1, 15).alias("p1"),
+    )
+    l2 = l1.groupBy("term").agg(
+        F.sum("cf1").alias("cf"),
+        F.sum("df1").alias("df"),
+        F.array_join(
+            F.slice(F.array_sort(F.flatten(F.collect_list("p1"))), 1, 15), ","
+        ).alias("postings"),
+    )
+    return l2.orderBy(F.desc("df"), "term").limit(30).select(
+        "term", "df", "cf", "postings"
+    )
