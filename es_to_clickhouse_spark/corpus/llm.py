@@ -336,8 +336,16 @@ def txt4_fingerprint(spark, sf_dir):
 )
 def txt5_bigram_topk(spark, sf_dir):
     """Word-bigram term stats: explode + count + top-k (the n-gram profile
-    behind corpus analysis)."""
-    d = t(spark, sf_dir, "documents")
+    behind corpus analysis).
+
+    Two measured hot spots, same medicine as txt10: the single-file
+    source scans as ONE partition (pin a repartition so the lambda-built
+    bigram arrays compute on all cores), and a Generate directly over a
+    HOF-lambda projection evaluates far slower than over materialized
+    arrays (checkpoint barrier). 3.9 s -> ~0.7 s warm at sf0.1."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = text.tokens(F.col("text"))
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -345,8 +353,9 @@ def txt5_bigram_topk(spark, sf_dir):
             F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
         ),
     )
+    arr = d.select(bigrams.alias("bg")).localCheckpoint(eager=False)
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        arr.select(F.explode("bg").alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram")
@@ -1716,9 +1725,17 @@ def iv1_inverted_index(spark, sf_dir):
     """
     from es_to_clickhouse_spark.operators.sketch import hash32
 
-    d = t(spark, sf_dir, "documents")
-    toks = text.tokens(F.col("text"))
-    ex = d.select("doc_id", F.explode(toks).alias("term")).withColumn(
+    # pinned repartition (single-file source scans as one task) and a
+    # checkpoint barrier between the tokenizer lambda and the Generate
+    # (same pathology as txt10/txt5): 1.8 s -> ~1.5 s warm at sf0.1
+    # (the residual is the two-level distinct aggregation, not the scan)
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    arr = d.select(
+        "doc_id", text.tokens(F.col("text")).alias("_ts")
+    ).localCheckpoint(eager=False)
+    ex = arr.select("doc_id", F.explode("_ts").alias("term")).withColumn(
         "_sl", hash32(F.col("doc_id"), "iv") % 8
     )
     l1 = ex.groupBy("term", "_sl").agg(
