@@ -120,7 +120,13 @@ def ngram_jaccard_pairs(
     # unchanged because xxhash64 preserves distinctness within a pair up
     # to collision odds ~ (tokens/doc)^2 / 2^64 ~ 1e-16 — deterministic,
     # so results are bit-reproducible across runs either way.
-    base = df.select(
+    # repartition the SOURCE before the tokenize/hash projection: a
+    # single-file source scans as one partition, and both join sides
+    # (including the broadcast build side, whose child runs as its own
+    # job) would otherwise evaluate the HOF-lambda tokenizer in a single
+    # task — measured 14 s broadcast-build stalls at sf0.1 without this.
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_tasks).select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
         F.transform(
@@ -128,40 +134,101 @@ def ngram_jaccard_pairs(
         ).alias("_tok"),
         (F.abs(F.hash(F.col(id_col))) % n_salts).alias("_salt"),
     )
+    # BALANCED pair-bucket keys: the earlier scheme joined on
+    # (block, partner_salt) with the left side replicated to partners
+    # >= its own salt — correct, but the work per key is TRIANGULAR
+    # (partner_salt = n-1 carries n x the pairs of partner_salt = 0),
+    # so task completion ramps down and the wall clock tracks the
+    # heaviest key. Keying on the full unordered salt pair (lo, hi)
+    # gives every key a uniform 1/n^2 of its block's pairs: the side
+    # with the LOWER salt emits (salt, j >= salt), the side with the
+    # HIGHER emits (i <= salt, salt); a cross-salt pair meets at exactly
+    # one key, a same-salt pair at (s, s) twice (deduped by id order,
+    # unchanged). Replication rises from ~n/2 x one side to ~n/2 x both
+    # sides — the shuffle carries 2x the bytes, but per-task pair work
+    # is flat (measured 4.5 s -> 2.2 s at sf0.1).
     a = base.select(
         F.col(id_col).alias("_ida"), "_block", F.col("_tok").alias("_tok_a"),
         F.col("_salt").alias("_salt_a"),
+        F.col("_salt").alias("_salt_lo"),
         F.explode(
             F.sequence(F.col("_salt"), F.lit(n_salts - 1))
-        ).alias("_salt_b"),
+        ).alias("_salt_hi"),
     )
     b = base.select(
         F.col(id_col).alias("_idb"), "_block", F.col("_tok").alias("_tok_b"),
         F.col("_salt").alias("_salt_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_salt_lo"),
+        F.col("_salt").alias("_salt_hi"),
     )
-    # explicit repartition on the salted key: without it, a small source
-    # (one parquet file) scans as ONE partition and the broadcast join +
-    # all quadratic jaccard work runs in that single task regardless of
-    # salting (measured: 57 s one-task at sf0.1, 32 idle cores). A
-    # user-specified repartition pins the exchange (AQE won't coalesce
-    # it away on byte-size grounds — the cost here is compute, which
-    # size heuristics can't see), spreading the pair work across
-    # blocks x n_salts tasks.
-    n_tasks = df.sparkSession.sparkContext.defaultParallelism
-    a = a.repartition(n_tasks, "_block", "_salt_b")
-    pairs = a.join(b, on=["_block", "_salt_b"]).where(
-        # same-salt bucket: id order dedups; cross-salt: every pair
-        # appears exactly once (a.salt < b.salt by construction)
-        (F.col("_salt_a") != F.col("_salt_b"))
-        | (F.col("_ida") < F.col("_idb"))
+    # explicit repartition on the pair-bucket key: without it, a small
+    # source (one parquet file) scans as ONE partition and the broadcast
+    # join + all quadratic jaccard work runs in that single task
+    # regardless of salting (measured: 57 s one-task at sf0.1, 32 idle
+    # cores). A user-specified repartition pins the exchange (AQE won't
+    # coalesce it away on byte-size grounds — the cost here is compute,
+    # which size heuristics can't see), spreading the pair work across
+    # blocks x n^2/2 uniform buckets.
+    a = a.repartition(n_tasks, "_block", "_salt_lo", "_salt_hi")
+    # size-ratio prefilter INSIDE the join condition: J >= t implies
+    # min(|A|,|B|)/max >= t (I <= min, U >= max), so integer size
+    # compares — ordered before anything array-valued, short-circuiting
+    # in codegen — prune pairs before any intersect is computed. The
+    # margin (t - 0.00005) accounts for the round(.,4) applied to J
+    # before the threshold test, so no boundary pair is lost.
+    tm = F.lit(float(threshold) - 0.00005)
+    na, nb = F.size("_tok_a").cast("double"), F.size("_tok_b").cast("double")
+    pairs = a.join(b, on=["_block", "_salt_lo", "_salt_hi"]).where(
+        # same-salt bucket (lo == hi): id order dedups; cross-salt: every
+        # pair appears exactly once (a.salt == lo < hi == b.salt)
+        ((F.col("_salt_a") != F.col("_salt_b")) | (F.col("_ida") < F.col("_idb")))
+        & (na >= tm * nb)
+        & (nb >= tm * na)
+    )
+    # INTEGER single-intersect prefilter: writing the threshold test as
+    # round(I/U,4) >= t puts array_intersect in the expression tree 3x
+    # (guard, numerator, denominator via U = sz - I) and neither CSE nor
+    # a projection barrier prevents per-pair re-evaluation once Catalyst
+    # inlines the filter into the join (measured: 3x intersects = ~5 s
+    # vs ~2 s at sf0.1). Algebra removes the duplication exactly:
+    #   I/U >= t-eps  <=>  (10^5+m)*I >= m*(|A|+|B|),  m ~ 10^5*t - 5
+    # — one intersect, two int multiplies. m is taken ONE NOTCH WEAKER
+    # (-6 instead of -5) so the prefilter is strictly weaker than the
+    # rounded test; the exact round(.,4) >= t filter then runs only on
+    # the boundary sliver (~output-sized), keeping results identical.
+    inter1 = F.size(F.array_intersect("_tok_a", "_tok_b"))
+    sz = F.size("_tok_a") + F.size("_tok_b")
+    if threshold > 0:
+        m = int(round(100000 * threshold)) - 6
+        pairs = pairs.where(
+            (F.lit(100000 + m) * inter1 >= F.lit(m) * sz) & (sz > 0)
+        )
+    # The exact round-based test is deliberately CASE-free when
+    # threshold > 0 (the prefilter already guarantees union > 0 on every
+    # surviving pair, so the empty-union guard is dead code there):
+    # Catalyst inlines this filter into the join condition as the LAST
+    # conjunct, where && short-circuiting makes it run only on prefilter
+    # survivors — and keeping a CaseWhen OUT of the join condition keeps
+    # the join inside whole-stage codegen, which is the difference
+    # between ~1.5 s and ~4 s at sf0.1 for the identical algorithm.
+    slim = pairs.select(
+        F.least("_ida", "_idb").alias("id_a"),
+        F.greatest("_ida", "_idb").alias("id_b"),
+        inter1.alias("_inter"),
+        sz.alias("_sz"),
+    )
+    union = F.col("_sz") - F.col("_inter")
+    jc = (
+        F.round(F.col("_inter") / union, 4)
+        if threshold > 0
+        else F.round(
+            F.when(union == 0, F.lit(0.0)).otherwise(F.col("_inter") / union), 4
+        )
     )
     return (
-        pairs.select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
-            F.round(jaccard(F.col("_tok_a"), F.col("_tok_b")), 4).alias("jaccard"),
-        )
+        slim.select("id_a", "id_b", jc.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
