@@ -3,9 +3,32 @@ micro-batches (SURVEY T2/T3/T8 — streaming twin of the upsert view)."""
 
 from __future__ import annotations
 
+import functools
 import os
 
 from es_to_clickhouse_spark.streaming.stateful import first_seen_stream
+
+
+def _retry_transient(fn):
+    """Retry a streaming test ONCE on a raw py4j transport error.
+
+    After ~10 minutes of full-suite load the py4j bridge occasionally
+    drops a foreachBatch round mid-flight (observed as a bare Py4JError
+    on an o####.parquet call, ~1-in-2 suite runs; never reproducible in
+    isolation). The retry runs on a FRESH directory, so a genuine logic
+    failure still reproduces and assertion failures are never retried.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(spark, tmp_path):
+        from py4j.protocol import Py4JError
+
+        try:
+            return fn(spark, tmp_path / "try1")
+        except Py4JError:
+            return fn(spark, tmp_path / "try2")
+
+    return wrapper
 
 
 def _run_batch(spark, src_dir, ckpt, out_dir, schema):
@@ -187,6 +210,7 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path):
     assert got2 == got1 | {(3, "c")}
 
 
+@_retry_transient
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream interval join: clicks attribute to an
     impression of the same key within 1 hour AFTER the impression."""
@@ -229,6 +253,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == {("i1", "c-hit")}
 
 
+@_retry_transient
 def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     """Left-outer stream-stream join: unmatched impressions surface with
     null click columns — emitted only in a LATER batch, after the
