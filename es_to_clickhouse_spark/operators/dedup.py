@@ -257,6 +257,11 @@ def lsh_neardup_pairs(
     stage). Dropped buckets are the caller's signal to raise k/bands or
     shingle size.
     """
+    # repartition the single-file source once so the md5 minhash and the
+    # tokenizer projections run on all cores (the d5 lesson), and share
+    # ONE materialized token frame across both verify joins — otherwise
+    # each join re-executes the tokenize subtree in a single task.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     buckets = minhash_lsh_buckets(df, text_col, k, bands).select(
         "band_id", "band_key", F.col(id_col)
     )
@@ -275,9 +280,17 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()  # a pair may collide in several bands — verify once
     )
+    # token sets hashed to longs (xxhash64 preserves within-pair
+    # distinctness to ~1e-16 — same argument as ngram_jaccard_pairs, and
+    # jaccard only needs set cardinalities) and checkpointed once: both
+    # verify joins read one materialization instead of re-running the
+    # HOF-lambda tokenizer per side.
     toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_tok")
-    )
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))), lambda s: F.xxhash64(s)
+        ).alias("_tok"),
+    ).localCheckpoint(eager=False)
     return (
         cand.join(toks.select(F.col(id_col).alias("id_a"), F.col("_tok").alias("_ta")), "id_a")
         .join(toks.select(F.col(id_col).alias("id_b"), F.col("_tok").alias("_tb")), "id_b")
