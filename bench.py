@@ -81,6 +81,13 @@ HEAVY = [
     "g1_pagerank_trade",
     "pk1_context_pack",
     "w8_moving_sum_rows",
+    # r5 additions: a full 201-query timing sweep found the iterative
+    # CC pipelines (d9/d10) were the true top cost centers, invisible
+    # to both the r1 headline and the r4 heavy list
+    "d9_dup_clusters",
+    "d10_retention_policy",
+    "txt5_bigram_topk",
+    "d6_embedding_neardup",
 ]
 
 WARM_PASSES = 5
