@@ -88,6 +88,66 @@ def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def salted_block_pairs(
+    base: DataFrame,
+    id_col: str,
+    payload: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Balanced within-block self-pairing on uniform salt-pair buckets.
+
+    ``base`` must carry ``id_col``, a ``_block`` column, and the
+    ``payload`` columns; the result holds every unordered pair of rows
+    sharing a block EXACTLY once, as columns ``_ida``/``_idb`` (arbitrary
+    orientation — normalize with least/greatest) plus each payload column
+    suffixed ``_a``/``_b``.
+
+    Why not a plain self-join on the block key: with few large blocks the
+    quadratic pair work lands on a handful of shuffle keys and one
+    straggler does everything (measured 57 s single-task at sf0.1 before
+    salting). And why the key is the full unordered SALT PAIR (lo, hi)
+    rather than (block, partner_salt): with the partner-salt key the work
+    per key is TRIANGULAR (partner n-1 carries n x the pairs of partner
+    0), so the wall clock tracks the heaviest key; keying on (lo, hi)
+    gives every key a uniform 1/n^2 of its block's pairs (measured
+    4.5 s -> 2.2 s at sf0.1 for the jaccard verify). The side with the
+    LOWER salt emits (salt, j >= salt), the HIGHER side (i <= salt,
+    salt); a cross-salt pair meets at exactly one key, a same-salt pair
+    at (s, s) twice and is deduped by id order. Replication is ~n/2 x
+    per side, carrying only (id, salts, payload).
+
+    The explicit repartition pins the exchange: a single-file source
+    scans as one partition and AQE will not widen it on byte-size
+    grounds — the cost here is compute, invisible to size heuristics.
+    """
+    base = base.withColumn(
+        "_salt", F.abs(F.hash(F.col(id_col))) % n_salts
+    )
+    a = base.select(
+        F.col(id_col).alias("_ida"), "_block",
+        *[F.col(c).alias(c + "_a") for c in payload],
+        F.col("_salt").alias("_salt_a"),
+        F.col("_salt").alias("_salt_lo"),
+        F.explode(
+            F.sequence(F.col("_salt"), F.lit(n_salts - 1))
+        ).alias("_salt_hi"),
+    )
+    b = base.select(
+        F.col(id_col).alias("_idb"), "_block",
+        *[F.col(c).alias(c + "_b") for c in payload],
+        F.col("_salt").alias("_salt_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_salt_lo"),
+        F.col("_salt").alias("_salt_hi"),
+    )
+    n_tasks = base.sparkSession.sparkContext.defaultParallelism
+    a = a.repartition(n_tasks, "_block", "_salt_lo", "_salt_hi")
+    return a.join(b, on=["_block", "_salt_lo", "_salt_hi"]).where(
+        # same-salt bucket (lo == hi): id order dedups; cross-salt: every
+        # pair appears exactly once (a.salt == lo < hi == b.salt)
+        (F.col("_salt_a") != F.col("_salt_b")) | (F.col("_ida") < F.col("_idb"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -98,22 +158,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by token-set Jaccard, blocked by ``block_col`` so the
     self-join is quadratic only within blocks (at scale the block key is an
-    LSH band key from minhash_lsh_buckets).
-
-    SALTED TRIANGLE PAIRING: a plain self-join on the block key shuffles
-    on as many distinct keys as there are blocks — with few large blocks
-    (5 languages here) the quadratic pair work lands on a handful of
-    tasks and one straggler does everything (measured: 57 s
-    single-task at sf0.1). Instead each row gets a deterministic salt
-    in [0, n_salts); the left side is replicated once per partner salt
-    >= its own, and the join key becomes (block, partner_salt) — every
-    unordered salt pair (i <= j) is covered exactly once, parallelism
-    rises to blocks x n_salts, and per-task pair count drops by
-    ~n_salts^2/2. Same-salt pairs dedup by id order; cross-salt pairs
-    normalize to (least, greatest), so the OUTPUT SET is byte-identical
-    to the naive join. The ~(n_salts/2)x left-side replication carries
-    only (id, salt, token array) — the standard cost of unskewing a
-    quadratic blow-up."""
+    LSH band key from minhash_lsh_buckets). Pairing and skew balance come
+    from :func:`salted_block_pairs`; the OUTPUT SET is byte-identical to
+    the naive blocked join (pairs normalize to (least, greatest))."""
     # tokens are hashed to 64-bit longs BEFORE the quadratic stage: the
     # per-pair array_intersect then compares fixed-width longs instead of
     # variable-length strings (~2x cheaper measured at sf0.1). Jaccard is
@@ -132,44 +179,8 @@ def ngram_jaccard_pairs(
         F.transform(
             F.array_distinct(tokens(F.col(text_col))), lambda s: F.xxhash64(s)
         ).alias("_tok"),
-        (F.abs(F.hash(F.col(id_col))) % n_salts).alias("_salt"),
     )
-    # BALANCED pair-bucket keys: the earlier scheme joined on
-    # (block, partner_salt) with the left side replicated to partners
-    # >= its own salt — correct, but the work per key is TRIANGULAR
-    # (partner_salt = n-1 carries n x the pairs of partner_salt = 0),
-    # so task completion ramps down and the wall clock tracks the
-    # heaviest key. Keying on the full unordered salt pair (lo, hi)
-    # gives every key a uniform 1/n^2 of its block's pairs: the side
-    # with the LOWER salt emits (salt, j >= salt), the side with the
-    # HIGHER emits (i <= salt, salt); a cross-salt pair meets at exactly
-    # one key, a same-salt pair at (s, s) twice (deduped by id order,
-    # unchanged). Replication rises from ~n/2 x one side to ~n/2 x both
-    # sides — the shuffle carries 2x the bytes, but per-task pair work
-    # is flat (measured 4.5 s -> 2.2 s at sf0.1).
-    a = base.select(
-        F.col(id_col).alias("_ida"), "_block", F.col("_tok").alias("_tok_a"),
-        F.col("_salt").alias("_salt_a"),
-        F.col("_salt").alias("_salt_lo"),
-        F.explode(
-            F.sequence(F.col("_salt"), F.lit(n_salts - 1))
-        ).alias("_salt_hi"),
-    )
-    b = base.select(
-        F.col(id_col).alias("_idb"), "_block", F.col("_tok").alias("_tok_b"),
-        F.col("_salt").alias("_salt_b"),
-        F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_salt_lo"),
-        F.col("_salt").alias("_salt_hi"),
-    )
-    # explicit repartition on the pair-bucket key: without it, a small
-    # source (one parquet file) scans as ONE partition and the broadcast
-    # join + all quadratic jaccard work runs in that single task
-    # regardless of salting (measured: 57 s one-task at sf0.1, 32 idle
-    # cores). A user-specified repartition pins the exchange (AQE won't
-    # coalesce it away on byte-size grounds — the cost here is compute,
-    # which size heuristics can't see), spreading the pair work across
-    # blocks x n^2/2 uniform buckets.
-    a = a.repartition(n_tasks, "_block", "_salt_lo", "_salt_hi")
+    pairs = salted_block_pairs(base, id_col, ["_tok"], n_salts)
     # size-ratio prefilter INSIDE the join condition: J >= t implies
     # min(|A|,|B|)/max >= t (I <= min, U >= max), so integer size
     # compares — ordered before anything array-valued, short-circuiting
@@ -178,13 +189,7 @@ def ngram_jaccard_pairs(
     # before the threshold test, so no boundary pair is lost.
     tm = F.lit(float(threshold) - 0.00005)
     na, nb = F.size("_tok_a").cast("double"), F.size("_tok_b").cast("double")
-    pairs = a.join(b, on=["_block", "_salt_lo", "_salt_hi"]).where(
-        # same-salt bucket (lo == hi): id order dedups; cross-salt: every
-        # pair appears exactly once (a.salt == lo < hi == b.salt)
-        ((F.col("_salt_a") != F.col("_salt_b")) | (F.col("_ida") < F.col("_idb")))
-        & (na >= tm * nb)
-        & (nb >= tm * na)
-    )
+    pairs = pairs.where((na >= tm * nb) & (nb >= tm * na))
     # INTEGER single-intersect prefilter: writing the threshold test as
     # round(I/U,4) >= t puts array_intersect in the expression tree 3x
     # (guard, numerator, denominator via U = sz - I) and neither CSE nor
@@ -331,19 +336,34 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked (label / coarse quantizer /
-    LSH bucket) to avoid the global cross join."""
-    from es_to_clickhouse_spark.operators.similarity import cosine
+    LSH bucket) to avoid the global cross join.
 
-    base = df.select(
+    Per-row norms are hoisted OUT of the pair stage: cosine(a, b) =
+    dot(a, b) / (||a|| * ||b||), and the norms are pure row functions, so
+    each quadratic pair pays ONE zip_with/aggregate fold instead of
+    three (the folds are HOF lambdas — interpreted, the dominant
+    per-pair cost; measured 2.6 s -> ~1 s at sf0.1). Values are
+    bit-identical: same fold shapes, same multiply order, and both dot
+    and the norm product are exactly symmetric under operand swap, so
+    the least/greatest orientation from salted_block_pairs changes
+    nothing. Pairing/skew balance: salted_block_pairs."""
+    from es_to_clickhouse_spark.operators.similarity import dot, norm
+
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    v = F.col(vec_col).cast("array<double>")
+    base = df.repartition(n_tasks).select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+        v.alias("_v"),
+        norm(v).alias("_nm"),
     )
-    a = base.select(F.col(id_col).alias("id_a"), "_block", F.col("_v").alias("_va"))
-    b = base.select(F.col(id_col).alias("id_b"), "_block", F.col("_v").alias("_vb"))
-    pairs = a.join(b, on="_block").where(F.col("id_a") < F.col("id_b"))
+    pairs = salted_block_pairs(base, id_col, ["_v", "_nm"])
+    cos = F.round(
+        dot(F.col("_v_a"), F.col("_v_b")) / (F.col("_nm_a") * F.col("_nm_b")),
+        4,
+    )
     return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos"),
+        F.least("_ida", "_idb").alias("id_a"),
+        F.greatest("_ida", "_idb").alias("id_b"),
+        cos.alias("cos"),
     ).where(F.col("cos") >= threshold)

@@ -514,3 +514,30 @@ def test_mixture_sample_subset_and_passthrough(spark):
     assert 30 <= per["a"] <= 70  # ~50% hash keep
     # kept ids are a subset of the input
     assert kept.join(df, ["doc_id"], "left_anti").count() == 0
+
+
+def test_embedding_neardup_cosines_match_duckdb_unthresholded(spark):
+    """The production d6 query returns 0 rows at every testdata SF (no
+    synthetic pair reaches cos >= 0.9), so the oracle never exercises the
+    pair-cosine math. Pin it here with threshold=-1: every blocked pair's
+    rounded cosine must match DuckDB's list_cosine_similarity exactly."""
+    import duckdb
+
+    from es_to_clickhouse_spark.operators.dedup import embedding_neardup_pairs
+    from tests.conftest import SF_DIR
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = embedding_neardup_pairs(
+        df, "vec_id", "embedding", "label", threshold=-1.0
+    )
+    spark_rows = sorted((r.id_a, r.id_b, r.cos) for r in got.collect())
+    exp = duckdb.sql(f"""
+        WITH e AS (SELECT * FROM '{SF_DIR}/embeddings.parquet')
+        SELECT a.vec_id, b.vec_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    """).fetchall()
+    duck_rows = sorted((int(a), int(b), float(c)) for a, b, c in exp)
+    assert len(spark_rows) > 100  # the comparison actually exercises pairs
+    assert spark_rows == duck_rows
