@@ -75,8 +75,17 @@ def connected_components(
         # the shortcut doubles the jump length per round -> O(log d)
         # rounds. Min-label stays monotone, so the fixpoint — and the
         # oracle-checked output — is unchanged.
+        m1a = m1.alias("x")
         short = (
-            m1.alias("x")
+            m1a.join(m1.alias("y"), F.col("x.lab") == F.col("y.n"))
+            .select(F.col("x.n").alias("n"), F.col("y.lab").alias("lab"))
+        )
+        # second halving per round: labels are tiny relative to edges, so
+        # an extra label-to-label join is nearly free while quartering
+        # the pointer depth — fewer rounds, and each round is a full
+        # scheduling round-trip
+        short = (
+            short.alias("x")
             .join(m1.alias("y"), F.col("x.lab") == F.col("y.n"))
             .select(F.col("x.n").alias("n"), F.col("y.lab").alias("lab"))
         )
