@@ -1753,3 +1753,169 @@ def iv1_inverted_index(spark, sf_dir):
     return l2.orderBy(F.desc("df"), "term").limit(30).select(
         "term", "df", "cf", "postings"
     )
+
+
+@query(
+    "sim7_pq_codebook_assign",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+    subs AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+             FROM e, (SELECT unnest(generate_series(0, 3)) AS sub) s),
+    csubs AS (SELECT cent_id, s.sub, cv[s.sub*16+1 : s.sub*16+16] AS csv
+              FROM cents, (SELECT unnest(generate_series(0, 3)) AS sub) s),
+    d AS (SELECT vec_id, subs.sub, cent_id,
+                 round(list_sum(list_transform(generate_series(1, 16),
+                       i -> (sv[i] - csv[i]) * (sv[i] - csv[i]))), 9) AS dist
+          FROM subs JOIN csubs ON subs.sub = csubs.sub),
+    best AS (SELECT vec_id, sub, cent_id, dist,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist ASC, cent_id) AS rn
+             FROM d)
+    SELECT sub, cent_id AS code, count(*) AS n_assigned,
+           round(min(dist), 6) AS min_dist
+    FROM best WHERE rn = 1 GROUP BY sub, cent_id
+    """,
+)
+def sim7_pq_codebook_assign(spark, sf_dir):
+    """Product-quantization cell census: every embedding split into 4
+    x 16-dim subvectors, each assigned to the nearest of 8 codebook
+    entries (drawn deterministically from the first 8 vectors), then
+    counted per (subspace, code) — the occupancy histogram you check
+    before trusting a PQ index (empty/overfull cells mean a bad
+    codebook). Squared-L2 distances use the same sequential fold as
+    DuckDB's list_sum, so assignment is bit-identical across engines.
+    Scale: codebook broadcast, map-side assignment, argmin over k rows
+    per (row, subspace) — the vector table never shuffles."""
+    from es_to_clickhouse_spark.operators.similarity import pq_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    codes = pq_assign(e, "vec_id", "embedding", cents, m=4, dim=64)
+    return codes.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.min("dist"), 6).alias("min_dist"),
+    )
+
+
+@query(
+    "sim8_pq_adc_ranking",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+    subs AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+             FROM e, (SELECT unnest(generate_series(0, 3)) AS sub) s),
+    csubs AS (SELECT cent_id, s.sub, cv[s.sub*16+1 : s.sub*16+16] AS csv
+              FROM cents, (SELECT unnest(generate_series(0, 3)) AS sub) s),
+    d AS (SELECT vec_id, subs.sub, cent_id,
+                 round(list_sum(list_transform(generate_series(1, 16),
+                       i -> (sv[i] - csv[i]) * (sv[i] - csv[i]))), 9) AS dist
+          FROM subs JOIN csubs ON subs.sub = csubs.sub),
+    codes AS (SELECT vec_id, sub, cent_id AS code FROM (
+                SELECT vec_id, sub, cent_id,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist ASC, cent_id) AS rn
+                FROM d) WHERE rn = 1),
+    lut AS (SELECT c.sub, c.cent_id,
+                   round(list_sum(list_transform(generate_series(1, 16),
+                         i -> (q.sv[i] - c.csv[i]) * (q.sv[i] - c.csv[i]))), 9)
+                     AS qd
+            FROM csubs c JOIN (SELECT sub, sv FROM subs WHERE vec_id = 0) q
+              ON c.sub = q.sub),
+    adc AS (SELECT codes.vec_id,
+                   round(list_sum(list(qd ORDER BY codes.sub)), 6) AS adc_dist
+            FROM codes JOIN lut
+              ON codes.sub = lut.sub AND codes.code = lut.cent_id
+            GROUP BY codes.vec_id),
+    exact AS (SELECT x.vec_id,
+                     round(list_sum(list_transform(generate_series(1, 64),
+                           i -> (x.v[i] - q.v[i]) * (x.v[i] - q.v[i]))), 6)
+                       AS exact_dist
+              FROM e x, (SELECT v FROM e WHERE vec_id = 0) q)
+    SELECT adc.vec_id, adc_dist, exact_dist
+    FROM adc JOIN exact ON adc.vec_id = exact.vec_id
+    WHERE adc.vec_id != 0
+    ORDER BY adc_dist ASC, adc.vec_id LIMIT 10
+    """,
+)
+def sim8_pq_adc_ranking(spark, sf_dir):
+    """PQ search via asymmetric distance: the query vector is compared to
+    each row's CODES (a 4-lookup table sum), never to the row's full
+    vector — the memory-bandwidth trick that makes PQ indexes fast. The
+    top-10 by ADC carries the exact squared-L2 alongside, so the result
+    shows directly how faithful the 8-cell codebook ranking is.
+
+    Determinism: every distance fold is the sequential list_sum shape;
+    the per-row ADC sums its 4 subspace lookups in SUB ORDER via a fold
+    over a sorted struct array (a grouped SUM of doubles would be
+    summation-order-dependent across engines). Scale: codes from
+    pq_assign (broadcast codebook, no vector shuffle); the 32-entry
+    lookup table is broadcast; exact distances are one map-side pass —
+    only the tiny (vec_id, adc) frame shuffles for the final join."""
+    from es_to_clickhouse_spark.operators.similarity import pq_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    codes = pq_assign(e, "vec_id", "embedding", cents, m=4, dim=64).select(
+        "vec_id", "sub", "code"
+    )
+
+    def sub_slices(col, out):
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice(col.cast("array<double>"), s * 16 + 1, 16).alias(out),
+                ),
+            )
+        )
+
+    qsubs = e.where(F.col("vec_id") == 0).select(
+        sub_slices(F.col("embedding"), "qv").alias("_q")
+    ).select(F.col("_q.sub").alias("sub"), F.col("_q.qv").alias("qv"))
+    csubs = cents.select(
+        "cent_id", sub_slices(F.col("cv"), "csv").alias("_c")
+    ).select("cent_id", F.col("_c.sub").alias("sub"), F.col("_c.csv").alias("csv"))
+    sqdist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = csubs.join(F.broadcast(qsubs), "sub").select(
+        "sub", "cent_id", F.round(sqdist(F.col("qv"), F.col("csv")), 9).alias("qd")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.sub == lut.sub) & (codes.code == lut.cent_id),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(codes.sub.alias("s"), F.col("qd")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["qd"],
+                ),
+                6,
+            ).alias("adc_dist")
+        )
+    )
+    qfull = e.where(F.col("vec_id") == 0).select(v.alias("qv"))
+    exact = e.crossJoin(F.broadcast(qfull)).select(
+        "vec_id", F.round(sqdist(v, F.col("qv")), 6).alias("exact_dist")
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .where(F.col("vec_id") != 0)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -147,3 +147,84 @@ def lloyd_step(
     return dims.groupBy("cent_id", F.col("pos").cast("long").alias("pos")).agg(
         F.round(F.avg(F.col("val").cast("double")), round_digits).alias("m")
     )
+
+
+def pq_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization code assignment: split each vector into ``m``
+    contiguous subvectors and assign each to its nearest codebook entry
+    (squared L2; ties break on the smallest centroid id).
+
+    ``cents`` is a (cent_id, vector) codebook frame — at scale a sampled/
+    trained set, here drawn deterministically from the data so the whole
+    assignment is oracle-replicable. Returns one row per (id, subspace)
+    with the winning ``code`` and its squared distance.
+
+    Scale shape: the codebook is BROADCAST (m*k subvectors), assignment
+    is a map-side cross join + per-(row, subspace) argmin — no shuffle
+    of the vector table beyond the argmin aggregation, which groups
+    k rows per (id, subspace). The distance fold is the same sequential
+    aggregate DuckDB's list_sum uses, so distances are bit-identical
+    and the argmin (on the 9-decimal rounded distance, then cent id)
+    picks the same code on every engine.
+    """
+    from pyspark.sql.window import Window
+
+    sub_len = dim // m
+    subs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.alias("sub"),
+                F.slice(
+                    F.col(vec_col).cast("array<double>"),
+                    s * sub_len + 1,
+                    sub_len,
+                ).alias("sv"),
+            ),
+        )
+    )
+    rows = df.select(F.col(id_col), subs.alias("_s")).select(
+        id_col, F.col("_s.sub").alias("sub"), F.col("_s.sv").alias("sv")
+    )
+    csubs = cents.select(
+        F.col("cent_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice(
+                        F.col("cv").cast("array<double>"),
+                        s * sub_len + 1,
+                        sub_len,
+                    ).alias("cv"),
+                ),
+            )
+        ).alias("_c"),
+    ).select("cent_id", F.col("_c.sub").alias("sub"), F.col("_c.cv").alias("cv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = rows.join(F.broadcast(csubs), "sub").select(
+        id_col, "sub", F.col("cent_id"), F.round(dist, 9).alias("_d")
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("_d"), F.asc("cent_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "sub",
+            F.col("cent_id").alias("code"),
+            F.col("_d").alias("dist"),
+        )
+    )

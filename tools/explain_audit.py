@@ -38,6 +38,11 @@ BNL_ALLOWED = {
     "dq5_join_key_skew",  # 1-row total/avg broadcast
     "pk2_curriculum_bins",  # 1-row decile-cuts broadcast
     "sim6_knn_graph",  # sampled probe-set broadcast (sim1 pattern)
+    # mixture rates: 1-row corpus-total and 1-row weight-normalizer
+    # broadcasts feeding the per-source rate formula (n_sources rows)
+    "mix1_temperature_mixture",
+    "mix2_epoch_upsample",
+    "sim8_pq_adc_ranking",  # 1-row query-vector broadcast (sim1 pattern)
 }
 
 
