@@ -455,7 +455,10 @@ def d7_simhash(spark, sf_dir):
     no UDFs, fully codegen'd."""
     from es_to_clickhouse_spark.operators.dedup import simhash16
 
-    d = t(spark, sf_dir, "documents")
+    # pinned repartition: single-file source, interpreted md5 fold
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 

