@@ -377,3 +377,59 @@ def ts1_hourly_gap_fill(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_val").cast("double").alias("sum_val_ffill"),
     )
+
+
+@query(
+    "ts7_ewma_event_rate",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), ser AS (
+      SELECT event_type,
+             list(CAST(n AS DOUBLE) ORDER BY h) AS arr,
+             count(*) AS n_hours,
+             max(n) AS max_n
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           round(list_reduce(arr, (a, b) -> a * 0.5 + b * 0.5), 6)
+             AS last_ewma,
+           max_n
+    FROM ser
+    """,
+)
+def ts7_ewma_event_rate(spark, sf_dir):
+    """Exponentially-weighted moving average of the hourly event rate per
+    type (alpha = 0.5), the classic smoothing baseline for rate
+    monitoring/anomaly thresholds. The recurrence s_t = a*s_{t-1} +
+    a*x_t is a SEQUENTIAL fold over the hour-ordered count series —
+    expressed as F.aggregate seeded with the first element over the
+    array tail, exactly DuckDB's list_reduce shape, and the series
+    values are exact integers cast to double, so the result is
+    bit-identical across engines. Scale: counts partial-aggregate
+    map-side; each type's series is one array in one task (series
+    length = hours observed, bounded by the time span, not row count)."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ser = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("n").alias("max_n"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+        F.element_at("arr", 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return ser.select(
+        "event_type",
+        "n_hours",
+        F.round(ewma, 6).alias("last_ewma"),
+        "max_n",
+    )
