@@ -61,6 +61,7 @@ def load_all() -> None:
         core,
         llm,
         mixing,
+        pipeline,
         quality,
         relational,
         sketch,

@@ -1,0 +1,531 @@
+"""Training-data pipeline extensions, round 5: winnowing fingerprints,
+BPE vocab-induction steps, BFS decontamination expansion, functional-
+dependency discovery, unigram surprisal scoring, and SemDeDup-style
+semantic dedup.
+
+Each query is the Spark-first expression of a standard large-corpus
+curation stage (the reference feeds a warehouse that downstream training
+pipelines consume — these are the operators such a pipeline runs on the
+synced tables). Engine-portability rules follow corpus/__init__.py:
+identical aliases both sides, floats rounded at the same digit count on
+both sides, order-dependent float folds replaced by integer-exact sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from es_to_clickhouse_spark.corpus import query, t
+
+# ------------------------------------------------------------ winnowing
+
+
+@query(
+    "txt17_winnowing",
+    """
+    WITH g AS (
+      SELECT doc_id, pos,
+             md5(substring(text, pos, 5))
+               || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS packed
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS pos
+            FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 8)
+    ), sel AS (
+      SELECT doc_id, pos,
+             min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+      FROM g
+    )
+    SELECT doc_id, count(*) AS n_windows,
+           count(DISTINCT s) AS n_fp, min(s) AS fp_min
+    FROM sel WHERE pos >= 4 GROUP BY doc_id
+    """,
+)
+def txt17_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local algorithm): hash every k=5 char-gram, slide a w=4 window,
+    select the window minimum with rightmost tie-break, and count the
+    distinct selected fingerprints per document. Guarantees any shared
+    substring of length >= w+k-1 contributes a shared fingerprint —
+    the position-robust complement to MinHash (d3), which is order-blind.
+
+    The rightmost-min tie-break is encoded ENGINE-PORTABLY by packing
+    (hash, 999999-pos) into one sortable string, so a plain window min
+    picks (smallest hash, largest position) in both engines — no
+    argmin/struct-ordering semantics needed. Per-row explode fan-out is
+    bounded by doc length; everything else is one partition-local window
+    (no shuffle beyond the doc_id hash) plus a groupBy."""
+    n = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 4 == 0) & (F.length("text") >= 8))
+        .repartition(n)  # single-file source: spread the explode
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 4)).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat(
+            F.md5(F.col("text").substr(F.col("pos"), F.lit(5))),
+            F.lpad((F.lit(999999) - F.col("pos")).cast("string"), 6, "0"),
+        ).alias("packed"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    sel = g.select("doc_id", "pos", F.min("packed").over(w).alias("s"))
+    return (
+        sel.where(F.col("pos") >= 4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct("s").alias("n_fp"),
+            F.min("s").alias("fp_min"),
+        )
+    )
+
+
+# ------------------------------------------------------- BPE induction
+
+
+@query(
+    "bpe1_pair_counts",
+    """
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY w
+    ), pr AS (
+      SELECT substring(w, i, 2) AS pair, f
+      FROM words, unnest(generate_series(1, length(w) - 1)) AS u(i)
+      WHERE length(w) >= 2
+    ), agg AS (
+      SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pr GROUP BY pair
+    )
+    SELECT pair, cnt, rank FROM (
+      SELECT pair, cnt,
+             row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+      FROM agg
+    ) WHERE rank <= 20
+    """,
+)
+def bpe1_pair_counts(spark, sf_dir):
+    """BPE vocabulary induction, step 1 (Sennrich et al.): corpus-weighted
+    adjacent-symbol pair counts at the character level — the statistic a
+    BPE trainer maximizes each merge round. Counting collapses to the
+    DISTINCT-word frequency table first (vocab << corpus), so the
+    quadratic-ish explode over in-word positions runs over the vocab,
+    not the token stream — the standard trainer optimization, and the
+    reason this scales: at 100 TB the word-frequency table is the only
+    shuffle and it is Zipf-small."""
+    n = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0).repartition(n)
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pr = words.where(F.length("w") >= 2).select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w", "f"
+    )
+    agg = pr.select(
+        F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "f"
+    ).groupBy("pair").agg(F.sum("f").alias("cnt"))
+    return (
+        agg.select(
+            "pair",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("pair")))
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= 20)
+    )
+
+
+@query(
+    "bpe2_merge_apply",
+    """
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY w
+    ), pr AS (
+      SELECT substring(w, i, 2) AS pair, f
+      FROM words, unnest(generate_series(1, length(w) - 1)) AS u(i)
+      WHERE length(w) >= 2
+    ), best AS (
+      SELECT pair FROM (
+        SELECT pair, sum(f) AS cnt FROM pr GROUP BY pair
+      ) ORDER BY cnt DESC, pair LIMIT 1
+    ), occ AS (
+      SELECT source, w
+      FROM (SELECT source,
+                   unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+            FROM documents WHERE doc_id % 5 = 0)
+    )
+    SELECT source, (SELECT pair FROM best) AS best_pair,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS symbols_before,
+           CAST(sum((length(w) - length(replace(w, (SELECT pair FROM best), '')))
+                    // 2) AS BIGINT) AS n_merges,
+           CAST(sum(length(w))
+                - sum((length(w) - length(replace(w, (SELECT pair FROM best), '')))
+                      // 2) AS BIGINT) AS symbols_after
+    FROM occ GROUP BY source
+    """,
+)
+def bpe2_merge_apply(spark, sf_dir):
+    """BPE vocabulary induction, step 2: apply the single best merge from
+    bpe1's statistic and report, per source, the symbol-count compression
+    it buys (symbols_before − n_merges = symbols_after). Non-overlapping
+    occurrence counting is (len − len(replace(w, pair, ''))) / 2 —
+    replace() is greedy left-to-right non-overlapping in both engines,
+    exactly a BPE merge pass. The 1-row best pair is a broadcast join
+    (q15's scalar-max pattern), never a global sort of the data side."""
+    n = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0).repartition(n)
+    occ = d.select("source", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    words = occ.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pr = words.where(F.length("w") >= 2).select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w", "f"
+    )
+    best = (
+        pr.select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .select("pair")
+    )
+    j = occ.crossJoin(F.broadcast(best))
+    merges = (F.length("w") - F.length(F.replace(F.col("w"), F.col("pair")))) / 2
+    return j.groupBy("source").agg(
+        F.first("pair").alias("best_pair"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("symbols_before"),
+        F.sum(merges).cast("long").alias("n_merges"),
+        (F.sum(F.length("w")) - F.sum(merges).cast("long")).alias("symbols_after"),
+    )
+
+
+# ------------------------------------------------ BFS decontamination
+
+
+@query(
+    "g3_contamination_bfs",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min') AS mh0,
+             list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min') AS mh1,
+             list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min') AS mh2,
+             list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min') AS mh3
+      FROM tok
+    ), banded AS (
+      SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sig
+      UNION ALL
+      SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key, doc_id FROM sig
+    ), kept AS (
+      SELECT band_id, band_key, doc_id,
+             count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE a.bsz <= 50 AND b.bsz <= 50
+    ), pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b
+      WHERE round(len(list_intersect(ta.ts, tb.ts))
+               / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 4)
+            >= 0.5
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), bfs(node, hop) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+      UNION
+      SELECT e.b, bfs.hop + 1 FROM bfs JOIN e ON e.a = bfs.node
+      WHERE bfs.hop < 3
+    ), mh AS (
+      SELECT node, min(hop) AS hop FROM bfs GROUP BY node
+    )
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS min_doc
+    FROM mh GROUP BY hop
+    """,
+)
+def g3_contamination_bfs(spark, sf_dir):
+    """Transitive decontamination: seed docs (the 'benchmark' set,
+    doc_id % 97 = 0) expanded 3 BFS hops along verified near-dup edges
+    (d8's LSH → Jaccard pipeline) — the closure a pipeline must drop
+    when a contaminated doc's near-dups, and THEIR near-dups, are also
+    suspect. Exact BFS distance per node (first-reach hop == min hop,
+    enforced by the visited anti-join), reported as per-hop frontier
+    sizes. Oracle: recursive-CTE BFS with min(hop).
+
+    Scale shape: edges are the (sparse) verified-pair set, materialized
+    ONCE (localCheckpoint) so the 3 frontier joins never re-run the LSH
+    pipeline; each hop is one hash join frontier⋈edges — frontier stays
+    small relative to the corpus, the classic iterative-BFS plan."""
+    from es_to_clickhouse_spark.operators.dedup import lsh_neardup_pairs
+
+    pairs = lsh_neardup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=4, bands=2, threshold=0.5, max_bucket=50,
+    ).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.localCheckpoint(eager=True)
+
+    seeds = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("node"))
+        .withColumn("hop", F.lit(0))
+    )
+    visited = seeds.localCheckpoint(eager=True)
+    frontier = visited
+    for h in (1, 2, 3):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_doc")
+    )
+
+
+# ------------------------------------------- FD discovery (profiling)
+
+
+@query(
+    "dq8_fd_violations",
+    """
+    WITH c1 AS (
+      SELECT o_custkey AS a, o_orderstatus AS b FROM orders
+    ), c2 AS (
+      SELECT c_mktsegment AS a, CAST(c_nationkey AS VARCHAR) AS b FROM customer
+    ), c3 AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS a, l_returnflag AS b FROM lineitem
+    ), c4 AS (
+      SELECT CAST(n_nationkey AS VARCHAR) AS a, CAST(n_regionkey AS VARCHAR) AS b
+      FROM nation
+    ), g AS (
+      SELECT 'o_custkey->o_orderstatus' AS fd, a, count(DISTINCT b) AS nd
+      FROM c1 GROUP BY a
+      UNION ALL
+      SELECT 'c_mktsegment->c_nationkey', a, count(DISTINCT b) FROM c2 GROUP BY a
+      UNION ALL
+      SELECT 'l_orderkey->l_returnflag', a, count(DISTINCT b) FROM c3 GROUP BY a
+      UNION ALL
+      SELECT 'n_nationkey->n_regionkey', a, count(DISTINCT b) FROM c4 GROUP BY a
+    )
+    SELECT fd, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           CAST(max(nd) AS BIGINT) AS max_rhs
+    FROM g GROUP BY fd
+    """,
+)
+def dq8_fd_violations(spark, sf_dir):
+    """Approximate functional-dependency discovery (profiling family,
+    TANE-style candidate checking): for each candidate A→B report how
+    many A-groups map to more than one distinct B. Exact FDs
+    (p_brand→p_mfgr, n_nationkey→n_regionkey in TPC-H) come back with
+    n_violating = 0; the broken candidates quantify how far off they
+    are. Each candidate is ONE groupBy(A, countDistinct B) — partial
+    aggregation map-side, no extra shuffle; candidates union afterward
+    (tiny frames)."""
+
+    def cand(df, a, b, name):
+        g = df.groupBy(F.col(a).alias("a")).agg(
+            F.countDistinct(F.col(b)).alias("nd")
+        )
+        return g.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_violating"),
+            F.max("nd").alias("max_rhs"),
+        ).select(F.lit(name).alias("fd"), "n_groups", "n_violating", "max_rhs")
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    lineitem = t(spark, sf_dir, "lineitem")
+    nation = t(spark, sf_dir, "nation")
+    out = cand(orders, "o_custkey", "o_orderstatus", "o_custkey->o_orderstatus")
+    out = out.unionByName(
+        cand(customer, "c_mktsegment", "c_nationkey", "c_mktsegment->c_nationkey")
+    )
+    out = out.unionByName(
+        cand(lineitem, "l_orderkey", "l_returnflag", "l_orderkey->l_returnflag")
+    )
+    out = out.unionByName(
+        cand(nation, "n_nationkey", "n_regionkey", "n_nationkey->n_regionkey")
+    )
+    return out
+
+
+# ------------------------------------------------- unigram surprisal
+
+
+@query(
+    "txt18_unigram_surprisal",
+    """
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS f FROM occ GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(f) AS DOUBLE) AS n FROM freq
+    ), sc AS (
+      SELECT o.doc_id,
+             CAST(round(ln((SELECT n FROM tot) / f) * 100000) AS BIGINT) AS micro
+      FROM occ o JOIN freq USING (w)
+      WHERE o.doc_id % 10 = 0
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(micro) AS BIGINT) AS sum_micro,
+           round(CAST(sum(micro) AS DOUBLE) / count(*) / 100000, 4) AS avg_surprisal
+    FROM sc GROUP BY doc_id
+    """,
+)
+def txt18_unigram_surprisal(spark, sf_dir):
+    """Unigram cross-entropy quality score (the CCNet/KenLM-lite filter):
+    per-token surprisal −ln p(w) against the corpus's own unigram
+    distribution, averaged per document — high scores flag rare-token
+    gibberish, low scores boilerplate. The per-token surprisal is
+    quantized to integer micro-nats BEFORE summing, so the distributed
+    sum is bigint-exact and order-independent (the emb1 sequential-fold
+    trick without needing a fold at all). The frequency table is the
+    only shuffle; the score join is Zipf-small on the build side and at
+    real scale becomes a broadcast off a maintained vocab rollup."""
+    n = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n)
+    occ = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    freq = occ.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    tot = freq.agg(F.sum("f").cast("double").alias("n"))
+    sc = (
+        occ.where(F.col("doc_id") % 10 == 0)
+        .join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n") / F.col("f")) * 100000)
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("micro").alias("sum_micro"),
+        F.round(
+            F.sum("micro").cast("double") / F.count(F.lit(1)) / 100000, 4
+        ).alias("avg_surprisal"),
+    )
+
+
+# -------------------------------------------------- semantic dedup
+
+
+@query(
+    "d14_semantic_dedup",
+    """
+    WITH RECURSIVE cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ), sims AS (
+      SELECT e.vec_id, c.cent_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cv AS DOUBLE[])), 6) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ), best AS (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cent_id) AS rn
+      FROM sims
+    ), cell AS (
+      SELECT vec_id, cent_id FROM best WHERE rn = 1
+    ), pairs AS (
+      SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+      FROM cell ca JOIN cell cb
+        ON ca.cent_id = cb.cent_id AND ca.vec_id < cb.vec_id
+      JOIN embeddings a ON a.vec_id = ca.vec_id
+      JOIN embeddings b ON b.vec_id = cb.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    ), nodes AS (
+      SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.node
+    ), lab AS (
+      SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           max(vec_id) AS max_member
+    FROM lab GROUP BY cluster_id
+    """,
+)
+def d14_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space
+    (IVF cells via broadcast centroids, sim4's quantizer), find
+    high-cosine pairs WITHIN cells only, and connected-component them
+    into semantic-duplicate clusters keyed by min vec_id (the kept
+    canonical). The cell blocking is what makes the quadratic stage
+    tractable at 100 TB — pairs are per-cell, load-balanced by
+    salted_block_pairs, and the cross-cell near-misses SemDeDup accepts
+    losing are exactly the documented recall tradeoff. Composition of
+    ivf_assign → embedding_neardup_pairs → connected_components, all
+    scale-shaped already."""
+    from es_to_clickhouse_spark.operators.dedup import embedding_neardup_pairs
+    from es_to_clickhouse_spark.operators.graph import connected_components
+    from es_to_clickhouse_spark.operators.similarity import ivf_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    cell = ivf_assign(emb, cents).select("vec_id", "cent_id")
+    base = emb.join(cell, "vec_id")
+    # threshold 0.4 is calibrated to the synthetic corpus (its max pairwise
+    # cosine is ~0.51 — no planted exact dups); on a real embedding model
+    # SemDeDup's 0.9+ applies, and the threshold is just this parameter
+    pairs = embedding_neardup_pairs(
+        base, "vec_id", "embedding", "cent_id", threshold=0.4
+    ).select("id_a", "id_b")
+    clusters = connected_components(
+        pairs, "id_a", "id_b", out_node="vec_id", out_label="cluster_id"
+    )
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.max("vec_id").alias("max_member")
+    )
