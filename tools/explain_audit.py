@@ -43,6 +43,8 @@ BNL_ALLOWED = {
     "mix1_temperature_mixture",
     "mix2_epoch_upsample",
     "sim8_pq_adc_ranking",  # 1-row query-vector broadcast (sim1 pattern)
+    "bpe2_merge_apply",  # 1-row best-merge-pair broadcast (q15 scalar pattern)
+    "txt18_unigram_surprisal",  # 1-row corpus-token-total broadcast
 }
 
 
