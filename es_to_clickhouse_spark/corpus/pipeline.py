@@ -56,34 +56,19 @@ def txt17_winnowing(spark, sf_dir):
     argmin/struct-ordering semantics needed. Per-row explode fan-out is
     bounded by doc length; everything else is one partition-local window
     (no shuffle beyond the doc_id hash) plus a groupBy."""
+    from es_to_clickhouse_spark.operators.text import winnowing_fingerprints
+
     n = spark.sparkContext.defaultParallelism
     d = (
         t(spark, sf_dir, "documents")
-        .where((F.col("doc_id") % 4 == 0) & (F.length("text") >= 8))
+        .where(F.col("doc_id") % 4 == 0)
         .repartition(n)  # single-file source: spread the explode
     )
-    g = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 4)).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        "pos",
-        F.concat(
-            F.md5(F.col("text").substr(F.col("pos"), F.lit(5))),
-            F.lpad((F.lit(999999) - F.col("pos")).cast("string"), 6, "0"),
-        ).alias("packed"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-    sel = g.select("doc_id", "pos", F.min("packed").over(w).alias("s"))
-    return (
-        sel.where(F.col("pos") >= 4)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.countDistinct("s").alias("n_fp"),
-            F.min("s").alias("fp_min"),
-        )
+    sel = winnowing_fingerprints(d, "doc_id", "text", k=5, w=4)
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("fp").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
     )
 
 
@@ -285,6 +270,7 @@ def g3_contamination_bfs(spark, sf_dir):
     pipeline; each hop is one hash join frontier⋈edges — frontier stays
     small relative to the corpus, the classic iterative-BFS plan."""
     from es_to_clickhouse_spark.operators.dedup import lsh_neardup_pairs
+    from es_to_clickhouse_spark.operators.graph import bfs_min_hops
 
     pairs = lsh_neardup_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text",
@@ -293,28 +279,13 @@ def g3_contamination_bfs(spark, sf_dir):
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = edges.localCheckpoint(eager=True)
-
     seeds = (
         t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("node"))
-        .withColumn("hop", F.lit(0))
     )
-    visited = seeds.localCheckpoint(eager=True)
-    frontier = visited
-    for h in (1, 2, 3):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["a"])
-            .select(F.col("b").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hop", F.lit(h))
-            .localCheckpoint(eager=True)
-        )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited.groupBy("hop").agg(
+    reached = bfs_min_hops(edges, seeds, max_hops=3)
+    return reached.groupBy("hop").agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_doc")
     )
 
@@ -447,6 +418,76 @@ def txt18_unigram_surprisal(spark, sf_dir):
         F.round(
             F.sum("micro").cast("double") / F.count(F.lit(1)) / 100000, 4
         ).alias("avg_surprisal"),
+    )
+
+
+# ------------------------------------------------- BMP header decode
+
+
+@query(
+    "mm9_bmp_header_decode",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(n_chars % 4096 + 1 AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN -((2 * n_chars) % 2048 + 1)
+                     ELSE (2 * n_chars) % 2048 + 1 END AS BIGINT) AS height,
+           CAST(CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 2 THEN 8
+                WHEN 3 THEN 24 ELSE 32 END AS BIGINT) AS bpp
+    FROM documents
+    """,
+)
+def mm9_bmp_header_decode(spark, sf_dir):
+    """BMP BITMAPINFOHEADER decode (fourth container format; the first
+    with SIGNED fields): magic-gated little-endian int32 width/height +
+    uint16 bpp. A third of the synthetic rows carry a NEGATIVE height
+    (spec-legal top-down row order), so the two's-complement fold in
+    operators/multimodal.bmp_dims is exercised, not just the happy
+    path. Oracle is ground truth from the construction formulas —
+    the decoder must invert the byte packing to pass."""
+    from es_to_clickhouse_spark.operators.multimodal import bmp_dims
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = F.col("n_chars") % 4096 + 1
+    h_mag = (F.col("n_chars") * 2) % 2048 + 1
+    h = F.when(F.col("doc_id") % 3 == 0, -h_mag).otherwise(h_mag)
+    bpp = F.element_at(
+        F.array(*[F.lit(x) for x in (1, 4, 8, 24, 32)]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+
+    def le32(v):
+        # two's-complement u32, emitted low byte first
+        u = F.when(v < 0, v + 4294967296).otherwise(v).cast("long")
+        return F.concat(
+            *[
+                F.lpad(F.hex(F.floor(u / 256**i).cast("long") % 256), 2, "0")
+                for i in range(4)
+            ]
+        )
+
+    def le16(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"), F.lpad(F.hex(F.floor(v / 256)), 2, "0")
+        )
+
+    payload = F.unhex(
+        F.concat(
+            F.lit("424D"),  # 'BM'
+            F.lit("00000000"),  # file size (unused by the decoder)
+            F.lit("00000000"),  # reserved
+            F.lit("36000000"),  # pixel-data offset
+            F.lit("28000000"),  # biSize = 40 (BITMAPINFOHEADER)
+            le32(w),
+            le32(h),
+            F.lit("0100"),  # planes = 1
+            le16(bpp),
+        )
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    bw, bh, bb = bmp_dims(F.col("payload"))
+    return assets.select(
+        "asset_id", bw.alias("width"), bh.alias("height"), bb.alias("bpp")
     )
 
 

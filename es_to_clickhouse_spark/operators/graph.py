@@ -129,6 +129,51 @@ def connected_components(
     )
 
 
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Exact BFS distance (min hop count) from a seed set along directed
+    edges, bounded at ``max_hops``. Returns (node_col, hop) — every node
+    reachable within the bound, labeled with its FIRST-reach hop, which
+    the per-level visited anti-join makes equal to the true minimum hop.
+
+    The decontamination closure shape (corpus g3): seeds are the known
+    bad set, edges the verified near-dup pairs, and the result is what a
+    pipeline drops. Scale: edges are localCheckpoint()ed once so the
+    per-hop frontier⋈edges hash joins never re-run the upstream pair
+    pipeline; the frontier and visited frames stay sparse relative to
+    the corpus, and each level is one join + one anti-join (both
+    shuffle-partitioned on node id, no driver collect).
+
+    Pass edges pre-symmetrized for undirected semantics."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("node").alias(node_col), "hop")
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

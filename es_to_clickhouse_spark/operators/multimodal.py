@@ -206,6 +206,29 @@ def gif_dims(payload: Column) -> tuple[Column, Column]:
     )
 
 
+def bmp_dims(payload: Column) -> tuple[Column, Column, Column]:
+    """(width, height, bits_per_pixel) from a BMP: magic ``BM``, then a
+    BITMAPINFOHEADER with SIGNED little-endian int32 width at byte 19
+    and height at byte 23 (1-based), uint16 bpp at byte 29. A negative
+    height is spec-legal (top-down row order) — the sign bit is decoded
+    (two's complement via the 2^31 fold), and the magnitude reported
+    with a ``top_down``-style negative value preserved so callers see
+    the orientation. Fails closed (NULLs) on a non-BM magic. Pure
+    Column byte math like png/wav/gif."""
+
+    def _le_i32(pos: int) -> Column:
+        u = _le_u32(payload, pos)
+        return F.when(u >= 2147483648, u - 4294967296).otherwise(u)
+
+    ok = F.substring(payload, 1, 2).cast("string") == "BM"
+    none = F.lit(None).cast("long")
+    return (
+        F.when(ok, _le_i32(19)).otherwise(none),
+        F.when(ok, _le_i32(23)).otherwise(none),
+        F.when(ok, _le_u16(payload, 29)).otherwise(none),
+    )
+
+
 def sample_frames(df: DataFrame, frames_mod: int = 3) -> DataFrame:
     """Frame-sampling plumbing over mapInPandas: each asset yields
     ``asset_id % frames_mod + 1`` deterministic fake frames.

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: tiny embedded stopword lists for the n-gram/stopword language heuristic
 STOPWORDS = {
@@ -132,3 +133,53 @@ def tfidf_terms(
             ).alias("tfidf"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS local
+    fingerprinting algorithm): hash every k-char gram, slide a window of
+    w consecutive gram hashes, and select each window's minimum hash
+    with RIGHTMOST tie-break. Guarantee: any substring match of length
+    >= w + k - 1 between two documents yields at least one shared
+    selected fingerprint, while ~2/(w+1) of grams are kept.
+
+    Returns one row per WINDOW: (id_col, pos, fp) where ``pos`` is the
+    window-end gram position (1-based, pos >= w) and ``fp`` is the
+    selected fingerprint PACKED as md5hex || zero-padded(999999 - gram
+    position): string order on the packed value == (hash asc, position
+    desc), so a plain window min implements the rightmost-min tie-break
+    portably (no struct-ordering semantics; DuckDB replays it with the
+    same concat). Distinct fp values per doc are the document's
+    fingerprint set; equal fp across docs == same gram hash (position
+    suffix only disambiguates ties WITHIN a window).
+
+    Scale: the explode is bounded by doc length; the only shuffle is the
+    id_col hash for the doc-local window — at 100 TB that is one
+    Exchange on the natural dedup key, and the fingerprint set feeds the
+    same band-join machinery as MinHash (d4) for candidate pairing.
+
+    Documents shorter than k + w - 1 chars produce no rows (no full
+    window exists)."""
+    n_grams = F.length(text_col) - (k - 1)
+    g = df.where(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        F.col(text_col).alias("_t"),
+    )
+    packed = F.concat(
+        F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))),
+        F.lpad((F.lit(999999) - F.col("pos")).cast("string"), 6, "0"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    sel = g.select(
+        F.col(id_col), "pos", F.min(packed).over(win).alias("fp")
+    )
+    return sel.where(F.col("pos") >= w)

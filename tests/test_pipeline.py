@@ -1,0 +1,171 @@
+"""Unit tests for the round-5 pipeline operators: winnowing, BFS
+min-hops, BMP decode, and the BPE merge-counting formula.
+
+The corpus sweep (test_corpus_sweep.py) already oracle-checks the full
+queries end-to-end; these tests pin the SEMANTIC guarantees on crafted
+inputs the synthetic corpus can't be relied on to contain — the
+winnowing match guarantee, BFS hop minimality on a known graph, signed/
+truncated/garbage BMP payloads, and the greedy non-overlap merge count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ------------------------------------------------------------ winnowing
+
+
+class TestWinnowing:
+    K, W = 5, 4
+
+    def _fps(self, spark, docs):
+        from es_to_clickhouse_spark.operators.text import winnowing_fingerprints
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = winnowing_fingerprints(df, "doc_id", "text", self.K, self.W).collect()
+        out: dict[int, set[str]] = {}
+        for r in rows:
+            # strip the 6-char position suffix: the fingerprint identity
+            # is the gram hash; the suffix only orders ties inside a window
+            out.setdefault(r.doc_id, set()).add(r.fp[:-6])
+        return out
+
+    def test_match_guarantee(self, spark):
+        """Any shared substring of length >= w + k - 1 (= 8) must yield a
+        shared fingerprint — the winnowing paper's core guarantee."""
+        shared = "QWERTYUIOPAS"  # 12 chars >> 8
+        fps = self._fps(
+            spark,
+            [(1, "aaaa" + shared + "bbbb"), (2, "cccccc" + shared + "dd")],
+        )
+        assert fps[1] & fps[2], "no shared fingerprint for a 12-char match"
+
+    def test_disjoint_texts_share_nothing(self, spark):
+        fps = self._fps(
+            spark, [(1, "abcdefghijklmnop"), (2, "ABCDEFGHIJKLMNOP")]
+        )
+        assert not (fps[1] & fps[2])
+
+    def test_short_doc_yields_no_rows(self, spark):
+        from es_to_clickhouse_spark.operators.text import winnowing_fingerprints
+
+        df = spark.createDataFrame([(1, "abcdefg")], "doc_id long, text string")
+        assert winnowing_fingerprints(df, "doc_id", "text", self.K, self.W).count() == 0
+
+    def test_density(self, spark):
+        """Selected fraction ~2/(w+1) of grams: far fewer fingerprints
+        than windows, but at least n_windows / w (one per w windows)."""
+        import random
+
+        rng = random.Random(7)
+        text = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(400))
+        from es_to_clickhouse_spark.operators.text import winnowing_fingerprints
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = winnowing_fingerprints(df, "doc_id", "text", self.K, self.W).collect()
+        n_windows = len(rows)
+        n_fp = len({r.fp for r in rows})
+        assert n_windows == 400 - (self.K - 1) - (self.W - 1)
+        assert n_windows / self.W <= n_fp <= n_windows / 2 + 1
+
+
+# ----------------------------------------------------------- BFS hops
+
+
+class TestBfsMinHops:
+    def _run(self, spark, edges, seeds, max_hops=3):
+        from es_to_clickhouse_spark.operators.graph import bfs_min_hops
+
+        e = spark.createDataFrame(edges, "a long, b long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {
+            r.node: r.hop for r in bfs_min_hops(e, s, max_hops=max_hops).collect()
+        }
+
+    def test_chain_hops_and_bound(self, spark):
+        # 1 -> 2 -> 3 -> 4 -> 5: node 5 is 4 hops out, beyond max_hops=3
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1])
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_min_hop_wins_over_longer_path(self, spark):
+        # 1->2->3 and a direct 1->3: node 3 must be hop 1, not 2
+        got = self._run(spark, [(1, 2), (2, 3), (1, 3)], [1])
+        assert got[3] == 1
+
+    def test_multiple_seeds_and_cycle(self, spark):
+        # cycle 1->2->1 must terminate; seed set {1, 10}
+        got = self._run(spark, [(1, 2), (2, 1), (10, 11)], [1, 10])
+        assert got == {1: 0, 10: 0, 2: 1, 11: 1}
+
+    def test_isolated_seed(self, spark):
+        got = self._run(spark, [(5, 6)], [99])
+        assert got == {99: 0}
+
+
+# ----------------------------------------------------------- BMP decode
+
+
+class TestBmpDims:
+    def _decode(self, spark, hexes):
+        from es_to_clickhouse_spark.operators.multimodal import bmp_dims
+
+        df = spark.createDataFrame([(i, h) for i, h in enumerate(hexes)], "i long, hx string")
+        w, h, bpp = bmp_dims(F.unhex(F.col("hx")))
+        return [
+            (r.w, r.h, r.bpp)
+            for r in df.orderBy("i")
+            .select(w.alias("w"), h.alias("h"), bpp.alias("bpp"))
+            .collect()
+        ]
+
+    @staticmethod
+    def _bmp(width: int, height: int, bpp: int) -> str:
+        import struct
+
+        b = b"BM" + b"\x00" * 8 + struct.pack("<IIii", 54, 40, width, height)
+        b += struct.pack("<HH", 1, bpp)
+        return b.hex()
+
+    def test_positive_dims(self, spark):
+        assert self._decode(spark, [self._bmp(640, 480, 24)]) == [(640, 480, 24)]
+
+    def test_negative_height_top_down(self, spark):
+        assert self._decode(spark, [self._bmp(1920, -1080, 32)]) == [(1920, -1080, 32)]
+
+    def test_wrong_magic_fails_closed(self, spark):
+        png = "89504e470d0a1a0a" + "00" * 22
+        assert self._decode(spark, [png]) == [(None, None, None)]
+
+    def test_int32_sign_boundary(self, spark):
+        # 0x7FFFFFFF stays positive; 0x80000000 wraps to -2^31
+        assert self._decode(
+            spark, [self._bmp(2**31 - 1, -(2**31), 1)]
+        ) == [(2**31 - 1, -(2**31), 1)]
+
+
+# ------------------------------------------------------ BPE merge count
+
+
+class TestBpeMergeCount:
+    def test_greedy_nonoverlap_semantics(self, spark):
+        """(len - len(replace(w, pair, ''))) / 2 must equal the greedy
+        left-to-right non-overlapping count a BPE merge pass performs —
+        including the 'aaa' overlap trap (ONE merge, not two)."""
+        cases = [
+            ("banana", "an", 2),
+            ("aaa", "aa", 1),
+            ("aaaa", "aa", 2),
+            ("abab", "ab", 2),
+            ("xyz", "ab", 0),
+        ]
+        df = spark.createDataFrame(cases, "w string, pair string, want long")
+        got = df.select(
+            "want",
+            ((F.length("w") - F.length(F.replace(F.col("w"), F.col("pair")))) / 2)
+            .cast("long")
+            .alias("got"),
+        ).collect()
+        for r in got:
+            assert r.got == r.want
