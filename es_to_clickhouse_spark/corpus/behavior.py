@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from es_to_clickhouse_spark.corpus import query, t
+from es_to_clickhouse_spark.functions import epoch_micros
 
 # ------------------------------------------------------------ cohorts
 
@@ -256,4 +257,142 @@ def w13_mode_per_group(spark, sf_dir):
             F.col("event_type").alias("modal_type"),
             F.col("n").alias("n_events"),
         )
+    )
+
+
+# ------------------------------------------- ClickHouse funnel parity
+
+
+@query(
+    "b6_window_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+    ), s1 AS (
+      SELECT user_id, event_type, us, event_id,
+             max(CASE WHEN event_type = 'view' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      FROM ev
+    ), s2 AS (
+      SELECT user_id, event_type, us, lv,
+             max(CASE WHEN event_type = 'click' THEN lv END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lvc
+      FROM s1
+    )
+    SELECT user_id,
+           CASE WHEN max(CASE WHEN event_type = 'purchase'
+                              AND lvc >= us - 21600000000 THEN 1 ELSE 0 END) = 1
+                THEN 3
+                WHEN max(CASE WHEN event_type = 'click'
+                              AND lv >= us - 21600000000 THEN 1 ELSE 0 END) = 1
+                THEN 2
+                WHEN max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+                THEN 1 ELSE 0 END AS funnel_level
+    FROM s2 GROUP BY user_id
+    """,
+)
+def b6_window_funnel(spark, sf_dir):
+    """ClickHouse ``windowFunnel(6h)(ts, view, click, purchase)``
+    parity: per user, the maximum funnel depth reachable by ANY chain
+    view < click < purchase that fits inside a 6-hour window anchored
+    at its view (sliding-anchor semantics — unlike w12, which anchors
+    at the FIRST view only).
+
+    Spark-first trick: instead of scanning per-user event lists
+    imperatively (the ClickHouse implementation,
+    clickhouse/clickhouse_to_bytehouse.py's target dialect), two
+    cascaded running-max windows compute, for every event, the best
+    (latest) chain prefix ending strictly before it: ``lv`` = latest
+    prior view, ``lvc`` = best view start among prior clicks' chains.
+    Depth-3 exists iff some purchase has lvc >= purchase_ts − window
+    (the intermediate click is then automatically inside the window,
+    since view < click < purchase <= view + τ). One user_id Exchange,
+    one sort, zero self-joins — the exact-chain max without quadratic
+    candidate pairs."""
+    win_us = 21_600_000_000  # 6 hours
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = ev.withColumn(
+        "lv", F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(w_prev)
+    )
+    s2 = s1.withColumn(
+        "lvc",
+        F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(w_prev),
+    )
+    l3 = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("lvc") >= F.col("us") - win_us),
+        1,
+    ).otherwise(0)
+    l2 = F.when(
+        (F.col("event_type") == "click") & (F.col("lv") >= F.col("us") - win_us), 1
+    ).otherwise(0)
+    l1 = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    return s2.groupBy("user_id").agg(
+        F.when(F.max(l3) == 1, 3)
+        .when(F.max(l2) == 1, 2)
+        .when(F.max(l1) == 1, 1)
+        .otherwise(0)
+        .alias("funnel_level")
+    )
+
+
+@query(
+    "b7_sequence_match",
+    """
+    WITH ev AS (
+      SELECT user_id, substring(event_type, 1, 1) AS c,
+             epoch_us(ts) AS us, event_id
+      FROM events
+    ), s AS (
+      SELECT user_id, string_agg(c, '' ORDER BY us, event_id) AS seq
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END AS has_vcp,
+           CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3 AS BIGINT)
+             AS n_vcp_runs
+    FROM s
+    """,
+)
+def b7_sequence_match(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` / ``sequenceCount``
+    parity: per user, the time-ordered event-initial string is matched
+    against the funnel pattern — `.*`-separated for the any-gap match
+    (has_vcp), adjacent-run counting for the strict consecutive form
+    (n_vcp_runs, ClickHouse's `(?1)(?2)(?3)` with nothing between).
+
+    The per-user sequence is ONE array_sort(collect_list(struct)) off
+    the user_id shuffle — struct field order (us, event_id, c) makes
+    lexicographic array_sort identical to the oracle's ORDER BY us,
+    event_id. Bounded by per-user event count; an unbounded stream
+    would sessionize first (t8) and match per session."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        epoch_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    s = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_id", "c"))).alias("a")
+    )
+    seq = F.concat_ws("", F.transform("a", lambda x: x["c"]))
+    sdf = s.select("user_id", seq.alias("seq"))
+    return sdf.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.when(F.col("seq").rlike("v.*c.*p"), 1).otherwise(0).alias("has_vcp"),
+        F.floor(
+            (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("vcp")))) / 3
+        )
+        .cast("long")
+        .alias("n_vcp_runs"),
     )

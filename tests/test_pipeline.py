@@ -169,3 +169,74 @@ class TestBpeMergeCount:
         ).collect()
         for r in got:
             assert r.got == r.want
+
+
+# ------------------------------------------------------ window funnel
+
+
+class TestWindowFunnel:
+    def _run(self, spark, tmp_path, rows):
+        """rows: (event_id, us, user_id, event_type)."""
+        import datetime as dt
+
+        from es_to_clickhouse_spark.corpus.behavior import b6_window_funnel
+
+        data = [
+            (eid, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us), uid, et)
+            for eid, us, uid, et in rows
+        ]
+        df = spark.createDataFrame(
+            data, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = b6_window_funnel(spark, str(tmp_path))
+        return {r.user_id: r.funnel_level for r in out.collect()}
+
+    H = 3_600_000_000  # 1h in us; funnel window is 6h
+
+    def test_sliding_anchor_beats_first_view(self, spark, tmp_path):
+        """The chain may start at ANY view: the first view's window is
+        blown (purchase at +8h) but a later view opens a fresh 6h window
+        that fits a full chain — windowFunnel semantics, NOT w12's
+        first-anchor funnel."""
+        rows = [
+            (1, 0 * self.H, 1, "view"),
+            (2, 1 * self.H, 1, "click"),
+            (3, 5 * self.H, 1, "view"),   # fresh anchor
+            (4, 6 * self.H, 1, "click"),
+            (5, 8 * self.H, 1, "purchase"),  # 8h > 0+6h, but <= 5h+6h
+        ]
+        assert self._run(spark, tmp_path, rows)[1] == 3
+
+    def test_window_bound_cuts_chain(self, spark, tmp_path):
+        rows = [
+            (1, 0, 1, "view"),
+            (2, 1 * self.H, 1, "click"),
+            (3, 8 * self.H, 1, "purchase"),  # outside every view's window
+        ]
+        assert self._run(spark, tmp_path, rows)[1] == 2
+
+    def test_order_matters(self, spark, tmp_path):
+        # purchase BEFORE the click: no depth-3 chain
+        rows = [
+            (1, 0, 1, "view"),
+            (2, 1 * self.H, 1, "purchase"),
+            (3, 2 * self.H, 1, "click"),
+            (4, 0, 2, "click"),  # user 2: click with no prior view
+            (5, 1 * self.H, 2, "signup"),
+        ]
+        got = self._run(spark, tmp_path, rows)
+        assert got[1] == 2
+        assert got[2] == 0
+
+    def test_intermediate_click_must_follow_anchor_view(self, spark, tmp_path):
+        """A click BEFORE the only in-window view cannot serve the chain:
+        view@7h is within 6h of purchase@8h, but the only click (@1h)
+        precedes it — depth stays 2 (view→click from the 0h anchor)."""
+        rows = [
+            (1, 0, 1, "view"),
+            (2, 1 * self.H, 1, "click"),
+            (3, 7 * self.H, 1, "view"),
+            (4, 8 * self.H, 1, "purchase"),
+        ]
+        assert self._run(spark, tmp_path, rows)[1] == 2
