@@ -88,6 +88,11 @@ HEAVY = [
     "d10_retention_policy",
     "txt5_bigram_topk",
     "d6_embedding_neardup",
+    # new r5 operators that land in the top tier (measured sf0.1):
+    # SemDeDup's in-cell pair+CC composition (5.4 s) and the BFS
+    # decontamination closure over the LSH pipeline (2.6 s)
+    "d14_semantic_dedup",
+    "g3_contamination_bfs",
 ]
 
 WARM_PASSES = 5

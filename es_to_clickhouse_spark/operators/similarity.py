@@ -72,23 +72,31 @@ def ivf_assign(
     (max cosine; ties broken by lowest cent_id — deterministic).
 
     ``centroids`` is a small DataFrame (cent_id, cv) — broadcast, so
-    assignment is one map-side pass over the big side plus a per-row
-    window argmax keyed by the vector id. At 100 TB the cell id becomes
-    the partition/bucketing key and probes read one cell, not the table;
-    re-clustering is a re-run of this single job.
+    assignment is one map-side pass over the big side plus a max_by
+    groupBy keyed by the vector id. The argmax is PARTIAL-AGGREGABLE:
+    the (vec × centroid) expanded frame is generated and reduced inside
+    the same mapper, so the shuffle carries one row per vector — a
+    window row_number() would instead sort-shuffle the full n_centroids×
+    expansion (the difference between O(n) and O(n·k) shuffle bytes at
+    100 TB). Ties break to the lowest cent_id via the (sim, −cent_id)
+    struct order, identical to the previous ORDER BY sim DESC, cent_id.
+    At 100 TB the cell id becomes the partition/bucketing key and probes
+    read one cell, not the table; re-clustering is a re-run of this
+    single job.
     """
-    from pyspark.sql.window import Window
-
     sims = df.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col("cent_id"),
         F.round(cosine(F.col(vec_col), F.col("cv")), round_digits).alias("sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cent_id"))
+    best = F.max_by(
+        F.struct("cent_id", "sim"),
+        F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc")),
+    )
     return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        sims.groupBy(id_col)
+        .agg(best.alias("_b"))
+        .select(id_col, F.col("_b.cent_id"), F.col("_b.sim"))
     )
 
 
