@@ -175,15 +175,14 @@ def pq_assign(
     with the winning ``code`` and its squared distance.
 
     Scale shape: the codebook is BROADCAST (m*k subvectors), assignment
-    is a map-side cross join + per-(row, subspace) argmin — no shuffle
-    of the vector table beyond the argmin aggregation, which groups
-    k rows per (id, subspace). The distance fold is the same sequential
-    aggregate DuckDB's list_sum uses, so distances are bit-identical
-    and the argmin (on the 9-decimal rounded distance, then cent id)
-    picks the same code on every engine.
+    is a map-side cross join + per-(row, subspace) argmin via min_by —
+    PARTIAL-AGGREGABLE, so the shuffle carries one row per (id,
+    subspace), never the k× codebook expansion a window row_number()
+    would sort (the ivf_assign lesson). The distance fold is the same
+    sequential aggregate DuckDB's list_sum uses, so distances are
+    bit-identical and the argmin (on the 9-decimal rounded distance,
+    then cent id) picks the same code on every engine.
     """
-    from pyspark.sql.window import Window
-
     sub_len = dim // m
     subs = F.explode(
         F.transform(
@@ -225,14 +224,16 @@ def pq_assign(
     scored = rows.join(F.broadcast(csubs), "sub").select(
         id_col, "sub", F.col("cent_id"), F.round(dist, 9).alias("_d")
     )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("_d"), F.asc("cent_id"))
+    best = F.min_by(
+        F.struct("cent_id", "_d"), F.struct(F.col("_d"), F.col("cent_id"))
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        scored.groupBy(id_col, "sub")
+        .agg(best.alias("_b"))
         .select(
             id_col,
             "sub",
-            F.col("cent_id").alias("code"),
-            F.col("_d").alias("dist"),
+            F.col("_b.cent_id").alias("code"),
+            F.col("_b._d").alias("dist"),
         )
     )
