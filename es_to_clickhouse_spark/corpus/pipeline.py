@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from es_to_clickhouse_spark.corpus import query, t
+from es_to_clickhouse_spark.functions import epoch_micros
 
 # ------------------------------------------------------------ winnowing
 
@@ -569,4 +570,85 @@ def d14_semantic_dedup(spark, sf_dir):
     )
     return clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"), F.max("vec_id").alias("max_member")
+    )
+
+
+# -------------------------------------------------- Z-order layout
+
+#: Morton interleave of two 8-bit scaled dims, as static SQL for the
+#: oracle: bit i of ux lands at 2i+1, of tx at 2i (operators.
+#: partitioning.zorder_value with cols=[ux, tx], bits=8)
+_Z_TERMS = " + ".join(
+    f"(((ux >> {i}) & 1) << {2 * i + 1}) + (((tx >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+
+@query(
+    "zo1_zorder_layout",
+    f"""
+    WITH b AS (
+      SELECT min(user_id) AS umin, max(user_id) AS umax,
+             min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+      FROM events
+    ), s AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(floor((user_id - (SELECT umin FROM b)) * 256.0
+                  / ((SELECT umax FROM b) - (SELECT umin FROM b) + 1))
+               AS BIGINT) AS ux,
+             CAST(floor((epoch_us(ts) - (SELECT tmin FROM b)) * 256.0
+                  / ((SELECT tmax FROM b) - (SELECT tmin FROM b) + 1))
+               AS BIGINT) AS tx
+      FROM events
+    ), z AS (
+      SELECT user_id, us, {_Z_TERMS} AS zv FROM s
+    )
+    SELECT zv >> 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(user_id) AS u_min, max(user_id) AS u_max,
+           min(us) AS t_min, max(us) AS t_max
+    FROM z GROUP BY bucket
+    """,
+)
+def zo1_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering layout for multi-dimension file
+    skipping — the Delta/Iceberg OPTIMIZE ZORDER answer to 'my scans
+    filter on user AND time, but range layout only prunes one of
+    them'. Each event's (user_id, epoch_us) is min/max-scaled to 8
+    bits, bit-interleaved (operators/partitioning.zorder_value), and
+    bucketed on the top 6 z-bits — each bucket then spans at most 1/8
+    of EACH dimension's range, which is exactly what makes per-file
+    min/max stats prunable on either predicate. The per-bucket
+    min/max widths in the output ARE the file-skipping evidence the
+    oracle checks. At scale the same z column feeds
+    repartitionByRange(z) before the write; the 1-row bounds frame is
+    a broadcast (at 100 TB: a cheap stats-table lookup instead)."""
+    from es_to_clickhouse_spark.operators.partitioning import (
+        scale_to_bits,
+        zorder_value,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", epoch_micros(F.col("ts")).alias("us")
+    )
+    b = ev.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("us").alias("tmin"),
+        F.max("us").alias("tmax"),
+    )
+    s = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "us",
+        scale_to_bits(F.col("user_id"), F.col("umin"), F.col("umax"), 8).alias("ux"),
+        scale_to_bits(F.col("us"), F.col("tmin"), F.col("tmax"), 8).alias("tx"),
+    )
+    z = s.select(
+        "user_id", "us", zorder_value([F.col("ux"), F.col("tx")], 8).alias("zv")
+    )
+    return z.groupBy(F.shiftright("zv", 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.min("us").alias("t_min"),
+        F.max("us").alias("t_max"),
     )

@@ -87,3 +87,42 @@ def repartition_by_range(
     if n_partitions:
         return df.repartitionByRange(n_partitions, F.col(time_col))
     return df.repartitionByRange(F.col(time_col))
+
+
+def zorder_value(cols: list[Column], bits: int = 8) -> Column:
+    """Z-order (Morton) curve value over pre-scaled integer columns —
+    the multi-dimension clustering key bucketed/range layouts can't
+    give: sorting/range-partitioning by the interleaved value keeps
+    EVERY dimension locally narrow inside each file, so parquet
+    min/max stats prune scans on any of the dims, not just the
+    leading sort key (the Delta/Iceberg OPTIMIZE ZORDER layout,
+    expressed as a pure Column so it runs inside a repartitionByRange).
+
+    ``cols`` must already be scaled to [0, 2^bits) (see
+    ``scale_to_bits``); bits * len(cols) must be <= 62. Bit i of
+    column j lands at position i * n_dims + (n_dims - 1 - j) — the
+    first column owns the most-significant bit of each group, the
+    standard Morton layout. Literal shift amounts only (the Spark 4
+    ``shiftleft`` constraint), generated per (i, j) at plan build."""
+    n = len(cols)
+    assert bits * n <= 62, "z-value must fit a signed 64-bit long"
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(cl, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + (n - 1 - j))
+    return z
+
+
+def scale_to_bits(col: Column, vmin: Column, vmax: Column, bits: int = 8) -> Column:
+    """Min/max-scale an integer column to [0, 2^bits) with EXACT integer
+    arithmetic (floor((v - min) * 2^bits / (max - min + 1))) so any
+    engine reproduces the same bucket — rank scaling would be
+    skew-robust but needs a quantile pass; min/max is the oracle-exact
+    baseline and the operator takes the bounds as columns so a caller
+    can broadcast approx-quantile cuts instead."""
+    span = vmax.cast("long") - vmin.cast("long") + 1
+    return F.floor(
+        ((col.cast("long") - vmin.cast("long")) * F.lit(2**bits).cast("long")) / span
+    ).cast("long")

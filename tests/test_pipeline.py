@@ -240,3 +240,67 @@ class TestWindowFunnel:
             (4, 8 * self.H, 1, "purchase"),
         ]
         assert self._run(spark, tmp_path, rows)[1] == 2
+
+
+# --------------------------------------------------------- z-order
+
+
+class TestZorder:
+    def test_interleave_matches_reference(self, spark):
+        """zorder_value == the textbook Morton interleave for random
+        8-bit pairs (first column owns the higher bit of each pair)."""
+        import random
+
+        from es_to_clickhouse_spark.operators.partitioning import zorder_value
+
+        rng = random.Random(11)
+        pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)]
+
+        def ref(u, t):
+            z = 0
+            for i in range(8):
+                z |= ((u >> i) & 1) << (2 * i + 1)
+                z |= ((t >> i) & 1) << (2 * i)
+            return z
+
+        df = spark.createDataFrame(pts, "u long, t long")
+        got = df.select(
+            "u", "t", zorder_value([F.col("u"), F.col("t")], 8).alias("z")
+        ).collect()
+        for r in got:
+            assert r.z == ref(r.u, r.t), (r.u, r.t)
+
+    def test_bucket_locality(self, spark):
+        """Fixing the top 6 z-bits (bucket = z >> 10) pins the top 3 bits
+        of EACH dim: every bucket spans <= 32 scaled units per dimension —
+        the min/max-stat prunability the layout exists for."""
+        from es_to_clickhouse_spark.operators.partitioning import zorder_value
+
+        pts = [(u, t) for u in range(0, 256, 7) for t in range(0, 256, 5)]
+        df = spark.createDataFrame(pts, "u long, t long")
+        rows = (
+            df.select("u", "t", zorder_value([F.col("u"), F.col("t")], 8).alias("z"))
+            .groupBy(F.shiftright("z", 10).alias("b"))
+            .agg(
+                (F.max("u") - F.min("u")).alias("du"),
+                (F.max("t") - F.min("t")).alias("dt"),
+            )
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            assert r.du <= 31 and r.dt <= 31
+
+    def test_scale_to_bits_bounds(self, spark):
+        from es_to_clickhouse_spark.operators.partitioning import scale_to_bits
+
+        df = spark.createDataFrame(
+            [(x,) for x in (-50, -1, 0, 1, 99, 100)], "v long"
+        )
+        got = df.select(
+            scale_to_bits(F.col("v"), F.lit(-50), F.lit(100), 8).alias("s")
+        ).collect()
+        vals = [r.s for r in got]
+        assert min(vals) == 0 and max(vals) == 255 or max(vals) <= 255
+        assert vals == sorted(vals)
+        assert all(0 <= v <= 255 for v in vals)

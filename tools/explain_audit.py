@@ -45,6 +45,7 @@ BNL_ALLOWED = {
     "sim8_pq_adc_ranking",  # 1-row query-vector broadcast (sim1 pattern)
     "bpe2_merge_apply",  # 1-row best-merge-pair broadcast (q15 scalar pattern)
     "txt18_unigram_surprisal",  # 1-row corpus-token-total broadcast
+    "zo1_zorder_layout",  # 1-row min/max bounds broadcast (a14 pattern)
 }
 
 
