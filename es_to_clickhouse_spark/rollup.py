@@ -191,23 +191,42 @@ def batch_partials(
     hll_p: int = HLL_P,
     topk_col: str | None = None,
     topk_k: int = TOPK_K,
+    arg_col: str | None = None,
 ) -> DataFrame:
     """Aggregate a micro-batch to mergeable partial state per grain.
 
     ``key_col`` (a unique row id) enables the ``v_qsk`` quantile sample;
     ``distinct_col`` enables the ``v_hllr`` approx-distinct registers;
     ``topk_col`` enables the ``v_topk`` heavy-hitter summary (ClickHouse
-    ``topKState`` analog). All ride as extra columns joined on the grain
-    — the joins are grain-co-partitioned aggregates over the same batch,
-    and the sketch sides are bounded (<= quantile_k rows / <= 2^hll_p
+    ``topKState`` analog); ``arg_col`` enables ``v_amax`` (the
+    ``argMaxState`` analog: which entity carried the maximum value —
+    one (v, a) struct whose lexicographic max is exactly associative,
+    so incremental == recompute bit-for-bit; ties break to the largest
+    arg string, deterministic where ClickHouse's is first-seen). The
+    sketch options ride as extra columns joined on the grain — the
+    joins are grain-co-partitioned aggregates over the same batch, and
+    the sketch sides are bounded (<= quantile_k rows / <= 2^hll_p
     registers / <= topk_k counters per grain) regardless of batch
-    size."""
-    out = batch.groupBy(*grain_cols).agg(
+    size; ``v_amax`` is a plain extra agg, no join at all."""
+    aggs = [
         F.sum(value_col).alias("v_sum"),
         F.count(value_col).alias("v_cnt"),
         F.min(value_col).alias("v_min"),
         F.max(value_col).alias("v_max"),
-    )
+    ]
+    if arg_col is not None:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(value_col).isNotNull(),
+                    F.struct(
+                        F.col(value_col).cast("double").alias("v"),
+                        F.col(arg_col).cast("string").alias("a"),
+                    ),
+                )
+            ).alias("v_amax")
+        )
+    out = batch.groupBy(*grain_cols).agg(*aggs)
     if key_col is not None:
         sample = bottom_k_rows(
             batch.where(F.col(value_col).isNotNull()),
@@ -268,6 +287,9 @@ def _merge(
         F.min("v_min").alias("v_min"),
         F.max("v_max").alias("v_max"),
     ]
+    if "v_amax" in parts.columns:
+        # struct max is associative/commutative: merge == one more max
+        aggs.append(F.max("v_amax").alias("v_amax"))
     if "v_qsk" in parts.columns:
         # collect_list skips NULL arrays (all-null grains stay empty)
         aggs.append(
@@ -328,6 +350,7 @@ def refresh_rollup(
     hll_p: int = HLL_P,
     topk_col: str | None = None,
     topk_k: int = TOPK_K,
+    arg_col: str | None = None,
 ) -> int:
     """Merge one micro-batch into the rollup at ``path``; returns the
     number of grain partitions touched. Only touched partitions of the
@@ -339,7 +362,7 @@ def refresh_rollup(
     refresh of the same rollup table."""
     new = batch_partials(
         batch, grain_cols, value_col, key_col, distinct_col, quantile_k,
-        hll_p, topk_col, topk_k,
+        hll_p, topk_col, topk_k, arg_col,
     )
     lead = grain_cols[0]
     touched = [r[0] for r in new.select(lead).distinct().collect()]
@@ -422,4 +445,8 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
         ).withColumn("v_p95", sketch_quantile(F.col("v_qsk"), 0.95))
     if "v_hllr" in df.columns:
         df = df.withColumn("v_distinct", sketch_distinct("v_hllr"))
+    if "v_amax" in df.columns:
+        df = df.withColumn("v_amax_val", F.col("v_amax.v")).withColumn(
+            "v_amax_arg", F.col("v_amax.a")
+        )
     return df

@@ -418,3 +418,38 @@ def test_sketch_merge_exact_under_arbitrary_splits(spark, tmp_path):
                     assert key in stored, (sorted(cuts), key, n, err)
 
     check()
+
+
+def test_argmax_partial_incremental_equals_recompute(spark, tmp_path):
+    """v_amax (argMaxState analog): the (value, arg) struct max merges
+    associatively, so split-up batches end at the same winner as one
+    recompute — including a later batch stealing the max, ties breaking
+    to the larger arg, and NULL values never winning."""
+    path = str(tmp_path / "amax")
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "d string, user_id long, value double")
+
+    b1 = [
+        ("2024-01-01", 7, 10.0),
+        ("2024-01-01", 3, 10.0),   # tie with u7: larger arg string wins
+        ("2024-01-02", 1, None),   # NULL never wins
+        ("2024-01-02", 2, 1.0),
+    ]
+    b2 = [
+        ("2024-01-01", 5, 2.0),    # does not steal d1
+        ("2024-01-02", 9, 99.0),   # steals d2
+    ]
+    for b in (b1, b2):
+        refresh_rollup(spark, path, ev(b), ["d"], "value", arg_col="user_id")
+    got = {
+        str(r.d): (r.v_amax_val, r.v_amax_arg)
+        for r in read_rollup(spark, path).collect()
+    }
+    full = {
+        str(r.d): (r["v_amax"]["v"], r["v_amax"]["a"])
+        for r in batch_partials(ev(b1 + b2), ["d"], "value", arg_col="user_id").collect()
+    }
+    assert got == full
+    assert got["2024-01-01"] == (10.0, "7")  # tie -> max arg string
+    assert got["2024-01-02"] == (99.0, "9")
