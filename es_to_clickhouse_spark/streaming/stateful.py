@@ -81,3 +81,92 @@ def first_seen_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming funnel
+
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("funnel_level", LongType()),
+    ]
+)
+#: (latest view us, best view-start among seen clicks' chains, level)
+FUNNEL_STATE = StructType(
+    [
+        StructField("lv", LongType()),
+        StructField("lvc", LongType()),
+        StructField("level", LongType()),
+    ]
+)
+
+
+def _funnel_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    window_us: int = 21_600_000_000,
+) -> Iterator[pd.DataFrame]:
+    """Per-user windowFunnel state fold (the streaming twin of corpus
+    b6_window_funnel's cascaded running-max decomposition): ``lv`` is
+    the latest view timestamp, ``lvc`` the best chain start among
+    clicks seen so far, ``level`` the max depth reached. Each is a
+    running max, so the fold is exactly the batch windows replayed
+    incrementally — same tie order ((us, event_id)), same strictly-
+    before semantics, identical result when events arrive time-ordered
+    (the watermark contract; late events would need the batch path)."""
+    lv, lvc, level = state.get if state.exists else (None, None, 0)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        ev = pd.concat(chunks).sort_values(["_sf_us", "_sf_id"])
+        for et, us in zip(ev["_sf_type"], ev["_sf_us"]):
+            us = int(us)
+            if et == "view":
+                lv = us if lv is None else max(lv, us)
+                level = max(level, 1)
+            elif et == "click" and lv is not None:
+                if lv >= us - window_us:
+                    level = max(level, 2)
+                lvc = lv if lvc is None else max(lvc, lv)
+            elif et == "purchase" and lvc is not None and lvc >= us - window_us:
+                level = max(level, 3)
+    state.update((lv, lvc, level))
+    yield pd.DataFrame({"user_id": [key[0]], "funnel_level": [level]})
+
+
+def funnel_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    us_col: str = "us",
+    id_col: str = "event_id",
+    window_us: int = 21_600_000_000,
+) -> DataFrame:
+    """Streaming ``windowFunnel``: per-user max funnel depth
+    (view < click < purchase inside ``window_us`` of the chain's view),
+    maintained incrementally across micro-batches with three longs of
+    state per user — never the event history. Output mode ``update``:
+    each batch re-emits the (monotone) level for the users it touched.
+
+    State is keyed/partitioned by user across executors exactly like
+    first_seen_stream; the per-user fold is O(batch rows), Arrow-
+    batched. Assumes per-user time-ordered arrival (enforce with a
+    watermark + sorted sources; the reference's scroll/keyset protocols
+    deliver exactly that order)."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    keyed = df.select(
+        F.col(user_col).cast("long").alias("_sf_key"),
+        F.col(type_col).cast("string").alias("_sf_type"),
+        F.col(us_col).cast("long").alias("_sf_us"),
+        F.col(id_col).cast("long").alias("_sf_id"),
+    )
+    return keyed.groupBy("_sf_key").applyInPandasWithState(
+        functools.partial(_funnel_fn, window_us=window_us),
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

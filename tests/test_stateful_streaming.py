@@ -351,3 +351,80 @@ def test_streaming_into_typed_evolved_target(spark, tmp_path):
     assert dict(out.dtypes)["n"] == "bigint"
     got = {r._id: r.n for r in out.select("_id", "n").collect()}
     assert got == {"0": 7, "1": None}
+
+
+@_retry_transient
+def test_streaming_funnel_matches_batch_windowfunnel(spark, tmp_path):
+    """funnel_stream across 3 time-ordered micro-batches ends at exactly
+    b6_window_funnel's levels on the combined static frame — the
+    streaming fold IS the batch cascaded-windows decomposition replayed
+    incrementally (chains crossing batch boundaries included)."""
+    import datetime as dt
+    import random
+
+    from es_to_clickhouse_spark.corpus.behavior import b6_window_funnel
+    from es_to_clickhouse_spark.streaming.stateful import funnel_stream
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    h = 3_600_000_000
+    rows = []  # (event_id, us, user_id, event_type)
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                eid * h // 2 + rng.randrange(h // 4),  # ~30m apart, jittered
+                rng.randrange(8),
+                rng.choice(["view", "click", "purchase", "signup", "error"]),
+            )
+        )
+    rows.sort(key=lambda r: r[1])
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    os.makedirs(str(src), exist_ok=True)
+    schema = "event_id long, us long, user_id long, event_type string"
+
+    def run_stream_batch(chunk, idx):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            f"{src}/b{idx}"
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        lv = funnel_stream(stream)
+
+        def sink(batch, _bid):
+            batch.write.mode("append").parquet(str(out))
+
+        q = (
+            lv.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    third = len(rows) // 3
+    for idx, chunk in enumerate((rows[:third], rows[third : 2 * third], rows[2 * third :])):
+        run_stream_batch(chunk, idx)
+
+    # level is monotone: the final per-user level is the max emitted
+    got = {}
+    for r in spark.read.parquet(str(out)).collect():
+        got[r.user_id] = max(got.get(r.user_id, 0), r.funnel_level)
+
+    batch_dir = tmp_path / "batch"
+    spark.createDataFrame(
+        [
+            (eid, base + dt.timedelta(microseconds=us), uid, et)
+            for eid, us, uid, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).write.parquet(f"{batch_dir}/events.parquet")
+    want = {
+        r.user_id: r.funnel_level
+        for r in b6_window_funnel(spark, str(batch_dir)).collect()
+    }
+    assert got == want
+    assert set(want.values()) != {0}  # the corpus actually exercises depth
