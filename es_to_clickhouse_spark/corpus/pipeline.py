@@ -652,3 +652,126 @@ def zo1_zorder_layout(spark, sf_dir):
         F.min("us").alias("t_min"),
         F.max("us").alias("t_max"),
     )
+
+
+# ---------------------------------------- winnowing pair detection
+
+
+@query(
+    "d15_winnowing_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id, pos,
+             md5(substring(text, pos, 5))
+               || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS packed
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS pos
+            FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 8)
+    ), sel AS (
+      SELECT doc_id, pos,
+             min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+      FROM g
+    ), fps AS (
+      SELECT DISTINCT doc_id, substring(s, 1, 32) AS fph
+      FROM sel WHERE pos >= 4
+    ), bsz AS (
+      SELECT fph, count(*) AS n FROM fps GROUP BY fph
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fph = b.fph AND a.doc_id < b.doc_id
+    JOIN bsz ON bsz.fph = a.fph
+    WHERE bsz.n <= 40
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 20
+    """,
+)
+def d15_winnowing_pairs(spark, sf_dir):
+    """MOSS-style overlap pair detection: documents sharing >= 20
+    winnowing fingerprints — the position-robust complement to d5's
+    token-set Jaccard (a reordered or partially copied passage still
+    shares selected k-gram hashes even when the token SET diverges).
+    Same scale skeleton as the LSH pipeline: fingerprints are the
+    band keys, candidate pairs exist only inside same-hash buckets,
+    and the bucket-size cap (40) bounds the quadratic stage against
+    boilerplate hashes exactly like lsh_neardup_pairs' max_bucket."""
+    from es_to_clickhouse_spark.operators.text import winnowing_fingerprints
+
+    n = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .repartition(n)
+    )
+    fps = (
+        winnowing_fingerprints(d, "doc_id", "text", k=5, w=4)
+        .select("doc_id", F.substring("fp", 1, 32).alias("fph"))
+        .distinct()
+    )
+    w = Window.partitionBy("fph")
+    kept = (
+        fps.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= 40)
+        .drop("_bsz")
+    )
+    a = kept.select(F.col("fph"), F.col("doc_id").alias("id_a"))
+    b = kept.select(F.col("fph"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fph")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 20)
+    )
+
+
+# ------------------------------------------ seasonal decomposition
+
+
+@query(
+    "ts8_seasonal_anomaly",
+    """
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS hr,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), season AS (
+      SELECT hr, avg(cnt) AS s_mu, stddev_samp(cnt) AS s_sd
+      FROM hourly GROUP BY hr
+    )
+    SELECT strftime(h.d, '%Y-%m-%d') AS day, CAST(h.hr AS BIGINT) AS hr,
+           cnt, round(s_mu, 4) AS seasonal,
+           round((cnt - s_mu) / s_sd, 4) AS z
+    FROM hourly h JOIN season s ON h.hr = s.hr
+    WHERE abs((cnt - s_mu) / s_sd) > 2.0
+    """,
+)
+def ts8_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-naive decomposition + anomaly flagging: the hour-of-day
+    profile (mean over days per hour — the seasonal component an STL
+    would fit) z-scores each (day, hour) cell; |z| > 2 cells are the
+    de-seasonalized volume anomalies dq3's flat daily baseline would
+    miss (a quiet 3 AM spike hides inside a normal daily total). The
+    seasonal side is 24 rows — broadcast; counts stay exact integers
+    until the final ratio (dq3's float discipline)."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"), F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    season = hourly.groupBy("hr").agg(
+        F.avg("cnt").alias("s_mu"), F.stddev_samp("cnt").alias("s_sd")
+    )
+    z = (F.col("cnt") - F.col("s_mu")) / F.col("s_sd")
+    return (
+        hourly.join(F.broadcast(season), "hr")
+        .where(F.abs(z) > 2.0)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("hr").cast("long").alias("hr"),
+            "cnt",
+            F.round("s_mu", 4).alias("seasonal"),
+            F.round(z, 4).alias("z"),
+        )
+    )
