@@ -396,3 +396,54 @@ def b7_sequence_match(spark, sf_dir):
         .cast("long")
         .alias("n_vcp_runs"),
     )
+
+
+@query(
+    "b8_retention_conditions",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-01'
+                 THEN 1 ELSE 0 END) AS c1,
+             max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02'
+                 THEN 1 ELSE 0 END) AS c2,
+             max(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-03'
+                      AND DATE '2024-01-08' THEN 1 ELSE 0 END) AS c3
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(c1) AS BIGINT) AS r1,
+           CAST(sum(c1 * c2) AS BIGINT) AS r2,
+           CAST(sum(c1 * c3) AS BIGINT) AS r3,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM u
+    """,
+)
+def b8_retention_conditions(spark, sf_dir):
+    """ClickHouse ``retention(cond1, cond2, ...)`` parity: per user, a
+    boolean per condition (active on day 1 / day 2 / during week 1),
+    gated on the FIRST condition exactly like the ClickHouse aggregate
+    (r_i counts users where cond1 AND cond_i), then rolled up to the
+    cohort totals a dashboard plots. One user_id groupBy of 0/1 maxes —
+    partial-aggregated map-side, the condition columns never shuffle
+    individually. Complements b1's week-grain cohort MATRIX with the
+    fixed-condition form."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("d") == F.lit("2024-01-01").cast("date"), 1).otherwise(0)).alias("c1"),
+        F.max(F.when(F.col("d") == F.lit("2024-01-02").cast("date"), 1).otherwise(0)).alias("c2"),
+        F.max(
+            F.when(
+                (F.col("d") >= F.lit("2024-01-03").cast("date"))
+                & (F.col("d") <= F.lit("2024-01-08").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("c3"),
+    )
+    return u.agg(
+        F.sum("c1").alias("r1"),
+        F.sum(F.col("c1") * F.col("c2")).alias("r2"),
+        F.sum(F.col("c1") * F.col("c3")).alias("r3"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

@@ -1910,3 +1910,57 @@ def j13_bloom_semi_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "a19_weighted_median",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             sum(CAST(l_quantity AS BIGINT)) OVER
+               (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(CAST(l_quantity AS BIGINT)) OVER
+               (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(v) AS weighted_median,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM s WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def a19_weighted_median(spark, sf_dir):
+    """Exact weighted median (ClickHouse ``quantileExactWeighted(0.5)``
+    analog): per return flag, the smallest price whose cumulative
+    quantity weight reaches half the group's total. One window sort
+    per group computes the running weight (deterministic total order:
+    value, then the (orderkey, linenumber) PK); the selection is a
+    plain filter + min — integer weight arithmetic throughout, no
+    interpolation, so both engines pick the identical row. At scale
+    this is the one-sort exact answer; the mergeable approximation for
+    rollups is the v_qsk sketch (rollup.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    s = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(F.col("l_quantity").cast("long")).over(w).alias("cw"),
+        F.sum(F.col("l_quantity").cast("long")).over(wt).alias("tw"),
+    )
+    return (
+        s.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
