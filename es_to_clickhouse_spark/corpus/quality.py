@@ -1304,3 +1304,59 @@ def dq7_null_drift_by_day(spark, sf_dir):
             "n", "null_user", "null_value", "null_props", "null_type",
         )
     )
+
+
+@query(
+    "dq9_benford_drift",
+    """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                            1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t FROM c
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(floor(n * 1000000.0 / (SELECT t FROM tot)) AS BIGINT)
+             AS share_ppm,
+           CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS benford_ppm,
+           CAST(floor(n * 1000000.0 / (SELECT t FROM tot))
+                - round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS drift_ppm
+    FROM c
+    """,
+)
+def dq9_benford_drift(spark, sf_dir):
+    """Benford first-digit drift — the fraud/synthetic-data smell test:
+    observed leading-digit shares of order totals vs the Benford
+    expectation log10(1 + 1/d), in exact ppm (integer share math;
+    only the 9 constant expectations touch a float log, rounded
+    identically). One partial-agg scan + a 9-row reduction; the total
+    is a 1-row broadcast. TPC-H prices are uniform-ish, so the drift
+    column is large and NEGATIVE for digit 1 — the point of the
+    profile is surfacing exactly such distribution mismatches."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").cast("double").alias("t"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")) * 1000000).cast("long")
+    share = F.floor(F.col("n") * 1000000.0 / F.col("t")).cast("long")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        share.alias("share_ppm"),
+        benford.alias("benford_ppm"),
+        (share - benford).cast("long").alias("drift_ppm"),
+    )
