@@ -1922,3 +1922,71 @@ def sim8_pq_adc_ranking(spark, sf_dir):
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "iv2_phrase_query",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, i AS pos, ts[i] AS term
+      FROM tok, unnest(generate_series(1, len(ts))) AS u(i)
+    ), adj AS (
+      SELECT a.doc_id, a.pos, a.term AS t1, b.term AS t2
+      FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), best AS (
+      SELECT t1, t2 FROM (
+        SELECT t1, t2, count(*) AS c FROM adj GROUP BY t1, t2
+      ) ORDER BY c DESC, t1, t2 LIMIT 1
+    )
+    SELECT adj.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           min(adj.pos) AS first_pos
+    FROM adj JOIN best ON adj.t1 = best.t1 AND adj.t2 = best.t2
+    GROUP BY adj.doc_id
+    """,
+)
+def iv2_phrase_query(spark, sf_dir):
+    """Positional-index phrase query (iv1's missing half): find every
+    document containing the corpus's most frequent bigram as an ADJACENT
+    phrase, with occurrence count and first position — the posting-list
+    intersection-with-position-adjacency every search engine runs for
+    quoted queries.
+
+    Spark-first shape: the 'positional posting join' collapses to ONE
+    lead() over the per-doc token order (the adjacency pairs and the
+    phrase probe share the same doc-keyed sort — no self-join of the
+    positions table, which the oracle states as the plain semantics);
+    the 1-row best-bigram is a broadcast. At scale the same lead-pair
+    frame IS the (t1, t2, doc, pos) phrase index, partition-pruned by
+    the bigram key."""
+    from es_to_clickhouse_spark.operators import text
+
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # checkpoint barrier between the tokenizer lambda and the Generate
+    # (the txt5/iv1 pathology)
+    arr = d.select(
+        "doc_id", text.tokens(F.col("text")).alias("_ts")
+    ).localCheckpoint(eager=False)
+    occ = arr.select("doc_id", F.posexplode("_ts").alias("pos0", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    s = occ.withColumn("nxt", F.lead("term").over(w)).where(
+        F.col("nxt").isNotNull()
+    )
+    best = (
+        s.groupBy(F.col("term").alias("t1"), F.col("nxt").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t1", "t2")
+        .limit(1)
+        .select("t1", "t2")
+    )
+    hits = s.crossJoin(F.broadcast(best)).where(
+        (F.col("term") == F.col("t1")) & (F.col("nxt") == F.col("t2"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min(F.col("pos0") + 1).alias("first_pos"),
+    )

@@ -47,6 +47,7 @@ BNL_ALLOWED = {
     "txt18_unigram_surprisal",  # 1-row corpus-token-total broadcast
     "zo1_zorder_layout",  # 1-row min/max bounds broadcast (a14 pattern)
     "dq9_benford_drift",  # 1-row digit-total broadcast (dq5 pattern)
+    "iv2_phrase_query",  # 1-row best-bigram broadcast (q15 scalar pattern)
 }
 
 
