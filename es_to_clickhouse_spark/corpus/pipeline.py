@@ -775,3 +775,114 @@ def ts8_seasonal_anomaly(spark, sf_dir):
             F.round(z, 4).alias("z"),
         )
     )
+
+
+# -------------------------------------- exact substring dup coverage
+
+
+@query(
+    "d16_dup_span_fraction",
+    """
+    WITH occ AS (
+      SELECT doc_id, pos, len, md5(substring(text, pos, 20)) AS h
+      FROM (SELECT doc_id, text, length(text) AS len,
+                   unnest(generate_series(1, length(text) - 19)) AS pos
+            FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 20)
+    ), shared AS (
+      SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), marked AS (
+      SELECT occ.doc_id, occ.pos, occ.len FROM occ JOIN shared USING (h)
+    ), sweep AS (
+      SELECT doc_id, pos, len,
+             max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_end
+      FROM marked
+    ), isl AS (
+      SELECT doc_id, pos, len,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM sweep
+    ), spans AS (
+      SELECT doc_id, island, min(len) AS len,
+             min(pos) AS s, max(pos + 20) AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS covered_chars,
+           round(CAST(sum(e - s) AS DOUBLE) / min(len), 4) AS dup_frac
+    FROM spans GROUP BY doc_id
+    """,
+)
+def d16_dup_span_fraction(spark, sf_dir):
+    """Exact substring-duplication coverage (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better' — the
+    ExactSubstr criterion as a per-doc coverage metric): every 20-char
+    gram occurring in >= 2 distinct documents marks its span; marked
+    spans are interval-merged per doc (running-max sweep: new island
+    when pos > max prior end — gaps-and-islands over variable overlap);
+    the output is how much of each doc is cross-corpus duplicated text,
+    the signal a pipeline thresholds to drop or trim.
+
+    Scale: gram fan-out is bounded by doc length; the only wide shuffle
+    is the gram-hash groupBy (uniform md5 keys); the interval merge is
+    one doc-keyed window — no self-joins, no suffix array, and the
+    exact-match guarantee is preserved because 20-char grams tile every
+    duplicated substring of length >= 20."""
+    n = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 4 == 0) & (F.length("text") >= 20))
+        .repartition(n)
+        .select("doc_id", "text", F.length("text").alias("len"))
+    )
+    occ = d.select(
+        "doc_id",
+        "len",
+        F.explode(F.sequence(F.lit(1), F.col("len") - 19)).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "len",
+        "pos",
+        F.md5(F.col("text").substr(F.col("pos"), F.lit(20))).alias("h"),
+    )
+    shared = occ.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).where(F.col("nd") >= 2).select("h")
+    marked = occ.join(shared, "h").select("doc_id", "pos", "len")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = marked.withColumn(
+        "prev_end", F.max(F.col("pos") + 20).over(w_prev)
+    )
+    isl = sweep.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("len").alias("len"),
+        F.min("pos").alias("s"),
+        F.max(F.col("pos") + 20).alias("e"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("covered_chars"),
+        F.round(
+            F.sum(F.col("e") - F.col("s")).cast("double") / F.min("len"), 4
+        ).alias("dup_frac"),
+    )
