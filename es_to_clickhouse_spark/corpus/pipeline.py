@@ -852,37 +852,23 @@ def d16_dup_span_fraction(spark, sf_dir):
     shared = occ.groupBy("h").agg(
         F.countDistinct("doc_id").alias("nd")
     ).where(F.col("nd") >= 2).select("h")
-    marked = occ.join(shared, "h").select("doc_id", "pos", "len")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from es_to_clickhouse_spark.operators.ordered import merge_intervals
+
+    marked = occ.join(shared, "h").select(
+        "doc_id",
+        "len",
+        F.col("pos").alias("s"),
+        (F.col("pos") + 20).alias("e"),
     )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sweep = marked.withColumn(
-        "prev_end", F.max(F.col("pos") + 20).over(w_prev)
-    )
-    isl = sweep.withColumn(
-        "island",
-        F.sum(
-            F.when(
-                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")), 1
-            ).otherwise(0)
-        ).over(w_run),
-    )
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("len").alias("len"),
-        F.min("pos").alias("s"),
-        F.max(F.col("pos") + 20).alias("e"),
-    )
-    return spans.groupBy("doc_id").agg(
+    spans = merge_intervals(marked, ["doc_id", "len"], "s", "e")
+    return spans.groupBy("doc_id", "len").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("covered_chars"),
-        F.round(
-            F.sum(F.col("e") - F.col("s")).cast("double") / F.min("len"), 4
-        ).alias("dup_frac"),
+    ).select(
+        "doc_id",
+        "n_spans",
+        "covered_chars",
+        F.round(F.col("covered_chars").cast("double") / F.col("len"), 4).alias(
+            "dup_frac"
+        ),
     )

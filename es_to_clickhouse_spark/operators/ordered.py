@@ -198,3 +198,47 @@ def global_running_sum(
         )
         .drop("_pid", "_psum")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Merge overlapping/touching [start, end) intervals per key into
+    maximal disjoint spans — the gaps-and-islands sweep: an interval
+    opens a new island iff its start exceeds the running max end of
+    every EARLIER interval (ordered by start, ties by end). Returns one
+    row per merged span: (*key_cols, s, e, n_members).
+
+    Two doc-keyed windows over ONE sort (prev-max-end, then the island
+    running sum) — no self-join, no recursion; the classic O(n log n)
+    sweep as a Catalyst plan. Used by d16's duplicated-span coverage;
+    also the session-merge / calendar-overlap primitive."""
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = df.withColumn("_prev_e", F.max(F.col(end_col)).over(w_prev))
+    isl = sweep.withColumn(
+        "_island",
+        F.sum(
+            F.when(
+                F.col("_prev_e").isNull()
+                | (F.col(start_col) > F.col("_prev_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return isl.groupBy(*key_cols, "_island").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).alias("n_members"),
+    ).drop("_island")

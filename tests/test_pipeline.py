@@ -304,3 +304,44 @@ class TestZorder:
         assert min(vals) == 0 and max(vals) == 255 or max(vals) <= 255
         assert vals == sorted(vals)
         assert all(0 <= v <= 255 for v in vals)
+
+
+# ------------------------------------------------------ interval merge
+
+
+class TestMergeIntervals:
+    def _run(self, spark, ivals):
+        from es_to_clickhouse_spark.operators.ordered import merge_intervals
+
+        df = spark.createDataFrame(ivals, "k long, s long, e long")
+        return sorted(
+            (r.k, r.s, r.e, r.n_members)
+            for r in merge_intervals(df, ["k"], "s", "e").collect()
+        )
+
+    def test_overlap_touch_gap_nested(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, 0, 10), (1, 5, 15),    # overlap -> [0, 15)
+                (1, 15, 20),               # touching (end == start) merges
+                (1, 30, 40), (1, 32, 35),  # nested -> [30, 40)
+                (1, 50, 60),               # isolated
+                (2, 0, 5),                 # other key untouched
+            ],
+        )
+        assert got == [
+            (1, 0, 20, 3),
+            (1, 30, 40, 2),
+            (1, 50, 60, 1),
+            (2, 0, 5, 1),
+        ]
+
+    def test_chain_through_running_max(self, spark):
+        """A short interval must not close the island while an earlier
+        long one still spans it: [0,100) [5,10) [50,60) [90,110) is ONE
+        island — the running max (not the previous row's end) decides."""
+        got = self._run(
+            spark, [(1, 0, 100), (1, 5, 10), (1, 50, 60), (1, 90, 110)]
+        )
+        assert got == [(1, 0, 110, 4)]
