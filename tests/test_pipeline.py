@@ -345,3 +345,79 @@ class TestMergeIntervals:
             spark, [(1, 0, 100), (1, 5, 10), (1, 50, 60), (1, 90, 110)]
         )
         assert got == [(1, 0, 110, 4)]
+
+
+# ------------------------------------------- z-order file skipping
+
+
+class TestZorderFileSkipping:
+    def test_zorder_layout_prunes_both_dims(self, spark, tmp_path):
+        """The claim zo1 exists for: range-partitioning by the z-value
+        makes parquet file-level min/max stats selective on BOTH
+        dimensions, where a single-dim sort is selective on one only.
+        Measured directly from the written footers: candidate files for
+        a narrow predicate on the NON-leading dim must shrink by >= 2x
+        vs the time-sorted layout (and the leading dim stays prunable).
+        """
+        import pyarrow.parquet as pq
+        import glob
+        import random
+
+        from es_to_clickhouse_spark.operators.partitioning import (
+            scale_to_bits,
+            zorder_value,
+        )
+
+        rng = random.Random(3)
+        rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(40_000)]
+        df = spark.createDataFrame(rows, "u long, t long")
+
+        def write(d, path, n=32):
+            d.repartitionByRange(n, "sort_key").drop("sort_key").write.parquet(path)
+
+        # layout A: sorted by time only
+        write(df.withColumn("sort_key", F.col("t")), f"{tmp_path}/bytime")
+        # layout B: z-ordered on (u, t)
+        z = df.select(
+            "u",
+            "t",
+            zorder_value(
+                [
+                    scale_to_bits(F.col("u"), F.lit(0), F.lit(1023), 8),
+                    scale_to_bits(F.col("t"), F.lit(0), F.lit(1023), 8),
+                ],
+                8,
+            ).alias("sort_key"),
+        )
+        write(z, f"{tmp_path}/byz")
+
+        def candidates(path, col, lo, hi):
+            """Files whose footer [min, max] for col intersects [lo, hi]."""
+            n_all, n_hit = 0, 0
+            for f in glob.glob(f"{path}/part-*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                ci = next(
+                    j
+                    for j in range(md.num_columns)
+                    if md.schema.column(j).name == col
+                )
+                stats = [
+                    md.row_group(i).column(ci).statistics
+                    for i in range(md.num_row_groups)
+                ]
+                fmin = min(s.min for s in stats)
+                fmax = max(s.max for s in stats)
+                n_all += 1
+                if fmax >= lo and fmin <= hi:
+                    n_hit += 1
+            return n_all, n_hit
+
+        # narrow u-range predicate (the non-leading dim for layout A)
+        all_a, hit_a = candidates(f"{tmp_path}/bytime", "u", 100, 163)
+        all_b, hit_b = candidates(f"{tmp_path}/byz", "u", 100, 163)
+        assert all_a >= 16 and all_b >= 16
+        assert hit_a == all_a  # time-sorted layout cannot prune on u
+        assert hit_b * 2 <= all_b  # z-order prunes u by >= 2x
+        # t stays prunable under z-order too (both dims benefit)
+        _, t_hit_b = candidates(f"{tmp_path}/byz", "t", 100, 163)
+        assert t_hit_b * 2 <= all_b
