@@ -11,6 +11,7 @@ the tail languages (upsample) — both arms of the operator execute.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from es_to_clickhouse_spark.corpus import query, t
 from es_to_clickhouse_spark.operators.mixture import (
@@ -126,4 +127,96 @@ def mix2_epoch_upsample(spark, sf_dir):
         "docs_emitted",
         "chars_emitted",
         F.floor(F.col("rate")).cast("long").alias("full_epochs"),
+    )
+
+
+@query(
+    "cur1_curation_funnel",
+    f"""
+    WITH ded AS (
+      SELECT * FROM (
+        SELECT d.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents d
+      ) WHERE doc_id = keep
+    ), qual AS (
+      SELECT * FROM ded
+      WHERE len(list_filter(string_split(text, ' '), x -> x != '')) >= 10
+        AND n_chars >= 50
+    ),
+    tok AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS tok
+            FROM qual GROUP BY lang),
+    tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS all_tok FROM tok),
+    w AS (SELECT lang, tok, all_tok,
+                 CAST(FLOOR(SQRT(CAST(tok AS DOUBLE) / CAST(all_tok AS DOUBLE))
+                            * 1e9) AS BIGINT) AS wr_ppb
+          FROM tok, tot),
+    n AS (SELECT CAST(SUM(wr_ppb) AS BIGINT) AS norm_ppb FROM w),
+    r AS (SELECT lang,
+                 (CAST(CAST(FLOOR(CAST(1.0 AS DOUBLE) * CAST(all_tok AS DOUBLE))
+                            AS BIGINT) AS DOUBLE)
+                  * CAST(wr_ppb AS DOUBLE))
+                 / (CAST(norm_ppb AS DOUBLE) * CAST(tok AS DOUBLE)) AS rate
+          FROM w, n),
+    mixed AS (
+      SELECT q.lang FROM qual q JOIN r ON q.lang = r.lang
+      WHERE {_H32.format(x="'cur'||CAST(q.doc_id AS VARCHAR)")}
+            < CAST(FLOOR(LEAST(r.rate, 1.0) * 4294967296.0) AS BIGINT)
+    ),
+    base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw
+             FROM documents GROUP BY lang),
+    dc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup
+           FROM ded GROUP BY lang),
+    qc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality
+           FROM qual GROUP BY lang),
+    mc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_mixed
+           FROM mixed GROUP BY lang)
+    SELECT base.lang, n_raw,
+           CAST(coalesce(dc.n_dedup, 0) AS BIGINT) AS n_dedup,
+           CAST(coalesce(qc.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(mc.n_mixed, 0) AS BIGINT) AS n_mixed
+    FROM base LEFT JOIN dc USING (lang) LEFT JOIN qc USING (lang)
+    LEFT JOIN mc USING (lang)
+    """,
+)
+def cur1_curation_funnel(spark, sf_dir):
+    """The end-to-end curation pass, composed: exact dedup (min doc_id
+    per text fingerprint) → quality gate (>= 10 tokens, >= 50 chars) →
+    temperature-mixture downsample (operators/mixture.py, alpha 0.5) —
+    reported as the per-language survival funnel a pipeline owner
+    watches. One query proves the stages COMPOSE: the mixture rates are
+    computed over the deduped+filtered corpus (not raw), exactly as a
+    real pass would, and every stage reuses the already-verified
+    operator (d1's window dedup, txt2's gate shape, mix1's exact-integer
+    rate replica). Scale: the dedup window keys the only wide shuffle;
+    rates are a broadcast; the hash-cut filter is row-local."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    ded = (
+        d.withColumn("keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep"))
+        .drop("keep")
+    )
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    qual = ded.where(
+        (F.size(tokens(F.col("text"))) >= 10) & (F.col("n_chars") >= 50)
+    )
+    rates = temperature_rates(qual, "lang", "n_chars", alpha=0.5)
+    mixed = mixture_sample(qual, rates, "lang", "doc_id", salt="cur")
+
+    def cnt(frame, name):
+        return frame.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        cnt(d, "n_raw")
+        .join(cnt(ded, "n_dedup"), "lang", "left")
+        .join(cnt(qual, "n_quality"), "lang", "left")
+        .join(cnt(mixed, "n_mixed"), "lang", "left")
+    )
+    return out.select(
+        "lang",
+        "n_raw",
+        F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+        F.coalesce("n_mixed", F.lit(0)).alias("n_mixed"),
     )
