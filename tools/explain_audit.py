@@ -48,6 +48,7 @@ BNL_ALLOWED = {
     "zo1_zorder_layout",  # 1-row min/max bounds broadcast (a14 pattern)
     "dq9_benford_drift",  # 1-row digit-total broadcast (dq5 pattern)
     "iv2_phrase_query",  # 1-row best-bigram broadcast (q15 scalar pattern)
+    "cur1_curation_funnel",  # mix1's 1-row total/normalizer broadcasts
 }
 
 
