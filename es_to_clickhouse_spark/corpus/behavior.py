@@ -311,37 +311,22 @@ def b6_window_funnel(spark, sf_dir):
     since view < click < purchase <= view + τ). One user_id Exchange,
     one sort, zero self-joins — the exact-chain max without quadratic
     candidate pairs."""
-    win_us = 21_600_000_000  # 6 hours
+    from es_to_clickhouse_spark.operators.funnel import window_funnel
+
     ev = t(spark, sf_dir, "events").select(
         "user_id", "event_type", epoch_micros(F.col("ts")).alias("us"), "event_id"
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    s1 = ev.withColumn(
-        "lv", F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(w_prev)
-    )
-    s2 = s1.withColumn(
-        "lvc",
-        F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(w_prev),
-    )
-    l3 = F.when(
-        (F.col("event_type") == "purchase")
-        & (F.col("lvc") >= F.col("us") - win_us),
-        1,
-    ).otherwise(0)
-    l2 = F.when(
-        (F.col("event_type") == "click") & (F.col("lv") >= F.col("us") - win_us), 1
-    ).otherwise(0)
-    l1 = F.when(F.col("event_type") == "view", 1).otherwise(0)
-    return s2.groupBy("user_id").agg(
-        F.when(F.max(l3) == 1, 3)
-        .when(F.max(l2) == 1, 2)
-        .when(F.max(l1) == 1, 1)
-        .otherwise(0)
-        .alias("funnel_level")
+    return window_funnel(
+        ev,
+        key_col="user_id",
+        ts_col="us",
+        order_cols=["event_id"],
+        conds=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window=21_600_000_000,  # 6 hours
     )
 
 

@@ -421,3 +421,41 @@ class TestZorderFileSkipping:
         # t stays prunable under z-order too (both dims benefit)
         _, t_hit_b = candidates(f"{tmp_path}/byz", "t", 100, 163)
         assert t_hit_b * 2 <= all_b
+
+
+# ------------------------------------------- generic n-level funnel
+
+
+class TestGenericWindowFunnel:
+    def test_four_level_cascade(self, spark):
+        """window_funnel with 4 conditions: depth counts only in-order
+        in-window chains; a level-4 chain must trace back through ALL
+        three prefix stages (s3 -> s2 -> s1), not just any d event."""
+        from es_to_clickhouse_spark.operators.funnel import window_funnel
+
+        rows = [
+            # user 1: a(0) b(10) c(20) d(30), window 100 -> level 4
+            (1, 0, 1, "a"), (2, 10, 1, "b"), (3, 20, 1, "c"), (4, 30, 1, "d"),
+            # user 2: d arrives BEFORE c — a<b<c holds (level 3) but no
+            # d after the c, so never level 4
+            (5, 0, 2, "a"), (6, 10, 2, "b"), (7, 20, 2, "d"), (8, 30, 2, "c"),
+            # user 3: full chain but final d outside the window of every a
+            (9, 0, 3, "a"), (10, 10, 3, "b"), (11, 20, 3, "c"), (12, 500, 3, "d"),
+            # user 4: no a at all
+            (13, 0, 4, "b"), (14, 10, 4, "c"), (15, 20, 4, "d"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, us long, user_id long, et string"
+        )
+        got = {
+            r.user_id: r.funnel_level
+            for r in window_funnel(
+                df,
+                key_col="user_id",
+                ts_col="us",
+                order_cols=["event_id"],
+                conds=[F.col("et") == c for c in ("a", "b", "c", "d")],
+                window=100,
+            ).collect()
+        }
+        assert got == {1: 4, 2: 3, 3: 3, 4: 0}
