@@ -138,13 +138,19 @@ def d5_ngram_jaccard_pairs(spark, sf_dir):
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.9
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
 )
 def d6_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs blocked by label (coarse cluster)."""
+    """Embedding-cosine near-dup pairs blocked by label (coarse cluster).
+
+    Threshold 0.4 is calibrated to the synthetic corpus (max pairwise
+    cosine ~0.51 — no planted exact dups), so the predicate is actually
+    exercised at every SF; the 0.9 the operator defaults to (real
+    embedding models) was vacuously empty — the green-but-unexercised
+    trap. The threshold is just this parameter."""
     return embedding_neardup_pairs(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.9
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.4
     )
 
 

@@ -592,38 +592,57 @@ def w14_rank_distributions(spark, sf_dir):
 @query(
     "txt16_boilerplate_sentences",
     """
-    WITH s AS (
-      SELECT doc_id,
-             trim(lower(unnest(string_split(text, '. ')))) AS sent
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
       FROM documents
-    ), f AS (
-      SELECT md5(sent) AS fp, count(DISTINCT doc_id) AS n_docs,
-             min(sent) AS sample_sentence
-      FROM s WHERE length(sent) > 20 GROUP BY md5(sent)
+    ), g AS (
+      SELECT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS span
+      FROM tok, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+      WHERE len(ts) >= 8
     )
-    SELECT fp, n_docs, sample_sentence FROM f WHERE n_docs >= 3
+    SELECT md5(span) AS fp, count(DISTINCT doc_id) AS n_docs,
+           min(span) AS sample_span
+    FROM g GROUP BY md5(span) HAVING count(DISTINCT doc_id) >= 3
     """,
 )
 def txt16_boilerplate_sentences(spark, sf_dir):
-    """Cross-document boilerplate mining: sentences normalized and
-    fingerprinted, then grouped by hash to find text repeated across >= 3
+    """Cross-document boilerplate mining: sliding 8-token spans
+    fingerprinted and grouped to find text repeated across >= 3
     DISTINCT documents — headers, disclaimers, and template spam that
-    document-level dedup never sees (the documents differ; their
-    sentences don't). One explode + one aggregate on the 16-byte
-    fingerprint (never the sentence text) — at 100 TB the shuffle
-    carries hashes, not prose. The md5 is engine-stable, so the oracle
-    matches exactly."""
-    d = t(spark, sf_dir, "documents")
-    s = d.select(
-        "doc_id",
-        F.explode(F.split(F.col("text"), r"\. ")).alias("raw"),
-    ).select("doc_id", F.trim(F.lower(F.col("raw"))).alias("sent"))
+    document-level dedup never sees (the documents differ; their spans
+    don't). Token spans, not sentence splits: the boilerplate unit must
+    not depend on punctuation conventions (this corpus has none — the
+    earlier '. '-split version was vacuously empty at EVERY scale
+    factor, the green-but-unexercised trap). The aggregate groups on
+    the 16-byte fingerprint; at 100 TB the shuffle carries hashes plus
+    one bounded sample span per group. ~70-420 spans qualify across
+    the three test SFs, so the threshold is genuinely exercised."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    # checkpoint barrier between the tokenizer lambda and the Generate
+    arr = d.select("doc_id", tokens(F.col("text")).alias("_ts")).localCheckpoint(
+        eager=False
+    )
+    g = (
+        arr.where(F.size("_ts") >= 8)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("_ts") - 7)).alias("i"),
+            "_ts",
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("_ts"), F.col("i"), 8), " ").alias("span"),
+        )
+    )
     return (
-        s.where(F.length("sent") > 20)
-        .groupBy(F.md5("sent").alias("fp"))
+        g.groupBy(F.md5("span").alias("fp"))
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
-            F.min("sent").alias("sample_sentence"),
+            F.min("span").alias("sample_span"),
         )
         .where(F.col("n_docs") >= 3)
     )
