@@ -217,3 +217,84 @@ def test_flatten_mapping_properties(props):
     leaves = count_leaves(props)
     if len(set(leaves)) == len(leaves):  # no post-sanitize collisions
         assert len(flat) == len(leaves)
+
+
+# ------------------------------------------- r5 operator properties
+
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(1, 25)), min_size=1, max_size=30
+)
+
+
+@given(intervals)
+@settings(suppress_health_check=[HealthCheck.too_slow], deadline=None, max_examples=12)
+def test_merge_intervals_matches_serial_sweep(spark, ivals):
+    """merge_intervals == the obvious single-threaded sweep, for random
+    overlap patterns (duplicates, nesting, touching, gaps)."""
+    from es_to_clickhouse_spark.operators.ordered import merge_intervals
+
+    rows = [(1, s, s + ln) for s, ln in ivals]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = sorted(
+        (r.s, r.e, r.n_members)
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    )
+
+    want = []
+    for s, e in sorted((s, s + ln) for s, ln in ivals):
+        if want and s <= want[-1][1]:
+            want[-1][1] = max(want[-1][1], e)
+            want[-1][2] += 1
+        else:
+            want.append([s, e, 1])
+    assert got == [tuple(w) for w in want]
+
+
+funnel_events = st.lists(
+    st.tuples(st.integers(0, 50), st.sampled_from("abcx")),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(funnel_events)
+@settings(suppress_health_check=[HealthCheck.too_slow], deadline=None, max_examples=12)
+def test_window_funnel_matches_bruteforce(spark, evs):
+    """window_funnel == brute force over every (a, b, c) index triple:
+    ordered, within the window of the chain's own anchor."""
+    import pyspark.sql.functions as F
+
+    from es_to_clickhouse_spark.operators.funnel import window_funnel
+
+    W = 20
+    rows = [(i, ts, 1, et) for i, (ts, et) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "event_id long, us long, user_id long, et string")
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(
+            df,
+            key_col="user_id",
+            ts_col="us",
+            order_cols=["event_id"],
+            conds=[F.col("et") == c for c in "abc"],
+            window=W,
+        ).collect()
+    }[1]
+
+    # brute force: sort by (us, event_id) — the operator's tie order
+    seq = sorted(rows, key=lambda r: (r[1], r[0]))
+    best = 0
+    n = len(seq)
+    for i in range(n):
+        if seq[i][3] != "a":
+            continue
+        best = max(best, 1)
+        for j in range(i + 1, n):
+            if seq[j][3] != "b" or seq[j][1] - seq[i][1] > W:
+                continue
+            best = max(best, 2)
+            for k in range(j + 1, n):
+                if seq[k][3] == "c" and seq[k][1] - seq[i][1] <= W:
+                    best = max(best, 3)
+    assert got == best
