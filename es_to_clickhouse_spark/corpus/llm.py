@@ -1996,3 +1996,75 @@ def iv2_phrase_query(spark, sf_dir):
         F.count(F.lit(1)).alias("n_hits"),
         F.min(F.col("pos0") + 1).alias("first_pos"),
     )
+
+
+@query(
+    "g4_cheapest_route",
+    """
+    WITH RECURSIVE e AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst,
+             CAST(floor(1000000000.0 / count(*)) AS BIGINT) AS cost
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      GROUP BY n1.n_name, n2.n_name
+    ), paths(node, cost, hops) AS (
+      SELECT CAST('GERMANY' AS VARCHAR), CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, p.cost + e.cost, p.hops + 1
+      FROM paths p JOIN e ON e.src = p.node WHERE p.hops < 4
+    )
+    SELECT node, min(cost) AS min_cost FROM paths GROUP BY node
+    """,
+)
+def g4_cheapest_route(spark, sf_dir):
+    """Bounded single-source shortest path (Bellman-Ford, 4 relaxation
+    rounds) over the nation trade graph: edge cost inversely
+    proportional to trade volume (floor(1e9 / shipments) — heavy routes
+    are cheap), source GERMANY. Round k's frame is exactly 'min cost
+    over paths of <= k edges', so 4 distributed relaxations equal the
+    oracle's hop-bounded recursive-CTE enumeration — the iterative-join
+    pattern (materialized edges, per-round min groupBy, checkpointed
+    lineage) shared with connected_components/pagerank, here with a
+    WEIGHTED objective. Costs are exact integers; the only float is
+    the single floor(1e9/cnt) edge-cost op, identical in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")
+    )
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
+        .groupBy("src", "dst")
+        .agg(
+            F.floor(1000000000.0 / F.count(F.lit(1))).cast("long").alias("cost")
+        )
+    ).localCheckpoint(eager=True)  # materialize once; reused every round
+    dist = e.sparkSession.createDataFrame(
+        [("GERMANY", 0)], "node string, cost long"
+    )
+    for _ in range(4):
+        relax = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (dist["cost"] + e["cost"]).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.col("cost").alias("min_cost"))
