@@ -433,3 +433,75 @@ def ts7_ewma_event_rate(spark, sf_dir):
         F.round(ewma, 6).alias("last_ewma"),
         "max_n",
     )
+
+
+@query(
+    "ts9_holt_linear",
+    """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), ser AS (
+      SELECT event_type, CAST(n AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+      FROM hourly
+    ), cnt AS (
+      SELECT event_type, count(*) AS m FROM ser GROUP BY event_type
+    ), holt(event_type, i, l, b) AS (
+      SELECT event_type, 1, x, CAST(0 AS DOUBLE) FROM ser WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i,
+             0.5 * s.x + 0.5 * (h.l + h.b),
+             0.5 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+      FROM holt h JOIN ser s ON s.event_type = h.event_type AND s.i = h.i + 1
+    )
+    SELECT h.event_type, CAST(c.m AS BIGINT) AS n_hours,
+           round(h.l, 6) AS level, round(h.b, 6) AS trend,
+           round(h.l + h.b, 6) AS forecast_1
+    FROM holt h JOIN cnt c ON h.event_type = c.event_type
+    WHERE h.i = c.m
+    """,
+)
+def ts9_holt_linear(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend, alpha = beta =
+    0.5) of the hourly event rate per type, with the one-step-ahead
+    forecast — the trend-aware upgrade of ts7's flat EWMA that a rate
+    monitor needs when volume is ramping. The TWO-STATE recurrence
+    (l_t, b_t depend on each other) folds with a STRUCT accumulator in
+    one F.aggregate — DuckDB's list_reduce can't carry a struct, so
+    the oracle states the identical recurrence as a recursive CTE; the
+    op sequence (same multiplies, same order, exact-integer series
+    inputs) is identical, so results match at full double precision
+    before the final round. Scale: per-type series in one bounded
+    array, counts partial-aggregated map-side (the ts7 shape)."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ser = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+    def step(acc, x):
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.5) * (l_new - acc["l"]) + F.lit(0.5) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    fold = F.aggregate(
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+        F.struct(
+            F.element_at("arr", 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        step,
+    )
+    return ser.select(
+        "event_type",
+        "n_hours",
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + fold["b"], 6).alias("forecast_1"),
+    )
