@@ -91,46 +91,62 @@ FUNNEL_OUTPUT = StructType(
         StructField("funnel_level", LongType()),
     ]
 )
-#: (latest view us, best view-start among seen clicks' chains, level)
-FUNNEL_STATE = StructType(
-    [
-        StructField("lv", LongType()),
-        StructField("lvc", LongType()),
-        StructField("level", LongType()),
-    ]
-)
+
+
+def _funnel_state_schema(n_stages: int) -> StructType:
+    """(s_1 .. s_{n-1}, level): s_i = best chain start among depth-i
+    prefixes seen so far — the streaming mirror of operators/funnel.py's
+    cascaded running maxes."""
+    fields = [StructField(f"s{i}", LongType()) for i in range(1, n_stages)]
+    return StructType(fields + [StructField("level", LongType())])
 
 
 def _funnel_fn(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
     window_us: int = 21_600_000_000,
 ) -> Iterator[pd.DataFrame]:
-    """Per-user windowFunnel state fold (the streaming twin of corpus
-    b6_window_funnel's cascaded running-max decomposition): ``lv`` is
-    the latest view timestamp, ``lvc`` the best chain start among
-    clicks seen so far, ``level`` the max depth reached. Each is a
-    running max, so the fold is exactly the batch windows replayed
+    """Per-user windowFunnel state fold (the streaming twin of
+    operators/funnel.py window_funnel's cascaded running-max
+    decomposition): ``s[i]`` is the best (latest) chain start among
+    depth-(i+1) prefixes seen so far; a stage-k event at time ``us``
+    reaches depth k iff ``s[k-2] >= us - window``. Every state entry is
+    a running max, so the fold is exactly the batch windows replayed
     incrementally — same tie order ((us, event_id)), same strictly-
     before semantics, identical result when events arrive time-ordered
     (the watermark contract; late events would need the batch path)."""
-    lv, lvc, level = state.get if state.exists else (None, None, 0)
+    n = len(stages)
+    if state.exists:
+        got = state.get
+        s, level = list(got[: n - 1]), got[n - 1]
+    else:
+        s, level = [None] * (n - 1), 0
+    idx = {et: i for i, et in enumerate(stages)}
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
         ev = pd.concat(chunks).sort_values(["_sf_us", "_sf_id"])
         for et, us in zip(ev["_sf_type"], ev["_sf_us"]):
+            i = idx.get(et)
+            if i is None:
+                continue
             us = int(us)
-            if et == "view":
-                lv = us if lv is None else max(lv, us)
+            if i == 0:
+                s[0] = us if s[0] is None else max(s[0], us)
                 level = max(level, 1)
-            elif et == "click" and lv is not None:
-                if lv >= us - window_us:
-                    level = max(level, 2)
-                lvc = lv if lvc is None else max(lvc, lv)
-            elif et == "purchase" and lvc is not None and lvc >= us - window_us:
-                level = max(level, 3)
-    state.update((lv, lvc, level))
+                continue
+            prev = s[i - 1]
+            if prev is None:
+                continue
+            if prev >= us - window_us:
+                level = max(level, i + 1)
+            if i < n - 1:
+                # chain start propagates UNCONDITIONALLY (the window
+                # check applies only at the final event), exactly like
+                # the batch s_i windows
+                s[i] = prev if s[i] is None else max(s[i], prev)
+    state.update(tuple(s) + (level,))
     yield pd.DataFrame({"user_id": [key[0]], "funnel_level": [level]})
 
 
@@ -141,12 +157,14 @@ def funnel_stream(
     us_col: str = "us",
     id_col: str = "event_id",
     window_us: int = 21_600_000_000,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
 ) -> DataFrame:
-    """Streaming ``windowFunnel``: per-user max funnel depth
-    (view < click < purchase inside ``window_us`` of the chain's view),
-    maintained incrementally across micro-batches with three longs of
-    state per user — never the event history. Output mode ``update``:
-    each batch re-emits the (monotone) level for the users it touched.
+    """Streaming ``windowFunnel`` over an ARBITRARY ordered stage list:
+    per-user max funnel depth (stages in order inside ``window_us`` of
+    the chain's first event), maintained incrementally across
+    micro-batches with len(stages) longs of state per user — never the
+    event history. Output mode ``update``: each batch re-emits the
+    (monotone) level for the users it touched.
 
     State is keyed/partitioned by user across executors exactly like
     first_seen_stream; the per-user fold is O(batch rows), Arrow-
@@ -164,9 +182,9 @@ def funnel_stream(
         F.col(id_col).cast("long").alias("_sf_id"),
     )
     return keyed.groupBy("_sf_key").applyInPandasWithState(
-        functools.partial(_funnel_fn, window_us=window_us),
+        functools.partial(_funnel_fn, stages=tuple(stages), window_us=window_us),
         outputStructType=FUNNEL_OUTPUT,
-        stateStructType=FUNNEL_STATE,
+        stateStructType=_funnel_state_schema(len(stages)),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

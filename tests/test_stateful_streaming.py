@@ -428,3 +428,64 @@ def test_streaming_funnel_matches_batch_windowfunnel(spark, tmp_path):
     }
     assert got == want
     assert set(want.values()) != {0}  # the corpus actually exercises depth
+
+
+@_retry_transient
+def test_streaming_funnel_four_stages_matches_batch(spark, tmp_path):
+    """The generalized stage list: a 4-stage streaming funnel across 2
+    micro-batches equals the generic batch window_funnel operator."""
+    import random
+
+    from es_to_clickhouse_spark.operators.funnel import window_funnel
+    from es_to_clickhouse_spark.streaming.stateful import funnel_stream
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    stages = ("a", "b", "c", "d")
+    rows = sorted(
+        (
+            (eid, rng.randrange(1000), rng.randrange(6), rng.choice("abcdx"))
+            for eid in range(240)
+        ),
+        key=lambda r: r[1],
+    )
+    schema = "event_id long, us long, user_id long, event_type string"
+
+    src, ckpt, out = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    os.makedirs(str(src), exist_ok=True)
+    for idx, chunk in enumerate((rows[:120], rows[120:])):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            f"{src}/b{idx}"
+        )
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        lv = funnel_stream(stream, window_us=500, stages=stages)
+
+        def sink(batch, _bid):
+            batch.write.mode("append").parquet(str(out))
+
+        q = (
+            lv.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    got = {}
+    for r in spark.read.parquet(str(out)).collect():
+        got[r.user_id] = max(got.get(r.user_id, 0), r.funnel_level)
+
+    want = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(
+            spark.createDataFrame(rows, schema),
+            key_col="user_id",
+            ts_col="us",
+            order_cols=["event_id"],
+            conds=[F.col("event_type") == c for c in stages],
+            window=500,
+        ).collect()
+    }
+    assert got == want
+    assert max(want.values()) >= 3  # deep chains actually exercised
