@@ -505,3 +505,86 @@ def ts9_holt_linear(spark, sf_dir):
         F.round(fold["b"], 6).alias("trend"),
         F.round(fold["l"] + fold["b"], 6).alias("forecast_1"),
     )
+
+
+@query(
+    "ts10_cusum_drift",
+    """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), mu AS (
+      SELECT event_type, avg(n) AS m FROM hourly GROUP BY event_type
+    ), ser AS (
+      SELECT hourly.event_type, CAST(n AS DOUBLE) AS x, mu.m,
+             row_number() OVER (PARTITION BY hourly.event_type
+                                ORDER BY h) AS i
+      FROM hourly JOIN mu ON hourly.event_type = mu.event_type
+    ), cnt AS (
+      SELECT event_type, count(*) AS nh FROM ser GROUP BY event_type
+    ), cusum(event_type, i, s, smax) AS (
+      SELECT event_type, 1,
+             greatest(CAST(0 AS DOUBLE), x - m - 0.5),
+             greatest(CAST(0 AS DOUBLE), x - m - 0.5)
+      FROM ser WHERE i = 1
+      UNION ALL
+      SELECT r.event_type, r.i,
+             greatest(CAST(0 AS DOUBLE), c.s + r.x - r.m - 0.5),
+             greatest(c.smax,
+                      greatest(CAST(0 AS DOUBLE), c.s + r.x - r.m - 0.5))
+      FROM cusum c JOIN ser r
+        ON r.event_type = c.event_type AND r.i = c.i + 1
+    )
+    SELECT c.event_type, CAST(n.nh AS BIGINT) AS n_hours,
+           round(c.s, 6) AS cusum_final, round(c.smax, 6) AS cusum_max,
+           CASE WHEN c.smax > 20.0 THEN 1 ELSE 0 END AS drifted
+    FROM cusum c JOIN cnt n ON c.event_type = n.event_type
+    WHERE c.i = n.nh
+    """,
+)
+def ts10_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM changepoint statistic (Page 1954) over the hourly
+    event rate: s_t = max(0, s_{t-1} + x_t − μ − k) with slack k = 0.5,
+    plus its running maximum — the sequential drift detector behind
+    rate-shift alerts (an EWMA smooths a shift away; CUSUM accumulates
+    it). TWO-STATE fold (s, smax), same machinery as ts9: one struct-
+    accumulator F.aggregate on Spark, the identical recurrence as a
+    recursive CTE on DuckDB, exact-integer inputs and identical op
+    order so the doubles agree at full precision before rounding."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mu = hourly.groupBy("event_type").agg(F.avg("n").alias("m"))
+    ser = hourly.join(mu, "event_type").groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.min("m").alias("m"),
+    )
+
+    def step(acc, x):
+        s_new = F.greatest(
+            F.lit(0.0), acc["s"] + x - F.col("m") - F.lit(0.5)
+        )
+        return F.struct(
+            s_new.alias("s"), F.greatest(acc["smax"], s_new).alias("smax")
+        )
+
+    seed_s = F.greatest(
+        F.lit(0.0), F.element_at("arr", 1) - F.col("m") - F.lit(0.5)
+    )
+    fold = F.aggregate(
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+        F.struct(seed_s.alias("s"), seed_s.alias("smax")),
+        step,
+    )
+    return ser.select(
+        "event_type",
+        "n_hours",
+        F.round(fold["s"], 6).alias("cusum_final"),
+        F.round(fold["smax"], 6).alias("cusum_max"),
+        F.when(fold["smax"] > 20.0, 1).otherwise(0).alias("drifted"),
+    )
