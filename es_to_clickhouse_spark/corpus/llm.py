@@ -2068,3 +2068,211 @@ def g4_cheapest_route(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("cost").alias("min_cost"))
+
+
+@query(
+    "sim9_lsh_recall",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+      FROM b WHERE vec_id % 97 = 0
+    ), pairs AS (
+      SELECT q.qid, q.qb, b.bucket, b.vec_id,
+             round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])), 6) AS cos
+      FROM b, q WHERE b.vec_id != q.qid
+    ), truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM pairs
+      ) WHERE rn <= 5
+    ), cand AS (
+      SELECT * FROM pairs WHERE bucket = qb
+    ), probe AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn <= 5
+    ), nc AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_cands FROM cand GROUP BY qid
+    ), hits AS (
+      SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM truth t JOIN probe p ON t.qid = p.qid AND t.vec_id = p.vec_id
+      GROUP BY t.qid
+    )
+    SELECT q.qid, CAST(coalesce(nc.n_cands, 0) AS BIGINT) AS n_cands,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / 5.0, 2) AS recall
+    FROM q LEFT JOIN nc ON q.qid = nc.qid LEFT JOIN hits ON q.qid = hits.qid
+    """,
+)
+def sim9_lsh_recall(spark, sf_dir):
+    """ANN recall calibration (the d12/sk7 pattern applied to sim2's
+    sign-LSH probe): for every 97th vector as a query, top-5 by exact
+    cosine over the WHOLE table vs top-5 within the query's LSH bucket
+    only — per-query candidate count and recall@5. This is the number
+    that justifies (or vetoes) the probe-only index at scale: recall
+    degrades exactly when the bucket misses true neighbors, and the
+    query quantifies it per probe, not anecdotally. Queries broadcast
+    (tiny); the exact side is one pass over the table per batch of
+    queries — the same plan a recall audit would run on a sampled 100 TB
+    table."""
+    from es_to_clickhouse_spark.operators.similarity import (
+        cosine,
+        sign_lsh_bucket,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = base.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qb",
+            "bucket",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    cand = pairs.where(F.col("bucket") == F.col("qb"))
+    probe = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cands"))
+    hits = truth.join(probe, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        q.select("qid")
+        .join(nc, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_cands", F.lit(0)).alias("n_cands"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 5.0, 2
+            ).alias("recall"),
+        )
+    )
+
+
+@query(
+    "iv3_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(ts) AS d_len FROM tok
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(d_len AS DOUBLE)) AS avgdl
+      FROM dl
+    ), occ AS (
+      SELECT doc_id, unnest(ts) AS term FROM tok
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM occ GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.term, tf.doc_id,
+             round(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.d_len / stats.avgdl)),
+               6) AS bm25
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT term, doc_id, bm25 FROM (
+      SELECT term, doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, term, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def iv3_bm25_topk(spark, sf_dir):
+    """BM25 relevance scoring (Robertson/Spärck Jones, k1 = 1.2,
+    b = 0.75) for every (term, doc) posting, top-20 — iv1's index plus
+    THE ranking function a search engine runs over it (txt7's TF-IDF
+    upgraded with document-length normalization and the saturating tf).
+    All inputs to the float chain are exact integers (tf, df, doc
+    lengths) aggregated exactly; the score is one identical op sequence
+    per row on both engines, rounded at 6. Plan: two groupBys (tf, df)
+    sharing the token explode, a broadcast 1-row stats frame, and a
+    TakeOrdered(20) — no global sort materialization."""
+    from es_to_clickhouse_spark.operators import text
+
+    n = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n)
+    arr = d.select(
+        "doc_id", text.tokens(F.col("text")).alias("_ts")
+    ).localCheckpoint(eager=False)
+    dl = arr.select("doc_id", F.size("_ts").alias("d_len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("d_len").cast("double")).alias("avgdl"),
+    )
+    occ = arr.select("doc_id", F.explode("_ts").alias("term"))
+    tf = occ.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("d_len") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    # orderBy + limit plans as TakeOrderedAndProject (per-partition
+    # top-20 + driver merge), never a one-partition global window sort
+    return scored.orderBy(F.desc("bm25"), "term", "doc_id").limit(20)
