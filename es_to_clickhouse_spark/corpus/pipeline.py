@@ -121,15 +121,15 @@ def bpe1_pair_counts(spark, sf_dir):
     agg = pr.select(
         F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "f"
     ).groupBy("pair").agg(F.sum("f").alias("cnt"))
-    return (
-        agg.select(
-            "pair",
-            "cnt",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cnt"), F.asc("pair")))
-            .alias("rank"),
-        )
-        .where(F.col("rank") <= 20)
+    # TakeOrdered(20) first; the rank window then runs over 20 rows,
+    # never a one-partition sort of the full pair-count frame
+    top = agg.orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+    return top.select(
+        "pair",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("pair")))
+        .alias("rank"),
     )
 
 
