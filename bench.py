@@ -93,6 +93,9 @@ HEAVY = [
     # decontamination closure over the LSH pipeline (2.6 s)
     "d14_semantic_dedup",
     "g3_contamination_bfs",
+    # Bellman-Ford edges = a TPC-H-class 5-table join + 4 relaxation
+    # rounds (2.8 s warm at sf0.1)
+    "g4_cheapest_route",
 ]
 
 WARM_PASSES = 5
