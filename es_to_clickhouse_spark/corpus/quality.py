@@ -1379,3 +1379,91 @@ def dq9_benford_drift(spark, sf_dir):
         benford.alias("benford_ppm"),
         (share - benford).cast("long").alias("drift_ppm"),
     )
+
+
+@query(
+    "ts11_theilsen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), idx AS (
+      SELECT event_type, n,
+             CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT) AS x
+      FROM daily
+    ), slopes AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / (b.x - a.x) AS slope
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ), ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, event_type) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM slopes
+    )
+    SELECT event_type, CAST(min(m) AS BIGINT) AS n_slopes,
+           round(avg(slope), 6) AS theilsen_slope
+    FROM ranked
+    WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+    GROUP BY event_type
+    """,
+)
+def ts11_theilsen_trend(spark, sf_dir):
+    """Theil–Sen robust trend of the daily event rate per type: the
+    MEDIAN of all pairwise slopes (n_j − n_i)/(x_j − x_i) — immune to
+    the outlier days that wreck a least-squares slope (a18's
+    regression aggs are the fragile baseline this replaces when data
+    is dirty). The pairwise stage is quadratic in DAYS (30 days → 435
+    pairs per type — bounded by time span, not row count; at 100 TB
+    the day-count is unchanged), keyed per type so the self-join never
+    crosses groups. Median = avg of the two middle ranks ((m+1)//2,
+    (m+2)//2 — equal when m is odd), deterministic via the (slope,
+    type) total order; slope division is one identical double op per
+    pair on exact integer inputs."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    idx = daily.select(
+        "event_type",
+        "n",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    )
+    a = idx.select(
+        "event_type", F.col("n").alias("na"), F.col("x").alias("xa")
+    )
+    b = idx.select(
+        "event_type", F.col("n").alias("nb"), F.col("x").alias("xb")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            (
+                (F.col("nb") - F.col("na")).cast("double")
+                / (F.col("xb") - F.col("xa"))
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "event_type")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        F.min("m").cast("long").alias("n_slopes"),
+        F.round(F.avg("slope"), 6).alias("theilsen_slope"),
+    )
