@@ -1964,3 +1964,85 @@ def a19_weighted_median(spark, sf_dir):
             F.min("tw").alias("total_weight"),
         )
     )
+
+
+@query(
+    "w17_running_distinct",
+    """
+    WITH f AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS occ
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS distinct_types_so_far
+    FROM f WHERE user_id % 25 = 0
+    """,
+)
+def w17_running_distinct(spark, sf_dir):
+    """Running DISTINCT count per user (distinct event types seen up to
+    each event) — the window frame can't hold a distinct set, so the
+    classic rewrite: flag each (user, type)'s FIRST occurrence with one
+    row_number, then a running sum of flags. Both windows share the
+    user_id shuffle (the second sorts within it); no joins, no state,
+    and the rewrite is exact — the pattern behind every 'unique items
+    seen so far' product metric. Output sampled to every 25th user to
+    bound rows."""
+    e = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(w_first).alias("occ"),
+    )
+    return f.where(F.col("user_id") % 25 == 0).select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+        .over(w_run)
+        .cast("long")
+        .alias("distinct_types_so_far"),
+    )
+
+
+@query(
+    "a20_bit_aggs",
+    """
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id) AS BIGINT) AS bor,
+           CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER))
+             AS BIGINT) AS presence_mask
+    FROM events GROUP BY event_type
+    """,
+)
+def a20_bit_aggs(spark, sf_dir):
+    """Bitwise aggregates (ClickHouse groupBitAnd/Or/Xor parity) over
+    user ids per event type, plus a 62-bit PRESENCE MASK (bit_or of
+    1 << id%62) — the poor-man's bitmap index every warehouse builds
+    for fast set membership. All integer-exact, fully partial-
+    aggregable map-side (and/or/xor are associative+commutative), one
+    tiny shuffle. The variable shift uses the SQL expression form
+    (PySpark's shiftleft takes literals only — the rollup.py lesson)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+        ).alias("presence_mask"),
+    )
