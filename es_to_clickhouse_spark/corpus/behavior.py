@@ -432,3 +432,120 @@ def b8_retention_conditions(spark, sf_dir):
         F.sum(F.col("c1") * F.col("c3")).alias("r3"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@query(
+    "b9_session_funnel",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), s AS (
+      SELECT user_id, event_type, us, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sess
+      FROM g
+    ), f AS (
+      SELECT user_id, sess, event_type, us, event_id,
+             max(CASE WHEN event_type = 'view' THEN us END) OVER
+               (PARTITION BY user_id, sess ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1
+      FROM s
+    ), f2 AS (
+      SELECT user_id, sess, event_type, us, s1,
+             max(CASE WHEN event_type = 'click' THEN s1 END) OVER
+               (PARTITION BY user_id, sess ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s2
+      FROM f
+    ), lv AS (
+      SELECT user_id, sess,
+             CASE WHEN max(CASE WHEN event_type = 'purchase'
+                                AND s2 IS NOT NULL THEN 1 ELSE 0 END) = 1
+                  THEN 3
+                  WHEN max(CASE WHEN event_type = 'click'
+                                AND s1 IS NOT NULL THEN 1 ELSE 0 END) = 1
+                  THEN 2
+                  WHEN max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+                  THEN 1 ELSE 0 END AS session_level
+      FROM f2 GROUP BY user_id, sess
+    )
+    SELECT session_level, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM lv GROUP BY session_level
+    """,
+)
+def b9_session_funnel(spark, sf_dir):
+    """Funnel WITHIN session boundaries: sessionize first (30-minute
+    inactivity gap — t8's batch sessionization), then require the
+    view < click < purchase chain to complete inside ONE session — the
+    product question 'do users convert in a sitting?' that the 6-hour
+    wall-clock window of b6 can't answer. Composition: the
+    gaps-and-islands session id (lag + running sum) feeds the same
+    cascaded running-max funnel, all FIVE windows sharing the single
+    user_id shuffle (session windows subpartition it). No time bound
+    inside the session — the session IS the window, so the s_i chain
+    stores need no window check at the final event."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sess",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = (
+        Window.partitionBy("user_id", "sess")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = s.withColumn(
+        "s1", F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(ws)
+    )
+    f2 = f.withColumn(
+        "s2", F.max(F.when(F.col("event_type") == "click", F.col("s1"))).over(ws)
+    )
+    lv = f2.groupBy("user_id", "sess").agg(
+        F.when(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("s2").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            == 1,
+            3,
+        )
+        .when(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click") & F.col("s1").isNotNull(), 1
+                ).otherwise(0)
+            )
+            == 1,
+            2,
+        )
+        .when(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)) == 1, 1
+        )
+        .otherwise(0)
+        .alias("session_level")
+    )
+    return lv.groupBy("session_level").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
