@@ -478,3 +478,109 @@ def sk10_topk_rollup_exact(spark, sf_dir):
         F.col("_e.cnt").alias("cnt"),
         "err",
     )
+
+
+@query(
+    "w18_sliding_hll_distinct",
+    f"""
+    WITH u AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), days AS (SELECT DISTINCT d FROM u),
+    h AS (
+      SELECT d, user_id,
+             {_DUCK_H32.format(x="CAST(user_id AS VARCHAR)")} AS hv
+      FROM u
+    ), wexp AS (
+      SELECT days.d AS w, h.hv
+      FROM days JOIN h ON h.d BETWEEN days.d AND days.d + 6
+    ), r AS (
+      SELECT w, hv >> 24 AS reg,
+             CASE WHEN (hv & 16777215) = 0 THEN 25
+                  ELSE 25 - length(bin(hv & 16777215)) END AS rho
+      FROM wexp
+    ), mx AS (
+      SELECT w, reg, max(rho) AS maxrho FROM r GROUP BY w, reg
+    ), a AS (
+      SELECT w, count(*) AS n,
+             sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << maxrho)) AS s
+      FROM mx GROUP BY w
+    ), x AS (
+      SELECT days.d AS w, count(DISTINCT u.user_id) AS exact_distinct
+      FROM days JOIN u ON u.d BETWEEN days.d AND days.d + 6
+      GROUP BY 1
+    )
+    SELECT strftime(a.w, '%Y-%m-%d') AS window_start,
+           CAST(floor(CAST(47072.71267120224 AS DOUBLE)
+                      / (s + (CAST(256.0 AS DOUBLE) - n))) AS BIGINT)
+             AS approx_distinct,
+           x.exact_distinct
+    FROM a JOIN x ON a.w = x.w
+    """,
+)
+def w18_sliding_hll_distinct(spark, sf_dir):
+    """Sliding-window approx distinct: 7-day distinct users per window
+    start, estimated by MERGING per-day HLL registers across the window
+    — the at-scale replacement for b3's exact explode when windows are
+    long (register state per (day, reg) is bounded at 256 rows/day
+    forever; the exact path reshuffles every (day, user) pair). The
+    window union is a register-wise max (HLL merge is exactly
+    order/duplicate-insensitive), composed with b3's explode-to-window-
+    starts trick so it stays an equi-groupBy. Exact count reported
+    alongside — the sk9 calibration pattern on a WINDOWED axis; every
+    register and float step is engine-replicated bit-for-bit."""
+    from es_to_clickhouse_spark.operators.sketch import hash32
+
+    u = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = u.select("d").distinct()
+    h = u.select("d", "user_id", hash32(F.col("user_id")).alias("hv"))
+    wexp = h.select(
+        F.explode(F.sequence(F.date_sub(F.col("d"), 6), F.col("d"))).alias("w"),
+        "hv",
+    ).join(
+        F.broadcast(days.withColumnRenamed("d", "w")), "w", "left_semi"
+    )
+    low = F.col("hv").bitwiseAND(F.lit(16777215))
+    r = wexp.select(
+        "w",
+        F.shiftright("hv", 24).alias("reg"),
+        F.when(low == 0, F.lit(25)).otherwise(25 - F.length(F.bin(low))).alias(
+            "rho"
+        ),
+    )
+    mx = r.groupBy("w", "reg").agg(F.max("rho").alias("maxrho"))
+    a = mx.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), maxrho)")
+        ).alias("s"),
+    )
+    est = a.select(
+        "w",
+        F.floor(
+            F.lit(47072.71267120224) / (F.col("s") + (F.lit(256.0) - F.col("n")))
+        )
+        .cast("long")
+        .alias("approx_distinct"),
+    )
+    exact = (
+        u.select(
+            F.explode(
+                F.sequence(F.date_sub(F.col("d"), 6), F.col("d"))
+            ).alias("w"),
+            "user_id",
+        )
+        .join(F.broadcast(days.withColumnRenamed("d", "w")), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "w").select(
+        F.date_format("w", "yyyy-MM-dd").alias("window_start"),
+        "approx_distinct",
+        "exact_distinct",
+    )
