@@ -49,6 +49,8 @@ BNL_ALLOWED = {
     "dq9_benford_drift",  # 1-row digit-total broadcast (dq5 pattern)
     "iv2_phrase_query",  # 1-row best-bigram broadcast (q15 scalar pattern)
     "cur1_curation_funnel",  # mix1's 1-row total/normalizer broadcasts
+    "iv3_bm25_topk",  # 1-row (n_docs, avgdl) stats broadcast
+    "sim9_lsh_recall",  # sampled query-batch broadcast (sim1/sim6 pattern)
 }
 
 
