@@ -2276,3 +2276,149 @@ def iv3_bm25_topk(spark, sf_dir):
     # orderBy + limit plans as TakeOrderedAndProject (per-partition
     # top-20 + driver merge), never a one-partition global window sort
     return scored.orderBy(F.desc("bm25"), "term", "doc_id").limit(20)
+
+
+@query(
+    "sim10_multiprobe_recall",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qv, bucket AS qb
+      FROM b WHERE vec_id % 97 = 0
+    ), probes AS (
+      SELECT qid, qv, qb AS pb FROM q
+      UNION ALL
+      SELECT qid, qv,
+             substring(qb, 1, u.i - 1)
+               || (CASE WHEN substring(qb, u.i, 1) = '1' THEN '0' ELSE '1' END)
+               || substring(qb, u.i + 1) AS pb
+      FROM q, unnest(generate_series(1, 6)) AS u(i)
+    ), pairs AS (
+      SELECT q.qid, b.vec_id, b.bucket,
+             round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])), 6) AS cos
+      FROM b, q WHERE b.vec_id != q.qid
+    ), truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM pairs
+      ) WHERE rn <= 5
+    ), cand AS (
+      SELECT DISTINCT p.qid, p.vec_id, p.cos
+      FROM (SELECT pairs.*, probes.pb FROM pairs
+            JOIN probes ON pairs.qid = probes.qid) p
+      WHERE p.bucket = p.pb
+    ), probe5 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn <= 5
+    ), nc AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_cands FROM cand GROUP BY qid
+    ), hits AS (
+      SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM truth t JOIN probe5 p ON t.qid = p.qid AND t.vec_id = p.vec_id
+      GROUP BY t.qid
+    )
+    SELECT q.qid, CAST(coalesce(nc.n_cands, 0) AS BIGINT) AS n_cands,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / 5.0, 2) AS recall
+    FROM q LEFT JOIN nc ON q.qid = nc.qid LEFT JOIN hits ON q.qid = hits.qid
+    """,
+)
+def sim10_multiprobe_recall(spark, sf_dir):
+    """Multi-probe LSH (Lv et al., VLDB'07): probe the query's sign
+    bucket PLUS the 6 Hamming-distance-1 buckets (one flipped bit
+    each), then measure recall@5 against exact top-5 — side-by-side
+    with sim9's single-probe recall this quantifies the classic
+    multi-probe tradeoff (≈7× candidates for the recall the next
+    neighbor bit-flip was hiding). The probe set per query is 7 bucket
+    keys — generated by pure string surgery, broadcast with the query
+    batch; the candidate scan is still bucket-pruned, never the full
+    table (the exact side here is only the audit's ground truth)."""
+    from es_to_clickhouse_spark.operators.similarity import (
+        cosine,
+        sign_lsh_bucket,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = base.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    flip = q.select(
+        "qid",
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("i"),
+        "qb",
+    ).select(
+        "qid",
+        F.concat(
+            F.expr("substring(qb, 1, i - 1)"),
+            F.when(F.expr("substring(qb, i, 1)") == "1", "0").otherwise("1"),
+            F.expr("substring(qb, i + 1)"),
+        ).alias("pb"),
+    )
+    probes = q.select("qid", F.col("qb").alias("pb")).unionByName(flip)
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "bucket",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    truth = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    cand = (
+        pairs.join(
+            F.broadcast(probes),
+            (pairs["qid"] == probes["qid"]) & (pairs["bucket"] == probes["pb"]),
+        )
+        .select(pairs["qid"], "vec_id", "cos")
+        .distinct()
+    )
+    probe5 = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cands"))
+    hits = truth.join(probe5, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        q.select("qid")
+        .join(nc, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_cands", F.lit(0)).alias("n_cands"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 5.0, 2
+            ).alias("recall"),
+        )
+    )

@@ -51,6 +51,7 @@ BNL_ALLOWED = {
     "cur1_curation_funnel",  # mix1's 1-row total/normalizer broadcasts
     "iv3_bm25_topk",  # 1-row (n_docs, avgdl) stats broadcast
     "sim9_lsh_recall",  # sampled query-batch broadcast (sim1/sim6 pattern)
+    "sim10_multiprobe_recall",  # query-batch + 7-bucket probe-set broadcasts
 }
 
 
