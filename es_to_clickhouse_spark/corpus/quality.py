@@ -1467,3 +1467,66 @@ def ts11_theilsen_trend(spark, sf_dir):
         F.min("m").cast("long").alias("n_slopes"),
         F.round(F.avg("slope"), 6).alias("theilsen_slope"),
     )
+
+
+@query(
+    "w19_gini_doc_length",
+    """
+    WITH r AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i,
+             count(*) OVER (PARTITION BY source) AS n,
+             sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS tot
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(min(n) AS BIGINT) AS n_docs,
+             CAST(min(tot) AS BIGINT) AS total_chars,
+             CAST(sum(i * x) AS BIGINT) AS weighted
+      FROM r GROUP BY source
+    )
+    SELECT source, n_docs, total_chars,
+           round(CAST(2 * weighted AS DOUBLE)
+                   / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+                 - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE),
+                 6) AS gini
+    FROM s
+    """,
+)
+def w19_gini_doc_length(spark, sf_dir):
+    """Gini coefficient of document length per source — the dataset-
+    balance audit (a source whose token mass concentrates in a few
+    giant documents behaves differently under packing/sampling than
+    its doc count suggests; Lorenz-curve inequality is the standard
+    one-number summary). Exact-rank formulation G = 2·Σ(i·x_i)/(n·Σx)
+    − (n+1)/n over the ascending sort: every sum is bigint-exact (rank
+    and length are integers), ONE source-keyed window sort shared by
+    rank/count/total, and only the final three-op float expression —
+    identical on both engines — touches doubles."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wp = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).over(wp).alias("tot"),
+    )
+    s = r.groupBy("source").agg(
+        F.min("n").cast("long").alias("n_docs"),
+        F.min("tot").cast("long").alias("total_chars"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(
+            (2 * F.col("weighted")).cast("double")
+            / (F.col("n_docs").cast("double") * F.col("total_chars").cast("double"))
+            - (F.col("n_docs").cast("double") + 1.0)
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("gini"),
+    )
