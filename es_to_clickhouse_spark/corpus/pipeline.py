@@ -872,3 +872,132 @@ def d16_dup_span_fraction(spark, sf_dir):
             "dup_frac"
         ),
     )
+
+
+# ------------------------------------- cross-signal dedup agreement
+
+
+@query(
+    "d17_signal_agreement",
+    """
+    WITH d AS (
+      SELECT * FROM documents WHERE doc_id % 8 = 0
+    ), g AS (
+      SELECT doc_id, pos,
+             md5(substring(text, pos, 5))
+               || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS packed
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4)) AS pos
+            FROM d WHERE length(text) >= 8)
+    ), sel AS (
+      SELECT doc_id, pos,
+             min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+      FROM g
+    ), fps AS (
+      SELECT DISTINCT doc_id, substring(s, 1, 32) AS fph
+      FROM sel WHERE pos >= 4
+    ), bsz AS (
+      SELECT fph, count(*) AS n FROM fps GROUP BY fph
+    ), wp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.fph = b.fph AND a.doc_id < b.doc_id
+      JOIN bsz ON bsz.fph = a.fph
+      WHERE bsz.n <= 40
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 10
+    ), tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != ''))
+               AS ts
+      FROM d
+    ), jall AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(round(10000 * len(list_intersect(a.ts, b.ts))
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))
+               AS BIGINT) AS j_ppm
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    )
+    SELECT CASE WHEN wp.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_winnowing,
+           CASE WHEN jall.j_ppm >= 5000 THEN 1 ELSE 0 END AS in_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(jall.j_ppm) AS DOUBLE) / count(*) / 10000, 4)
+             AS avg_jaccard
+    FROM jall LEFT JOIN wp
+      ON jall.id_a = wp.id_a AND jall.id_b = wp.id_b
+    GROUP BY 1, 2
+    """,
+)
+def d17_signal_agreement(spark, sf_dir):
+    """Cross-validation of the two independent near-dup signals:
+    POSITIONAL (winnowing shared fingerprints, d15) vs TOKEN-SET
+    (exact Jaccard, d5) on the same sampled pair universe — the 2×2
+    agreement matrix with each cell's pair count and mean Jaccard. On
+    this corpus token Jaccard saturates (a shared vocabulary makes
+    ~73% of pairs 'similar') while winnowing stays selective — exactly
+    the divergence this audit exists to expose before a pipeline
+    trusts either signal alone. Jaccard is accumulated as exact ppm
+    integers (sum order-independent); the quadratic all-pairs stage is
+    the audit's ground truth, load-balanced by salted_block_pairs with
+    a constant block, and at scale would run on LSH candidates
+    instead."""
+    from es_to_clickhouse_spark.operators.dedup import (
+        jaccard,
+        salted_block_pairs,
+    )
+    from es_to_clickhouse_spark.operators.text import (
+        tokens,
+        winnowing_fingerprints,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 8 == 0)
+        .repartition(n)
+    )
+    fps = (
+        winnowing_fingerprints(d, "doc_id", "text", k=5, w=4)
+        .select("doc_id", F.substring("fp", 1, 32).alias("fph"))
+        .distinct()
+    )
+    wb = Window.partitionBy("fph")
+    kept = (
+        fps.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bsz") <= 40)
+        .drop("_bsz")
+    )
+    wp = (
+        kept.select("fph", F.col("doc_id").alias("id_a"))
+        .join(kept.select("fph", F.col("doc_id").alias("id_b")), "fph")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 10)
+        .select("id_a", "id_b", F.lit(1).alias("in_w"))
+    )
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(F.col("text"))), lambda s: F.xxhash64(s)
+        ).alias("_tok"),
+        F.lit(0).alias("_block"),
+    ).localCheckpoint(eager=False)
+    pairs = salted_block_pairs(toks, "doc_id", ["_tok"])
+    jall = pairs.select(
+        F.least("_ida", "_idb").alias("id_a"),
+        F.greatest("_ida", "_idb").alias("id_b"),
+        F.round(10000 * jaccard(F.col("_tok_a"), F.col("_tok_b")))
+        .cast("long")
+        .alias("j_ppm"),
+    )
+    joined = jall.join(wp, ["id_a", "id_b"], "left")
+    return joined.groupBy(
+        F.when(F.col("in_w").isNotNull(), 1).otherwise(0).alias("in_winnowing"),
+        F.when(F.col("j_ppm") >= 5000, 1).otherwise(0).alias("in_jaccard"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("j_ppm").cast("double") / F.count(F.lit(1)) / 10000, 4
+        ).alias("avg_jaccard"),
+    )
