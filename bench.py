@@ -96,6 +96,8 @@ HEAVY = [
     # Bellman-Ford edges = a TPC-H-class 5-table join + 4 relaxation
     # rounds (2.8 s warm at sf0.1)
     "g4_cheapest_route",
+    # all-pairs jaccard audit stage, salted constant-block (2.6 s warm)
+    "d17_signal_agreement",
 ]
 
 WARM_PASSES = 5
