@@ -2422,3 +2422,76 @@ def sim10_multiprobe_recall(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "txt19_source_vocab_overlap",
+    """
+    WITH v AS (
+      SELECT DISTINCT source,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+      FROM documents
+    ), sz AS (
+      SELECT source, count(*) AS n FROM v GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, CAST(i.shared AS BIGINT) AS shared,
+           CAST(sa.n AS BIGINT) AS vocab_a, CAST(sb.n AS BIGINT) AS vocab_b,
+           round(CAST(i.shared AS DOUBLE)
+                 / (sa.n + sb.n - i.shared), 4) AS vocab_jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    """,
+)
+def txt19_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between sources (the corpus-mixing
+    diligence question: are two sources lexically redundant before you
+    weight them both in?): per source-pair, shared-type count and
+    vocabulary Jaccard. The pair join runs on the (source, word) TYPE
+    table — Zipf-small, never the token stream — and words carry the
+    join, so the quadratic is over the 5 sources' vocab intersections,
+    shuffled once on the word. Exact integer counts; one float ratio."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from es_to_clickhouse_spark.operators import text
+
+    v = (
+        d.select("source", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "w")
+    b = v.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("vocab_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("vocab_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared")),
+                4,
+            ).alias("vocab_jaccard"),
+        )
+    )
