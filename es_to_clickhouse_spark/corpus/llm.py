@@ -2495,3 +2495,121 @@ def txt19_source_vocab_overlap(spark, sf_dir):
             ).alias("vocab_jaccard"),
         )
     )
+
+
+#: d18 oracle fragments: 16 MinHash mins + their low-bit extraction
+_D18_SIGS = ",\n".join(
+    f"             list_aggregate(list_transform(ts, x -> md5('{j}:' || x)),"
+    f" 'min') AS mh{j}" for j in range(16)
+)
+_D18_BITS = ",\n".join(
+    f"             ('0x' || substr(mh{j}, 32, 1))::BIGINT % 2 AS b{j}"
+    for j in range(16)
+)
+_D18_AGREE = " + ".join(
+    f"(CASE WHEN a.b{j} = b.b{j} THEN 1 ELSE 0 END)" for j in range(16)
+)
+
+
+@query(
+    "d18_bbit_minhash_error",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != ''))
+               AS ts
+      FROM documents WHERE doc_id % 4 = 0
+    ), sig AS (
+      SELECT doc_id, lang, ts,
+{_D18_SIGS}
+      FROM tok
+    ), bits AS (
+      SELECT doc_id, lang, ts,
+{_D18_BITS}
+      FROM sig
+    ), pr AS (
+      SELECT a.lang,
+             greatest(CAST(0 AS BIGINT),
+                      ({_D18_AGREE} - 8) * 125000) AS est_ppm,
+             CAST(round(1000000.0 * len(list_intersect(a.ts, b.ts))
+                  / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))
+               AS BIGINT) AS j_ppm
+      FROM bits a JOIN bits b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(est_ppm - j_ppm)) AS BIGINT) AS sum_abs_err_ppm,
+           CAST(max(abs(est_ppm - j_ppm)) AS BIGINT) AS max_abs_err_ppm,
+           round(CAST(sum(abs(est_ppm - j_ppm)) AS DOUBLE)
+                 / count(*) / 1000000, 4) AS mean_abs_err
+    FROM pr GROUP BY lang
+    """,
+)
+def d18_bbit_minhash_error(spark, sf_dir):
+    """b-bit MinHash calibration (Li & König 2010, b = 1): store ONLY
+    the lowest bit of each of 16 MinHash values — 16 bits/doc instead
+    of 16 × 128-bit hashes — and estimate Jaccard from the bit-agreement
+    rate (P(match) = (1+J)/2, so Ĵ = 2·A/k − 1, clamped). The query
+    reports the estimator's mean/max absolute error against exact
+    Jaccard per language block: the d12 calibration pattern applied to
+    the storage-compressed signature a 100 TB dedup index would
+    actually keep. All error arithmetic is exact ppm integers (the
+    estimate is the rational (A−8)/8 — no float until the final mean);
+    the quadratic verify stage rides salted_block_pairs with hoisted
+    bit-vectors and hashed token sets (the d5 lesson)."""
+    from es_to_clickhouse_spark.operators.dedup import (
+        jaccard,
+        minhash_signature,
+        salted_block_pairs,
+    )
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    n = spark.sparkContext.defaultParallelism
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .repartition(n)
+    )
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            F.array_distinct(tokens(F.col("text"))), lambda s: F.xxhash64(s)
+        ).alias("_tok"),
+        F.array(
+            *[
+                (
+                    F.conv(F.substring(c, 32, 1), 16, 10).cast("long") % 2
+                ).cast("int")
+                for c in minhash_signature(F.col("text"), 16)
+            ]
+        ).alias("_bits"),
+    ).withColumn("_block", F.col("lang")).localCheckpoint(eager=False)
+    pairs = salted_block_pairs(sig, "doc_id", ["_tok", "_bits", "lang"])
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("_bits_a"),
+            F.col("_bits_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est_ppm = F.greatest(
+        F.lit(0).cast("long"), ((agree - 8) * 125000).cast("long")
+    )
+    j_ppm = F.round(1000000 * jaccard(F.col("_tok_a"), F.col("_tok_b"))).cast(
+        "long"
+    )
+    pr = pairs.select(
+        F.col("lang_a").alias("lang"),
+        F.abs(est_ppm - j_ppm).alias("err_ppm"),
+    )
+    return pr.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("err_ppm").alias("sum_abs_err_ppm"),
+        F.max("err_ppm").alias("max_abs_err_ppm"),
+        F.round(
+            F.sum("err_ppm").cast("double") / F.count(F.lit(1)) / 1000000, 4
+        ).alias("mean_abs_err"),
+    )
