@@ -2046,3 +2046,56 @@ def a20_bit_aggs(spark, sf_dir):
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
         ).alias("presence_mask"),
     )
+
+
+@query(
+    "j13_asof_tolerance",
+    """
+    WITH ref AS (
+      SELECT user_id, epoch_us(ts) AS us, max(value) AS ref_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN c.us - r.us <= 3600000000
+                THEN round(r.ref_value, 4) END AS ref_value_1h,
+           CASE WHEN c.us - r.us <= 3600000000
+                THEN c.us - r.us END AS staleness_us
+    FROM clicks c ASOF LEFT JOIN ref r
+      ON c.user_id = r.user_id AND c.us >= r.us
+    """,
+)
+def j13_asof_tolerance(spark, sf_dir):
+    """As-of join with TOLERANCE (pandas merge_asof(tolerance=1h)): the
+    most recent prior purchase enriches a click only if it is at most
+    one hour stale — the freshness bound every feature-store lookup
+    needs (an unbounded as-of silently serves week-old state). The
+    bound composes on the existing as-of machinery as a post-predicate
+    nulling both the value and the reported staleness: the match
+    itself stays the one-shuffle union+window plan, and the tolerance
+    costs one comparison per row — never a second range join."""
+    from es_to_clickhouse_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    ref = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", epoch_micros(F.col("ts")).alias("us"), "value")
+        .groupBy("user_id", "us")
+        .agg(F.max("value").alias("ref_value"))
+        .withColumn("ref_us", F.col("us"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", epoch_micros(F.col("ts")).alias("us")
+    )
+    j = asof_join(
+        clicks, ref, on="us", by="user_id", right_cols=["ref_value", "ref_us"]
+    )
+    fresh = (F.col("us") - F.col("ref_us_right")) <= 3_600_000_000
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.round("ref_value_right", 4)).alias("ref_value_1h"),
+        F.when(fresh, F.col("us") - F.col("ref_us_right")).alias("staleness_us"),
+    )
