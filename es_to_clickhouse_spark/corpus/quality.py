@@ -1530,3 +1530,89 @@ def w19_gini_doc_length(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "pk3_greedy_bins",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+               AS BIGINT) AS toks
+      FROM documents
+    ), ser AS (
+      SELECT source, toks,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+      FROM d
+    ), cnt AS (
+      SELECT source, count(*) AS m, sum(toks) AS tot FROM ser GROUP BY source
+    ), pack(source, i, fill, bins) AS (
+      SELECT source, 1, toks, CAST(1 AS BIGINT) FROM ser WHERE i = 1
+      UNION ALL
+      SELECT s.source, s.i,
+             CASE WHEN p.fill + s.toks <= 512 THEN p.fill + s.toks
+                  ELSE s.toks END,
+             CASE WHEN p.fill + s.toks <= 512 THEN p.bins
+                  ELSE p.bins + 1 END
+      FROM pack p JOIN ser s ON s.source = p.source AND s.i = p.i + 1
+    )
+    SELECT p.source, CAST(c.m AS BIGINT) AS n_docs,
+           CAST(c.tot AS BIGINT) AS total_tokens,
+           CAST(p.bins AS BIGINT) AS n_bins,
+           CAST((c.tot + 511) // 512 AS BIGINT) AS lower_bound,
+           round(CAST(c.tot AS DOUBLE) / (p.bins * 512), 4) AS fill_ratio
+    FROM pack p JOIN cnt c ON p.source = c.source
+    WHERE p.i = c.m
+    """,
+)
+def pk3_greedy_bins(spark, sf_dir):
+    """Greedy NO-SPLIT context packing (next-fit, the complement of
+    pk1's concat-then-chop): documents in arrival order go into the
+    current 512-token bin until one doesn't fit, which opens the next —
+    no document ever straddles a window (the padding-free packing used
+    when truncation is unacceptable). Output per source: bins used vs
+    the ceil(total/512) lower bound and the realized fill ratio — the
+    padding-waste audit next-fit pays for preserving documents. The
+    sequential recurrence folds per source with a struct accumulator
+    (ALL integer arithmetic — exact on any engine); the oracle states
+    it as a recursive CTE (ts9/ts10 machinery)."""
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    n = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(n).select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("toks")
+    )
+    ser = d.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "toks"))),
+            lambda s: s["toks"],
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+    )
+
+    def step(acc, x):
+        fits = acc["fill"] + x <= 512
+        return F.struct(
+            F.when(fits, acc["fill"] + x).otherwise(x).alias("fill"),
+            F.when(fits, acc["bins"]).otherwise(acc["bins"] + 1).alias("bins"),
+        )
+
+    fold = F.aggregate(
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+        F.struct(
+            F.element_at("arr", 1).alias("fill"),
+            F.lit(1).cast("long").alias("bins"),
+        ),
+        step,
+    )
+    return ser.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        fold["bins"].alias("n_bins"),
+        F.floor((F.col("total_tokens") + 511) / 512).cast("long").alias("lower_bound"),
+        F.round(
+            F.col("total_tokens").cast("double") / (fold["bins"] * 512), 4
+        ).alias("fill_ratio"),
+    )
