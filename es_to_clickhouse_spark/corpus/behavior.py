@@ -549,3 +549,95 @@ def b9_session_funnel(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sessions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "b10_session_entropy",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), s AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sess
+      FROM g
+    ), tc AS (
+      SELECT user_id, sess, event_type, count(*) AS c
+      FROM s GROUP BY user_id, sess, event_type
+    ), st AS (
+      SELECT user_id, sess, sum(c) AS n, count(*) AS n_types FROM tc
+      GROUP BY user_id, sess
+    ), terms AS (
+      SELECT tc.user_id, tc.sess, st.n_types,
+             CAST(round(-ln(CAST(tc.c AS DOUBLE) / st.n)
+                        * (CAST(tc.c AS DOUBLE) / st.n) * 1000000)
+               AS BIGINT) AS micro
+      FROM tc JOIN st ON tc.user_id = st.user_id AND tc.sess = st.sess
+    ), se AS (
+      SELECT user_id, sess, n_types,
+             CAST(sum(micro) AS BIGINT) AS entropy_micro
+      FROM terms GROUP BY user_id, sess, n_types
+    )
+    SELECT n_types, CAST(count(*) AS BIGINT) AS n_sessions,
+           round(CAST(sum(entropy_micro) AS DOUBLE)
+                 / count(*) / 1000000, 4) AS mean_entropy_nats
+    FROM se GROUP BY n_types
+    """,
+)
+def b10_session_entropy(spark, sf_dir):
+    """Behavioral entropy per session: Shannon entropy of the event-type
+    distribution inside each 30-minute session, summarized by session
+    diversity (how focused vs exploratory sessions are — the
+    information-theoretic counterpart of b2's transition matrix, and
+    the session-quality feature behind engagement scoring). Each
+    −p·ln p term is quantized to integer micro-nats BEFORE summing
+    (txt18's discipline: the distributed sum is bigint-exact and
+    order-free; only the per-term single-op float chain touches
+    doubles, identically on both engines). Sessionization shares b9's
+    gaps-and-islands windows on the one user shuffle."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sess",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    tc = s.groupBy("user_id", "sess", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    st = tc.groupBy("user_id", "sess").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = tc.join(st, ["user_id", "sess"]).select(
+        "user_id",
+        "sess",
+        "n_types",
+        F.round(-F.log(p) * p * 1000000).cast("long").alias("micro"),
+    )
+    se = terms.groupBy("user_id", "sess", "n_types").agg(
+        F.sum("micro").alias("entropy_micro")
+    )
+    return se.groupBy("n_types").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.sum("entropy_micro").cast("double") / F.count(F.lit(1)) / 1000000,
+            4,
+        ).alias("mean_entropy_nats"),
+    )
