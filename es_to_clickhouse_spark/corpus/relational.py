@@ -2099,3 +2099,42 @@ def j13_asof_tolerance(spark, sf_dir):
         F.when(fresh, F.round("ref_value_right", 4)).alias("ref_value_1h"),
         F.when(fresh, F.col("us") - F.col("ref_us_right")).alias("staleness_us"),
     )
+
+
+@query(
+    "a21_if_combinators",
+    """
+    SELECT event_type,
+           CAST(count(*) FILTER (value > 50) AS BIGINT) AS n_big,
+           round(sum(value) FILTER (value > 50), 2) AS sum_big,
+           round(avg(value) FILTER (value > 50), 4) AS avg_big,
+           round(min(value) FILTER (user_id % 2 = 0), 2) AS min_even_user,
+           round(max(value) FILTER (user_id % 2 = 1), 2) AS max_odd_user,
+           CAST(count(DISTINCT user_id) FILTER (value > 90) AS BIGINT)
+             AS n_users_gt90
+    FROM events GROUP BY event_type
+    """,
+)
+def a21_if_combinators(spark, sf_dir):
+    """Conditional-aggregate battery (ClickHouse's ``-If`` combinators /
+    SQL FILTER clause): countIf, sumIf, avgIf, minIf, maxIf, and
+    distinct-countIf in ONE pass per group — the idiom that replaces N
+    filtered self-aggregation subqueries with one scan (each condition
+    is a when() inside the agg, partial-aggregated map-side like any
+    other accumulator). Rounding discipline follows a4."""
+    e = t(spark, sf_dir, "events")
+    big = F.when(F.col("value") > 50, F.col("value"))
+    return e.groupBy("event_type").agg(
+        F.count(big).alias("n_big"),
+        F.round(F.sum(big), 2).alias("sum_big"),
+        F.round(F.avg(big), 4).alias("avg_big"),
+        F.round(
+            F.min(F.when(F.col("user_id") % 2 == 0, F.col("value"))), 2
+        ).alias("min_even_user"),
+        F.round(
+            F.max(F.when(F.col("user_id") % 2 == 1, F.col("value"))), 2
+        ).alias("max_odd_user"),
+        F.countDistinct(
+            F.when(F.col("value") > 90, F.col("user_id"))
+        ).alias("n_users_gt90"),
+    )
