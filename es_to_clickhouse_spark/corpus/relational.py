@@ -2104,15 +2104,22 @@ def j13_asof_tolerance(spark, sf_dir):
 @query(
     "a21_if_combinators",
     """
+    WITH q AS (
+      SELECT event_type, user_id, value,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro
+      FROM events
+    )
     SELECT event_type,
            CAST(count(*) FILTER (value > 50) AS BIGINT) AS n_big,
-           round(sum(value) FILTER (value > 50), 2) AS sum_big,
-           round(avg(value) FILTER (value > 50), 4) AS avg_big,
+           round(CAST(sum(v_micro) FILTER (value > 50) AS DOUBLE)
+                 / 1000000, 2) AS sum_big,
+           round(CAST(sum(v_micro) FILTER (value > 50) AS DOUBLE) / 1000000
+                 / count(*) FILTER (value > 50), 4) AS avg_big,
            round(min(value) FILTER (user_id % 2 = 0), 2) AS min_even_user,
            round(max(value) FILTER (user_id % 2 = 1), 2) AS max_odd_user,
            CAST(count(DISTINCT user_id) FILTER (value > 90) AS BIGINT)
              AS n_users_gt90
-    FROM events GROUP BY event_type
+    FROM q GROUP BY event_type
     """,
 )
 def a21_if_combinators(spark, sf_dir):
@@ -2121,13 +2128,20 @@ def a21_if_combinators(spark, sf_dir):
     distinct-countIf in ONE pass per group — the idiom that replaces N
     filtered self-aggregation subqueries with one scan (each condition
     is a when() inside the agg, partial-aggregated map-side like any
-    other accumulator). Rounding discipline follows a4."""
-    e = t(spark, sf_dir, "events")
+    other accumulator). Sums/averages ride per-row micro-unit integer quantization so
+    the distributed accumulation is order-free (a 1-ulp avg divergence
+    at a round-4 boundary surfaced at sf0.001 with plain double sums)."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "v_micro", F.round(F.col("value") * 1000000).cast("long")
+    )
     big = F.when(F.col("value") > 50, F.col("value"))
+    big_micro = F.when(F.col("value") > 50, F.col("v_micro"))
     return e.groupBy("event_type").agg(
         F.count(big).alias("n_big"),
-        F.round(F.sum(big), 2).alias("sum_big"),
-        F.round(F.avg(big), 4).alias("avg_big"),
+        F.round(F.sum(big_micro).cast("double") / 1000000, 2).alias("sum_big"),
+        F.round(
+            F.sum(big_micro).cast("double") / 1000000 / F.count(big), 4
+        ).alias("avg_big"),
         F.round(
             F.min(F.when(F.col("user_id") % 2 == 0, F.col("value"))), 2
         ).alias("min_even_user"),
