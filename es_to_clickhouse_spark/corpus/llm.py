@@ -2613,3 +2613,113 @@ def d18_bbit_minhash_error(spark, sf_dir):
             F.sum("err_ppm").cast("double") / F.count(F.lit(1)) / 1000000, 4
         ).alias("mean_abs_err"),
     )
+
+
+@query(
+    "g5_degree_assortativity",
+    """
+    WITH w AS (
+      SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS cnt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name != n2.n_name
+      GROUP BY n1.n_name, n2.n_name
+    ), med AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt) AS m FROM w
+    ), e AS (
+      SELECT src, dst FROM w, med WHERE cnt > med.m
+    ), outd AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src
+    ), ind AS (
+      SELECT dst, CAST(count(*) AS BIGINT) AS id FROM e GROUP BY dst
+    ), x AS (
+      SELECT outd.od AS dx, ind.id AS dy
+      FROM e JOIN outd ON e.src = outd.src JOIN ind ON e.dst = ind.dst
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM x
+    )
+    SELECT n AS n_edges,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) END AS assortativity
+    FROM s
+    """,
+)
+def g5_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the nation trade graph (Newman 2002):
+    Pearson correlation between source out-degree and destination
+    in-degree across directed edges — do high-degree exporters ship to
+    high-degree importers (assortative, r > 0) or to the periphery
+    (disassortative, r < 0)? Degrees and all five correlation
+    accumulators are EXACT integers (ts6's exact-sum correlation
+    discipline); one float expression at the end. Two tiny degree
+    aggregates broadcast back onto the edge list — no global window,
+    no driver math."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    med = w.agg(F.expr("percentile(cnt, 0.5)").alias("m"))
+    # sparsify on the graph's own median edge weight (scale-adaptive):
+    # the raw nation graph is near-complete, where degrees are constant
+    # and assortativity is undefined
+    e = (
+        w.crossJoin(F.broadcast(med))
+        .where(F.col("cnt") > F.col("m"))
+        .select("src", "dst")
+    )
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("id"))
+    x = (
+        e.join(F.broadcast(outd), "src")
+        .join(F.broadcast(ind), "dst")
+        .select(F.col("od").alias("dx"), F.col("id").alias("dy"))
+    )
+    agg = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    var_prod = (
+        nn * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * (nn * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return agg.select(
+        F.col("n").alias("n_edges"),
+        F.when(
+            var_prod > 0,
+            F.round(
+                (nn * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / F.sqrt(var_prod),
+                6,
+            ),
+        ).alias("assortativity"),
+    )

@@ -1616,3 +1616,111 @@ def pk3_greedy_bins(spark, sf_dir):
             F.col("total_tokens").cast("double") / (fold["bins"] * 512), 4
         ).alias("fill_ratio"),
     )
+
+
+@query(
+    "dq10_psi_drift",
+    """
+    WITH ref AS (
+      SELECT value FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-08'
+    ), cur AS (
+      SELECT value FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+    ), cuts AS (
+      SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+      FROM ref
+    ), rb AS (
+      SELECT (CASE WHEN q[1] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[2] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[3] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[4] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[5] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[6] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[7] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[8] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[9] <= value THEN 1 ELSE 0 END) AS bin
+      FROM ref, cuts
+    ), cb AS (
+      SELECT (CASE WHEN q[1] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[2] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[3] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[4] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[5] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[6] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[7] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[8] <= value THEN 1 ELSE 0 END
+            + CASE WHEN q[9] <= value THEN 1 ELSE 0 END) AS bin
+      FROM cur, cuts
+    ), rc AS (
+      SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin
+    ), cc AS (
+      SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin
+    ), tot AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM rb) AS nr,
+             (SELECT CAST(count(*) AS DOUBLE) FROM cb) AS nc
+    ), terms AS (
+      SELECT rc.bin, rc.n_ref, coalesce(cc.n_cur, 0) AS n_cur,
+             CAST(round(
+               (rc.n_ref / tot.nr
+                - greatest(coalesce(cc.n_cur, 0) / tot.nc, 0.000001))
+               * ln((rc.n_ref / tot.nr)
+                    / greatest(coalesce(cc.n_cur, 0) / tot.nc, 0.000001))
+               * 1000000) AS BIGINT) AS term_micro
+      FROM rc LEFT JOIN cc ON rc.bin = cc.bin, tot
+    )
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           term_micro,
+           round(CAST(sum(term_micro) OVER () AS DOUBLE) / 1000000, 4) AS psi
+    FROM terms
+    """,
+)
+def dq10_psi_drift(spark, sf_dir):
+    """Population Stability Index between week 1 (reference) and the
+    rest of the stream (current) over the value column — THE model-
+    monitoring drift gate (PSI > 0.2 = retrain): exact reference
+    deciles (pk2's broadcast-cuts pattern, no global ntile), both
+    populations binned by the same cuts, and Σ(p−q)·ln(p/q) with each
+    bin's term quantized to integer micro-nats so the final sum is
+    order-free. Empty current-side bins ride the standard 1e-6 floor.
+    Per-bin evidence rows carry the total alongside (a 10-row window
+    sum — bounded by the bin count, not data)."""
+    e = t(spark, sf_dir, "events")
+    cut_date = F.lit("2024-01-08").cast("date")
+    ref = e.where(F.to_date("ts") < cut_date).select("value")
+    cur = e.where(F.to_date("ts") >= cut_date).select("value")
+    cuts = ref.agg(
+        F.expr(
+            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("q")
+    )
+
+    def binned(df):
+        b = df.crossJoin(F.broadcast(cuts))
+        expr = sum(
+            F.when(F.element_at("q", i) <= F.col("value"), 1).otherwise(0)
+            for i in range(1, 10)
+        )
+        return b.select(expr.alias("bin"))
+
+    rc = binned(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("n_ref"))
+    cc = binned(cur).groupBy("bin").agg(F.count(F.lit(1)).alias("n_cur"))
+    tot = rc.agg(F.sum("n_ref").cast("double").alias("nr")).crossJoin(
+        cc.agg(F.sum("n_cur").cast("double").alias("nc"))
+    )
+    j = rc.join(cc, "bin", "left").crossJoin(F.broadcast(tot))
+    p = F.col("n_ref") / F.col("nr")
+    q = F.greatest(
+        F.coalesce(F.col("n_cur"), F.lit(0)) / F.col("nc"), F.lit(0.000001)
+    )
+    terms = j.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        F.round((p - q) * F.log(p / q) * 1000000).cast("long").alias("term_micro"),
+    )
+    wall = Window.partitionBy()
+    return terms.select(
+        "*",
+        F.round(
+            F.sum("term_micro").over(wall).cast("double") / 1000000, 4
+        ).alias("psi"),
+    )

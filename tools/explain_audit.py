@@ -52,6 +52,8 @@ BNL_ALLOWED = {
     "iv3_bm25_topk",  # 1-row (n_docs, avgdl) stats broadcast
     "sim9_lsh_recall",  # sampled query-batch broadcast (sim1/sim6 pattern)
     "sim10_multiprobe_recall",  # query-batch + 7-bucket probe-set broadcasts
+    "dq10_psi_drift",  # 1-row decile-cuts + 1-row totals broadcasts (pk2 pattern)
+    "g5_degree_assortativity",  # 1-row median-edge-weight broadcast
 }
 
 
