@@ -461,3 +461,49 @@ def f19_regexp_functions(spark, sf_dir):
         F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k_val"),
         F.regexp_replace("event_type", "[aeiou]", "*").alias("masked_type"),
     )
+
+
+@query(
+    "f25_array_set_ops",
+    """
+    WITH p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_distinct(list_filter(string_split(a.text, ' '), x -> x != ''))
+               AS ta,
+             list_distinct(list_filter(string_split(b.text, ' '), x -> x != ''))
+               AS tb
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 10 = 0
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(ta, tb)) AS BIGINT) AS n_intersect,
+           CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS n_union,
+           CAST(len(list_filter(ta, x -> NOT list_contains(tb, x)))
+             AS BIGINT) AS n_except,
+           CASE WHEN len(list_intersect(ta, tb)) > 0 THEN 1 ELSE 0 END
+             AS overlaps
+    FROM p
+    """,
+)
+def f25_array_set_ops(spark, sf_dir):
+    """Array set-algebra battery (array_intersect / array_union /
+    array_except / arrays_overlap) over adjacent documents' token sets
+    — the JVM-side set ops every dedup verify stage leans on, checked
+    as CARDINALITIES (element order after a set op is engine-specific
+    and deliberately not part of the contract; sizes are). All four ops
+    evaluate in one codegen'd projection per pair."""
+    d = t(spark, sf_dir, "documents")
+    tok = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    a = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), tok.alias("ta")
+    )
+    b = d.select((F.col("doc_id")).alias("id_b"), tok.alias("tb"))
+    p = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return p.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_intersect"),
+        F.size(F.array_union("ta", "tb")).cast("long").alias("n_union"),
+        F.size(F.array_except("ta", "tb")).cast("long").alias("n_except"),
+        F.when(F.arrays_overlap("ta", "tb"), 1).otherwise(0).alias("overlaps"),
+    )

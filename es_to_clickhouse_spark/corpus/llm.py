@@ -2723,3 +2723,52 @@ def g5_degree_assortativity(spark, sf_dir):
             ),
         ).alias("assortativity"),
     )
+
+
+@query(
+    "txt20_lexical_richness",
+    """
+    WITH occ AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT source, w, count(*) AS f FROM occ GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(f), 4) AS type_token_ratio,
+           round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS hapax_rate
+    FROM freq GROUP BY source
+    """,
+)
+def txt20_lexical_richness(spark, sf_dir):
+    """Lexical-richness profile per source: type/token ratio and hapax-
+    legomenon rate (share of words occurring exactly once) — the
+    vocabulary-diversity audit that separates template spam (low TTR,
+    few hapaxes) from organic text, complementing txt15's Zipf slope.
+    One (source, word) groupBy carries everything; counts exact, two
+    final ratios."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from es_to_clickhouse_spark.operators import text
+
+    occ = d.select("source", F.explode(text.tokens(F.col("text"))).alias("w"))
+    freq = occ.groupBy("source", "w").agg(F.count(F.lit(1)).alias("f"))
+    return freq.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("f"), 4).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("hapax_rate"),
+    )
