@@ -1724,3 +1724,96 @@ def dq10_psi_drift(spark, sf_dir):
             F.sum("term_micro").over(wall).cast("double") / 1000000, 4
         ).alias("psi"),
     )
+
+
+@query(
+    "ts12_acf",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), ser AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily
+    ), st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM ser GROUP BY event_type
+    ), lags AS (
+      SELECT unnest([1, 2, 3]) AS k
+    ), pr AS (
+      SELECT a.event_type, lags.k,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(a.x * b.x) AS BIGINT) AS axy,
+             CAST(sum(a.x) AS BIGINT) AS bx,
+             CAST(sum(b.x) AS BIGINT) AS cx
+      FROM ser a
+      CROSS JOIN lags
+      JOIN ser b ON b.event_type = a.event_type AND b.i = a.i - lags.k
+      GROUP BY a.event_type, lags.k
+    )
+    SELECT pr.event_type, CAST(pr.k AS BIGINT) AS lag,
+           round(
+             (axy - (CAST(sx AS DOUBLE) / n) * (bx + cx)
+                  + m * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+             / (sxx - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
+             6) AS acf
+    FROM pr JOIN st ON pr.event_type = st.event_type
+    """,
+)
+def ts12_acf(spark, sf_dir):
+    """Sample autocorrelation of the daily event rate at lags 1–3 per
+    type — the diagnostic that tells a forecaster whether yesterday
+    predicts today (and whether ts3/ts9's smoothers have anything to
+    smooth). Float discipline: EVERY distributed sum is an exact
+    integer accumulator (Σx, Σx², Σx_t·x_{t−k}, pair counts); the mean
+    and the ACF ratio are single scalar expressions evaluated once per
+    (type, lag) row — no distributed double accumulation anywhere (the
+    a21 lesson, institutionalized)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    ser = daily.select(
+        "event_type", "x", F.row_number().over(w).alias("i")
+    )
+    st = ser.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lags = e.sparkSession.createDataFrame([(1,), (2,), (3,)], "k int")
+    a = ser.select("event_type", F.col("x").alias("xa"), F.col("i").alias("ia"))
+    b = ser.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("i").alias("ib"),
+    )
+    pr = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("ib") == F.col("ia") - F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("xa") * F.col("xb")).alias("axy"),
+            F.sum("xa").alias("bx"),
+            F.sum("xb").alias("cx"),
+        )
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    return pr.join(st, "event_type").select(
+        "event_type",
+        F.col("k").cast("long").alias("lag"),
+        F.round(
+            (F.col("axy") - mean * (F.col("bx") + F.col("cx")) + F.col("m") * mean * mean)
+            / (F.col("sxx") - F.col("n") * mean * mean),
+            6,
+        ).alias("acf"),
+    )
