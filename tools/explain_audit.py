@@ -54,6 +54,7 @@ BNL_ALLOWED = {
     "sim10_multiprobe_recall",  # query-batch + 7-bucket probe-set broadcasts
     "dq10_psi_drift",  # 1-row decile-cuts + 1-row totals broadcasts (pk2 pattern)
     "g5_degree_assortativity",  # 1-row median-edge-weight broadcast
+    "ts12_acf",  # 3-row lag-list broadcast against the day series
 }
 
 
