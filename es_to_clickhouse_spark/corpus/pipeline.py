@@ -1001,3 +1001,48 @@ def d17_signal_agreement(spark, sf_dir):
             F.sum("j_ppm").cast("double") / F.count(F.lit(1)) / 10000, 4
         ).alias("avg_jaccard"),
     )
+
+
+# ---------------------------------------------- Netpbm header decode
+
+
+@query(
+    "mm10_ppm_header_decode",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(n_chars % 2048 + 1 AS BIGINT) AS width,
+           CAST((5 * n_chars) % 1536 + 1 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 255 ELSE 65535 END AS BIGINT)
+             AS maxval
+    FROM documents
+    """,
+)
+def mm10_ppm_header_decode(spark, sf_dir):
+    """Netpbm P6 header decode — fifth container format, and the first
+    with an ASCII header (PNG/JPEG big-endian, WAV/GIF/BMP little-
+    endian, PPM plain text): width/height/maxval parsed by an anchored
+    regexp over the byte prefix, magic-gated. Both 8-bit (255) and
+    16-bit (65535) maxvals are constructed so the variable-width
+    integer parse is exercised. Oracle is ground truth from the
+    construction formulas (operators/multimodal.ppm_dims must parse
+    the ASCII it did not build)."""
+    from es_to_clickhouse_spark.operators.multimodal import ppm_dims
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = F.col("n_chars") % 2048 + 1
+    h = (F.col("n_chars") * 5) % 1536 + 1
+    mx = F.when(F.col("doc_id") % 2 == 0, F.lit(255)).otherwise(F.lit(65535))
+    payload = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n"),
+        mx.cast("string"),
+        F.lit("\n"),
+    ).cast("binary")
+    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    pw, ph, pm = ppm_dims(F.col("payload"))
+    return assets.select(
+        "asset_id", pw.alias("width"), ph.alias("height"), pm.alias("maxval")
+    )

@@ -331,3 +331,22 @@ def resize_assets(df: DataFrame, max_side: int = 224) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("asset_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def ppm_dims(payload: Column) -> tuple[Column, Column, Column]:
+    """(width, height, maxval) from a binary-Netpbm (P6) header — the
+    first ASCII-format container in the battery: "P6\\n<w> <h>\\n<max>".
+    Decoded with one anchored regexp per field over the byte prefix
+    (cast to string — Netpbm headers are ASCII by spec), magic-gated on
+    'P6', NULLs otherwise. Regexp stays JVM-side codegen like the
+    binary parsers."""
+    head = F.substring(payload, 1, 32).cast("string")
+    ok = F.substring(payload, 1, 2).cast("string") == "P6"
+    pat = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)"
+    none = F.lit(None).cast("long")
+
+    def grp(i: int) -> Column:
+        g = F.regexp_extract(head, pat, i)
+        return F.when(ok & (g != ""), g.cast("long")).otherwise(none)
+
+    return grp(1), grp(2), grp(3)
