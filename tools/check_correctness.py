@@ -65,7 +65,7 @@ def main() -> int:
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
     qs, oracles = all_queries(), all_oracles()
-    failures, no_oracle = [], []
+    failures, no_oracle, empty_pass = [], [], []
     n_run = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
@@ -104,10 +104,20 @@ def main() -> int:
             failures.append((name, "; ".join(status)))
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
+            if not srows:
+                empty_pass.append(name)
             print(f"PASS {name} ({len(srows)} rows, {time.time() - t0:.1f}s)")
 
     print(f"\n{n_run - len(failures) - len(no_oracle)} pass, "
           f"{len(failures)} fail, {len(no_oracle)} rows-only")
+    if empty_pass:
+        # a pass with ZERO rows is vacuous — both engines agreed on
+        # nothing. Legitimate when the data genuinely lacks the
+        # phenomenon at this SF (j4's orphans, st3's except), but a
+        # query that is empty at EVERY SF exercises nothing (the d6
+        # 0.9-threshold / txt16 sentence-split trap, round 5) — check
+        # the other scale factors before trusting these:
+        print(f"EMPTY-PASS (vacuous at this SF): {sorted(empty_pass)}")
     for name, msg in failures:
         print(f"  FAIL {name}: {msg[:300]}")
     return 1 if failures else 0
