@@ -4,25 +4,99 @@ pipeline can keep one canonical doc per cluster. Spark has no native CC;
 GraphFrames isn't in this environment and would be overkill for the
 dedup-cluster shape (many tiny components).
 
-Implementation: iterative min-label propagation on DataFrames.
-label(n) <- min(label(n), min over neighbors label) until fixpoint.
+Implementation: STAR CONTRACTION — the alternating large-star /
+small-star algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC'14). Each operation rewires edges toward
+the local minimum node id; the fixpoint is a forest of stars, each
+centered at its component's minimum, and the paper proves convergence
+in O(log n) rounds REGARDLESS of graph structure.
+
+Why this beats min-label propagation at scale: propagation joins the
+FULL static edge list against the label frame every round and needs
+O(diameter) rounds (a pathological near-dup chain — common in crawl
+corpora where doc_i ~ doc_{i+1} — means hundreds of rounds at 100 TB
+even with pointer jumping, whose label-of-label join assumes the label
+frame is cheap to self-join). Star contraction instead rewrites the
+edge set itself, so the frame SHRINKS every round (edges collapse into
+stars) and the round count is logarithmic with a proven bound.
 
 Scale design:
-- each round is one shuffle join (edges x labels) + one groupBy min —
-  both map-side combinable; rounds needed = graph diameter, which for
-  near-dup clusters is small (a handful), NOT O(V);
-- the static undirected edge list is cached once; per-round labels are
-  localCheckpoint()ed so the plan doesn't grow with iterations (the
-  classic iterative-algorithm lineage trap);
-- convergence is detected by counting changed labels (an O(V) agg,
-  not a collect); non-convergence within max_iter raises instead of
-  returning silently wrong clusters.
+- each round is two groupBy-min + two (map-side-combinable) joins over
+  the CURRENT — monotonically shrinking — edge set;
+- per-round frames are lazily localCheckpoint()ed so lineage stays flat
+  and rounds between convergence probes schedule no jobs at all;
+- convergence is detected by a distributed symmetric-difference count
+  (an O(E) agg, not a collect); non-convergence within max_iter raises
+  instead of returning silently wrong clusters.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-LARGER neighbors to
+    the minimum of its closed neighborhood. Input/output edges are
+    canonical (lo, hi) with lo < hi; output m <= u < v keeps that
+    invariant for free. Preserves connectivity, never merges components
+    (Kiveris et al. Lemma 1). The output is NOT deduplicated — the
+    small-star groupBy that always follows absorbs duplicates, and the
+    convergence probe uses presence (not count) semantics, so skipping
+    the distinct saves one full shuffle per round."""
+    sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node connects its smaller-or-equal neighbors —
+    and itself — to the minimum among them. On canonical (lo, hi) edges
+    the "smaller neighbors of u" are exactly the lo values grouped by
+    hi = u, so one groupBy-min + one join implements it. Output IS
+    deduplicated (each round's resting state stays a set)."""
+    mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+    neighbors_to_min = (
+        e.join(mins, "hi")
+        .where(F.col("lo") != F.col("m"))
+        .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+    )
+    center_to_min = mins.select(F.col("m").alias("lo"), F.col("hi"))
+    return neighbors_to_min.unionByName(center_to_min).distinct()
+
+
+def _both_phases_unchanged(
+    prev: DataFrame, ls: DataFrame, ss: DataFrame
+) -> bool:
+    """True iff prev == ls AND ls == ss as (lo, hi) edge SETS — both
+    symmetric differences folded into ONE distributed agg job (probe
+    jobs dominate CC wall clock on small graphs). Presence semantics
+    (min/max of the tag, not a sum) so duplicate rows in the
+    non-deduplicated large-star output can't fake a difference."""
+    tagged = (
+        prev.select("lo", "hi", F.lit(1).alias("_c"), F.lit(1).alias("_t"))
+        .unionByName(ls.select("lo", "hi", F.lit(1).alias("_c"), F.lit(-1).alias("_t")))
+        .unionByName(ls.select("lo", "hi", F.lit(2).alias("_c"), F.lit(1).alias("_t")))
+        .unionByName(ss.select("lo", "hi", F.lit(2).alias("_c"), F.lit(-1).alias("_t")))
+    )
+    mismatches = (
+        tagged.groupBy("_c", "lo", "hi")
+        .agg(F.max("_t").alias("_mx"), F.min("_t").alias("_mn"))
+        .where((F.col("_mx") != 1) | (F.col("_mn") != -1))
+        .count()
+    )
+    return mismatches == 0
 
 
 def connected_components(
@@ -32,102 +106,75 @@ def connected_components(
     max_iter: int = 25,
     out_node: str = "node",
     out_label: str = "label",
-    check_every: int = 4,
+    check_every: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node appearing in ``edges`` with the minimum node id of
-    its connected component (undirected). Deterministic, so the result is
-    oracle-checkable against a recursive-CTE transitive closure.
+    its connected component (undirected). Deterministic (min-based), so
+    the result is oracle-checkable against a recursive-CTE transitive
+    closure — and identical to what the previous min-label-propagation
+    implementation returned, by construction (star centers ARE the
+    component minima).
 
-    ``check_every``: convergence is probed every k-th round rather than
-    every round — the changed-label count is a cheap O(V) distributed agg,
-    but each probe is still a driver round-trip plus a full job over the
-    lazy round chain, and the per-round label frames are tiny, so the
-    probe jobs DOMINATE wall clock (measured at sf0.1, d9's graph:
-    check_every 2 -> 2.99 s, 3 -> 2.74 s, 4 -> 2.49 s warm; default 4). Propagation past the fixpoint
-    is a no-op (min-label is idempotent), so probing late never changes
-    the result; the final round always probes so non-convergence within
-    ``max_iter`` still raises instead of returning wrong clusters.
+    One round = large-star then small-star. Convergence is probed every
+    ``check_every`` rounds (each probe is a driver round-trip plus jobs
+    over the lazy round chain, and the per-round edge frames are tiny on
+    dedup graphs, so probe jobs dominate wall clock); running extra
+    rounds past the fixpoint is a no-op, so probing late never changes
+    the result. The probe requires BOTH phases to be identities
+    (prev == large_star(prev) == small_star(large_star(prev))): only a
+    common fixpoint of both operations is guaranteed to be a star
+    forest, and "one composed round returned the same set" alone would
+    not rule out an LS/SS two-cycle. The final round always probes so
+    non-convergence within ``max_iter`` still raises instead of
+    returning wrong clusters.
+
+    ``stats``: optional dict; on return, ``stats["rounds"]`` records how
+    many LS+SS rounds ran (the pathological-chain convergence test pins
+    the O(log n) bound with this).
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
-        F.col("a") != F.col("b")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    und = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    und = und.localCheckpoint(eager=True)  # materialize once; reused every round
-
-    labels = und.select(F.col("a").alias("n")).distinct().withColumn(
-        "lab", F.col("n")
-    )
+    prev = e
     rounds_since_check = 0
     for i in range(max_iter):
-        nbr = und.join(labels, und["b"] == labels["n"]).select(
-            F.col("a").alias("n"), F.col("lab")
-        )
-        m1 = (
-            labels.unionByName(nbr)
-            .groupBy("n")
-            .agg(F.min("lab").alias("lab"))
-        )
-        # POINTER JUMPING (path halving): also adopt the label OF the
-        # label (always defined — labels are node ids and every node is
-        # in the frame). Neighbor-min alone advances a chain one hop per
-        # round, so rounds ~ component diameter (measured: 36 labels
-        # still changing after 8 rounds on near-dup chains at sf0.1);
-        # the shortcut doubles the jump length per round -> O(log d)
-        # rounds. Min-label stays monotone, so the fixpoint — and the
-        # oracle-checked output — is unchanged.
-        m1a = m1.alias("x")
-        short = (
-            m1a.join(m1.alias("y"), F.col("x.lab") == F.col("y.n"))
-            .select(F.col("x.n").alias("n"), F.col("y.lab").alias("lab"))
-        )
-        # second halving per round: labels are tiny relative to edges, so
-        # an extra label-to-label join is nearly free while quartering
-        # the pointer depth — fewer rounds, and each round is a full
-        # scheduling round-trip
-        short = (
-            short.alias("x")
-            .join(m1.alias("y"), F.col("x.lab") == F.col("y.n"))
-            .select(F.col("x.n").alias("n"), F.col("y.lab").alias("lab"))
-        )
-        # LAZY checkpoint: flattens lineage identically, but rounds
-        # between convergence probes schedule NO job at all — the
-        # probe's count() materializes the (check_every)-round chain in
-        # one job (with eager=True every round paid its own scheduling
-        # round-trip, which dominates when the label frame is small).
-        new = (
-            m1.unionByName(short)
-            .groupBy("n")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=False)
-        )
+        ls = _large_star(prev).localCheckpoint(eager=False)
+        ss = _small_star(ls).localCheckpoint(eager=False)
         rounds_since_check += 1
         if rounds_since_check >= check_every or i == max_iter - 1:
-            # Probe against the IMMEDIATELY preceding round's labels
-            # (still bound to `labels` here), never a stale snapshot from
-            # the last probe: min-label propagation is monotone, so "one
-            # round changed nothing" == fixpoint, while comparing to a
-            # k-rounds-old snapshot could spuriously report change (and
-            # raise) when the graph converged during the skipped rounds.
-            changed = (
-                new.alias("x")
-                .join(labels.alias("y"), "n")
-                .where(F.col("x.lab") != F.col("y.lab"))
-                .count()
-            )
-            if changed == 0:
-                return new.select(
-                    F.col("n").alias(out_node), F.col("lab").alias(out_label)
+            if _both_phases_unchanged(prev, ls, ss):
+                if stats is not None:
+                    stats["rounds"] = i + 1
+                # Fixpoint = star forest centered at component minima:
+                # every non-center node appears as hi exactly once with
+                # lo = its center; every center appears as some edge's
+                # lo (components have >= 2 nodes — self-loops were
+                # dropped — so every center keeps >= 1 member edge).
+                # Node population = endpoints of non-self-loop edges,
+                # the same contract as the min-label-propagation
+                # implementation this replaced.
+                return ss.select(
+                    F.col("hi").alias(out_node), F.col("lo").alias(out_label)
+                ).unionByName(
+                    ss.select(
+                        F.col("lo").alias(out_node),
+                        F.col("lo").alias(out_label),
+                    ).distinct()
                 )
             rounds_since_check = 0
-        labels = new
+        prev = ss
     raise RuntimeError(
         f"connected_components did not CONFIRM convergence in {max_iter} "
-        "rounds: propagation needs up to diameter rounds plus one extra "
+        "rounds: star contraction needs O(log n) rounds plus one extra "
         "no-change probe round to prove the fixpoint, so max_iter must "
-        "exceed the worst-case component diameter by at least one (plus "
-        "check_interval slack when probes are sparse)"
+        "exceed ~log2(max component size) by the probe-cadence slack"
     )
 
 
