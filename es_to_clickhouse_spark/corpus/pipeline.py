@@ -1046,3 +1046,87 @@ def mm10_ppm_header_decode(spark, sf_dir):
     return assets.select(
         "asset_id", pw.alias("width"), ph.alias("height"), pm.alias("maxval")
     )
+
+
+# ------------------------------------------ Netpbm P6 raster decode
+
+
+@query(
+    "mm11_ppm_pixel_stats",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST(doc_id % 6 + 2 AS BIGINT) AS width,
+             CAST((doc_id * 3) % 5 + 2 AS BIGINT) AS height,
+             (doc_id * 31) % 256 AS seed
+      FROM documents
+    ), ex AS (
+      SELECT asset_id, width, height, seed,
+             unnest(range(0, 3 * width * height)) AS j
+      FROM base
+    ), px AS (
+      SELECT asset_id, width, height,
+             CAST(j % 3 AS BIGINT) AS ch,
+             CAST((seed + 7 * j) % 256 AS BIGINT) AS v
+      FROM ex
+    )
+    SELECT asset_id, width, height,
+           min(CASE WHEN ch = 0 THEN v END) AS min_r,
+           max(CASE WHEN ch = 0 THEN v END) AS max_r,
+           CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_r,
+           round(sum(CASE WHEN ch = 0 THEN v END) / (width * height), 4)
+             AS mean_r,
+           min(CASE WHEN ch = 1 THEN v END) AS min_g,
+           max(CASE WHEN ch = 1 THEN v END) AS max_g,
+           CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+           round(sum(CASE WHEN ch = 1 THEN v END) / (width * height), 4)
+             AS mean_g,
+           min(CASE WHEN ch = 2 THEN v END) AS min_b,
+           max(CASE WHEN ch = 2 THEN v END) AS max_b,
+           CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_b,
+           round(sum(CASE WHEN ch = 2 THEN v END) / (width * height), 4)
+             AS mean_b
+    FROM px
+    GROUP BY asset_id, width, height
+    """,
+)
+def mm11_ppm_pixel_stats(spark, sf_dir):
+    """Netpbm P6 RASTER decode — the first multimodal query that decodes
+    pixel DATA, not just a header: per-image min/max/sum/mean for each
+    RGB channel, via operators/multimodal.ppm_pixel_stats (a single
+    JVM-side F.aggregate fold per image, no codec libs, no Python).
+
+    Fixtures are real P6 files built byte-by-byte in Spark (ASCII
+    header + unhex'd raster, pixel byte j = (31*doc_id + 7*j) % 256);
+    the decoder must re-derive the raster offset by parsing the header
+    it did not build. Oracle is ground truth from the construction
+    formulas over a DuckDB lateral range — so a decoder bug (wrong
+    offset, channel swap, off-by-one in the fold bounds) cannot cancel
+    out. Scale shape: one bounded per-row fold, rows never expanded —
+    a metadata/stats pass over billions of thumbnails."""
+    from es_to_clickhouse_spark.operators.multimodal import ppm_pixel_stats
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 6 + 2).cast("long")
+    h = ((F.col("doc_id") * 3) % 5 + 2).cast("long")
+    seed = (F.col("doc_id") * 31) % 256
+    nbytes = (3 * w * h).cast("int")
+
+    def px_byte(j):
+        return F.lpad(F.hex((seed + 7 * j) % 256), 2, "0")
+
+    raster_hex = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), nbytes - 1), px_byte)
+    )
+    header = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    payload = F.concat(header.cast("binary"), F.unhex(raster_hex))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return ppm_pixel_stats(assets)

@@ -333,20 +333,141 @@ def resize_assets(df: DataFrame, max_side: int = 224) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
 
 
+#: Full P6 header shape: magic, three whitespace-separated integers,
+#: then exactly ONE whitespace byte before the raster (Netpbm spec).
+#: The trailing \s is load-bearing twice over: it rejects a number
+#: truncated by the prefix cut (a cut-off digit group must NOT parse as
+#: a smaller value — fail closed to NULL), and group 0's length IS the
+#: raster's byte offset for the pixel decoder.
+_PPM_HEADER_PAT = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s"
+
+#: Prefix bytes inspected for the header. 64 covers any realistic P6
+#: header (max "P6\n<5 digits> <5 digits>\n65535\n" = 21 bytes) with
+#: headroom for spec-legal extra whitespace; headers longer than this
+#: (e.g. with '#' comment lines, which this parser does not handle)
+#: fail the anchored match and yield NULL rather than a wrong value.
+_PPM_PREFIX_BYTES = 64
+
+
 def ppm_dims(payload: Column) -> tuple[Column, Column, Column]:
     """(width, height, maxval) from a binary-Netpbm (P6) header — the
     first ASCII-format container in the battery: "P6\\n<w> <h>\\n<max>".
     Decoded with one anchored regexp per field over the byte prefix
     (cast to string — Netpbm headers are ASCII by spec), magic-gated on
-    'P6', NULLs otherwise. Regexp stays JVM-side codegen like the
-    binary parsers."""
-    head = F.substring(payload, 1, 32).cast("string")
+    'P6', NULLs otherwise — including a number group cut off by the
+    prefix window, which the pattern's trailing whitespace requirement
+    rejects instead of silently truncating. Regexp stays JVM-side
+    codegen like the binary parsers."""
+    head = F.substring(payload, 1, _PPM_PREFIX_BYTES).cast("string")
     ok = F.substring(payload, 1, 2).cast("string") == "P6"
-    pat = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)"
     none = F.lit(None).cast("long")
 
     def grp(i: int) -> Column:
-        g = F.regexp_extract(head, pat, i)
+        g = F.regexp_extract(head, _PPM_HEADER_PAT, i)
         return F.when(ok & (g != ""), g.cast("long")).otherwise(none)
 
     return grp(1), grp(2), grp(3)
+
+
+def ppm_pixel_stats(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_pixels: int = 4096,
+) -> DataFrame:
+    """REAL pixel decode of 8-bit binary-Netpbm (P6) images — per-image
+    sum / min / max / mean for each RGB channel, entirely JVM-side (one
+    ``F.aggregate`` fold per image; zero Python, zero codec libs) — the
+    first multimodal op in the battery that decodes a raster payload,
+    not just its header (cf. the honest-fake decode_image above).
+
+    Wire format (Netpbm spec, public): ASCII header "P6 <w> <h> <max>"
+    terminated by one whitespace byte, then w*h pixels of 3 samples
+    each (1 byte per sample when max < 256). The raster offset is the
+    length of the header regexp match — ASCII header, so chars == bytes.
+
+    Fails closed (all-NULL stats) on: non-P6 magic, malformed/oversized
+    header, 2-byte samples (maxval > 255 — unhandled, like jpeg_sof0's
+    progressive refusal), a raster shorter than 3*w*h bytes, or more
+    than ``max_pixels`` pixels (bounds the per-row fold the same way
+    jpeg_sof0_dims bounds its segment walk; raise it for bigger
+    thumbnails — the fold is O(pixels), the right envelope for a
+    stats pass over billions of SMALL images; full-size rasters belong
+    in mapInPandas + a codec, not a Column fold).
+
+    Plan shape: stage 1 projects the hex'd raster + dims ONCE and lazily
+    checkpoints — an F.aggregate lambda re-evaluates every captured
+    expression per element, so without the cut the header regexp would
+    run per PIXEL (the HOF-projection-fusion trap from the repo's verify
+    notes); stage 2 folds a 9-field struct accumulator in one pass
+    (never N parallel folds over the same array — interpreted folds
+    don't CSE)."""
+    p = F.col(payload_col)
+    w, h, mx = ppm_dims(p)
+    hdr = F.regexp_extract(
+        F.substring(p, 1, _PPM_PREFIX_BYTES).cast("string"),
+        _PPM_HEADER_PAT,
+        0,
+    )
+    npix = (w * h).cast("long")
+    ok = (
+        (F.length(hdr) > 0)
+        & (mx == 255)
+        & (npix > 0)
+        & (npix <= max_pixels)
+        & (F.length(p) >= F.length(hdr) + 3 * npix)
+    )
+    staged = df.select(
+        F.col(id_col),
+        w.alias("width"),
+        h.alias("height"),
+        npix.alias("_npix"),
+        ok.alias("_ok"),
+        # hex of exactly the raster: 6 hex chars per pixel, offset math
+        # done once here instead of per fold element
+        F.when(
+            ok, F.hex(F.substr(p, F.length(hdr) + 1, (3 * npix).cast("int")))
+        ).alias("_hx"),
+    ).localCheckpoint(eager=False)
+
+    def _sample(i: Column, c: int) -> Column:
+        # pixel i, channel c -> 2 hex chars at 1-based 6*i + 2*c + 1
+        return F.conv(
+            F.substr(F.col("_hx"), i * 6 + 2 * c + 1, F.lit(2)), 16, 10
+        ).cast("long")
+
+    names = [f"{agg}_{ch}" for ch in "rgb" for agg in ("sum", "min", "max")]
+    zero = F.struct(
+        *[
+            F.lit(0 if n.startswith("sum") else (256 if n.startswith("min") else -1))
+            .cast("long")
+            .alias(n)
+            for n in names
+        ]
+    )
+
+    def _step(acc: Column, i: Column) -> Column:
+        fields = []
+        for ci, ch in enumerate("rgb"):
+            v = _sample(i, ci)
+            fields.append((acc[f"sum_{ch}"] + v).alias(f"sum_{ch}"))
+            fields.append(F.least(acc[f"min_{ch}"], v).alias(f"min_{ch}"))
+            fields.append(F.greatest(acc[f"max_{ch}"], v).alias(f"max_{ch}"))
+        return F.struct(*fields)
+
+    st = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), F.col("_npix") - 1), zero, _step
+    )
+    none = F.lit(None).cast("long")
+    out_cols = [F.col(id_col), F.col("width"), F.col("height")]
+    stc = F.when(F.col("_ok"), st)
+    for ch in "rgb":
+        out_cols += [
+            F.coalesce(stc[f"min_{ch}"], none).alias(f"min_{ch}"),
+            F.coalesce(stc[f"max_{ch}"], none).alias(f"max_{ch}"),
+            F.coalesce(stc[f"sum_{ch}"], none).alias(f"sum_{ch}"),
+            # mean: ONE float op per output row over exact integer
+            # sums (repo float discipline)
+            F.round(stc[f"sum_{ch}"] / F.col("_npix"), 4).alias(f"mean_{ch}"),
+        ]
+    return staged.select(*out_cols)

@@ -541,3 +541,61 @@ def test_embedding_neardup_cosines_match_duckdb_unthresholded(spark):
     duck_rows = sorted((int(a), int(b), float(c)) for a, b, c in exp)
     assert len(spark_rows) > 100  # the comparison actually exercises pairs
     assert spark_rows == duck_rows
+
+
+def test_ppm_pixel_stats_decodes_real_raster_and_fails_closed(spark):
+    """ppm_pixel_stats inverts real P6 bytes built in Python (header the
+    operator did not build + raw raster), and NULLs every stat on the
+    unhandled/malformed shapes instead of decoding garbage: 16-bit
+    samples, truncated raster, '#' comment headers, oversized images."""
+
+    def p6(w, h, px, maxval=255):
+        return (f"P6\n{w} {h}\n{maxval}\n").encode() + bytes(px)
+
+    # 2x2 image: R channel {10,13,16,19}, G {11,14,17,20}, B {12,15,18,21}
+    good = p6(2, 2, range(10, 22))
+    rows = [
+        (1, good),
+        (2, p6(2, 2, range(24), maxval=65535)),  # 16-bit: unhandled
+        (3, p6(2, 2, range(6))),  # raster shorter than 3*w*h
+        (4, b"P6\n# thumb\n2 2\n255\n" + bytes(range(12))),  # comment hdr
+        (5, p6(100, 100, [])),  # > max_pixels (and truncated)
+        (6, b"\x89PNGnot-a-ppm"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r
+        for r in multimodal.ppm_pixel_stats(df, max_pixels=64).collect()
+    }
+    g = got[1]
+    assert (g.width, g.height) == (2, 2)
+    assert (g.min_r, g.max_r, g.sum_r, g.mean_r) == (10, 19, 58, 14.5)
+    assert (g.min_g, g.max_g, g.sum_g, g.mean_g) == (11, 20, 62, 15.5)
+    assert (g.min_b, g.max_b, g.sum_b, g.mean_b) == (12, 21, 66, 16.5)
+    for aid in (2, 3, 4, 5, 6):
+        r = got[aid]
+        assert all(
+            getattr(r, f"{agg}_{ch}") is None
+            for ch in "rgb"
+            for agg in ("min", "max", "sum", "mean")
+        ), aid
+
+
+def test_ppm_dims_rejects_prefix_truncated_numbers(spark):
+    """A header whose third number is cut off by the prefix window must
+    parse to NULL, not to the truncated value (ADVICE r5): the pattern's
+    trailing-whitespace anchor rejects a digit group with no terminator."""
+    long_hdr = b"P6\n" + b" " * 55 + b"2 2\n255\n"  # '255' ends past byte 64
+    df = spark.createDataFrame(
+        [(1, long_hdr), (2, b"P6\n2 2\n255\n" + bytes(12))],
+        "asset_id long, payload binary",
+    )
+    w, h, mx = multimodal.ppm_dims(F.col("payload"))
+    got = {
+        r.asset_id: (r.w, r.h, r.mx)
+        for r in df.select(
+            "asset_id", w.alias("w"), h.alias("h"), mx.alias("mx")
+        ).collect()
+    }
+    assert got[2] == (2, 2, 255)
+    assert got[1] == (None, None, None) or got[1][2] is None
