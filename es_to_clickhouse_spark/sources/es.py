@@ -178,6 +178,64 @@ class ScrollSession:
             transcript.append(self.cleanup_request(scroll_id))
         return rows, transcript
 
+    def _send(self, request: dict) -> dict:
+        """Issue one protocol request dict (the exact shape the pure
+        builders above produce) over a REAL socket with stdlib urllib —
+        JSON body, query params, method override for DELETE — and parse
+        the JSON response. No third-party HTTP client: the sandbox has
+        no package egress, and the reference's requests.post/delete
+        calls (es/es_to_bytehouse.py:589,600,658) map 1:1."""
+        import urllib.parse
+        import urllib.request
+
+        url = request["url"]
+        if request.get("params"):
+            url += "?" + urllib.parse.urlencode(request["params"])
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(request["body"]).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method=request["method"],
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def drain_http(
+        self,
+        index: str,
+        query: dict | None = None,
+        store_source: bool = False,
+        max_pages: int = 10_000,
+    ) -> list[dict]:
+        """The LIVE counterpart of :meth:`drain`: the same protocol fold,
+        but each request actually goes over the wire (loopback
+        ``http.server`` in tests; a real ES otherwise). Failure contract
+        matches drain: a page error keeps the partial rows, and the
+        scroll context is DELETEd whenever an id exists — failure or not
+        (finally semantics; the reference leaks the context on error,
+        a deliberate divergence documented on the class). ``max_pages``
+        bounds a server that never returns an empty page."""
+        rows: list[dict] = []
+        scroll_id: str | None = None
+        try:
+            page = self._send(self.initial_request(index, query))
+            for _ in range(max_pages):
+                scroll_id = page.get("_scroll_id", scroll_id)
+                hits = page.get("hits", {}).get("hits", [])
+                if not hits:
+                    break
+                rows.extend(scroll_docs(page, store_source=store_source))
+                page = self._send(self.page_request(scroll_id))
+        except OSError:
+            pass  # partial progress kept; cleanup still runs below
+        finally:
+            if scroll_id:
+                try:
+                    self._send(self.cleanup_request(scroll_id))
+                except OSError:
+                    pass  # cleanup is best-effort, like the reference
+        return rows
+
 
 def range_query(
     time_field: str,

@@ -20,6 +20,7 @@ from es_to_clickhouse_spark.sources.es import (
     mapping_properties,
     mapping_to_spark_fields,
     range_query,
+    ScrollSession,
     scroll_docs,
 )
 from es_to_clickhouse_spark.sources.jdbc import JdbcSource
@@ -398,3 +399,141 @@ def test_mongo_keyset_session_store_source_json():
     )
     assert json.loads(rows[0]["_source"]) == {"_id": "a", "k": 5}
     assert rows[0]["k"] == 5
+
+
+# ------------------------------------------- loopback-socket scroll
+
+
+class _ScrollHandler:
+    """Minimal scripted ES-scroll server for http.server: serves the
+    init page then scripted scroll pages, records every request
+    (method, path, query string, parsed body), and can inject an HTTP
+    500 mid-scroll to exercise the failure-resume contract."""
+
+    @staticmethod
+    def make(pages, log):
+        import urllib.parse
+        from http.server import BaseHTTPRequestHandler
+
+        state = {"i": 0}
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence stderr spam
+                pass
+
+            def _record(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n)) if n else None
+                parsed = urllib.parse.urlsplit(self.path)
+                log.append(
+                    {
+                        "method": self.command,
+                        "path": parsed.path,
+                        "params": dict(
+                            urllib.parse.parse_qsl(parsed.query)
+                        ),
+                        "body": body,
+                    }
+                )
+                return body
+
+            def _reply(self, obj, code=200):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):
+                self._record()
+                page = pages[state["i"]]
+                state["i"] += 1
+                if page == "fail":
+                    self._reply({"error": "scroll ctx gone"}, code=500)
+                else:
+                    self._reply(page)
+
+            def do_DELETE(self):
+                self._record()
+                self._reply({"succeeded": True})
+
+        return Handler
+
+
+def _serve_scroll(pages):
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    log: list[dict] = []
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _ScrollHandler.make(pages, log)
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    return srv, log, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_scroll_http_loopback_full_session():
+    """The scroll fold over a REAL socket (http.server on 127.0.0.1):
+    HTTP framing, pagination with a rotated scroll id, the empty page
+    that ends the loop, and the final DELETE cleanup — the protocol
+    goldens above, now exercised through urllib instead of a replay."""
+    pages = [
+        _page("sid-1", ["a", "b"]),
+        _page("sid-2", ["c"]),  # rotated id
+        _page("sid-2", []),  # end of scroll
+    ]
+    srv, log, host = _serve_scroll(pages)
+    try:
+        rows = ScrollSession(host=host, size=2, timeout="5m").drain_http(
+            "idx-a"
+        )
+    finally:
+        srv.shutdown()
+    assert [r["_id"] for r in rows] == ["a", "b", "c"]
+    assert [(r["method"], r["path"]) for r in log] == [
+        ("POST", "/idx-a/_search"),
+        ("POST", "/_search/scroll"),
+        ("POST", "/_search/scroll"),
+        ("DELETE", "/_search/scroll"),
+    ]
+    assert log[0]["params"] == {"scroll": "5m"}
+    assert log[0]["body"] == {"size": 2, "query": {"match_all": {}}}
+    assert log[1]["body"] == {"scroll": "5m", "scroll_id": "sid-1"}
+    assert log[2]["body"] == {"scroll": "5m", "scroll_id": "sid-2"}
+    # cleanup DELETEs the LAST id the server returned
+    assert log[3]["body"] == {"scroll_id": "sid-2"}
+
+
+def test_scroll_http_loopback_failure_keeps_partial_and_cleans_up():
+    """HTTP 500 on the second page fetch: the rows already drained are
+    kept (at-least-once partial progress) and the scroll context is
+    still DELETEd — over a real socket, not a simulated exception."""
+    pages = [_page("sid-1", ["a", "b"]), "fail"]
+    srv, log, host = _serve_scroll(pages)
+    try:
+        rows = ScrollSession(host=host, size=2).drain_http("idx-a")
+    finally:
+        srv.shutdown()
+    assert [r["_id"] for r in rows] == ["a", "b"]
+    assert [(r["method"], r["path"]) for r in log] == [
+        ("POST", "/idx-a/_search"),
+        ("POST", "/_search/scroll"),
+        ("DELETE", "/_search/scroll"),
+    ]
+    assert log[-1]["body"] == {"scroll_id": "sid-1"}
+
+
+def test_scroll_http_loopback_empty_index_no_cleanup():
+    """Zero hits and no _scroll_id on the first response: no pagination,
+    and no DELETE (no context was ever opened)."""
+    srv, log, host = _serve_scroll([{"hits": {"hits": []}}])
+    try:
+        rows = ScrollSession(host=host).drain_http("idx-empty")
+    finally:
+        srv.shutdown()
+    assert rows == []
+    assert [(r["method"], r["path"]) for r in log] == [
+        ("POST", "/idx-empty/_search")
+    ]
