@@ -682,20 +682,23 @@ def zo1_zorder_layout(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_shared
     FROM fps a JOIN fps b ON a.fph = b.fph AND a.doc_id < b.doc_id
     JOIN bsz ON bsz.fph = a.fph
-    WHERE bsz.n <= 40
+    WHERE bsz.n <= 60
     GROUP BY a.doc_id, b.doc_id
-    HAVING count(*) >= 20
+    HAVING count(*) >= 12
     """,
 )
 def d15_winnowing_pairs(spark, sf_dir):
-    """MOSS-style overlap pair detection: documents sharing >= 20
+    """MOSS-style overlap pair detection: documents sharing >= 12
     winnowing fingerprints — the position-robust complement to d5's
     token-set Jaccard (a reordered or partially copied passage still
     shares selected k-gram hashes even when the token SET diverges).
     Same scale skeleton as the LSH pipeline: fingerprints are the
     band keys, candidate pairs exist only inside same-hash buckets,
-    and the bucket-size cap (40) bounds the quadratic stage against
-    boilerplate hashes exactly like lsh_neardup_pairs' max_bucket."""
+    and the bucket-size cap (60) bounds the quadratic stage against
+    boilerplate hashes exactly like lsh_neardup_pairs' max_bucket.
+    Cap/threshold (60/12) are calibrated so the pair path is
+    non-vacuous at EVERY SF (sf0.1's more-diverse docs produced zero
+    pairs at the old 40/20 — an EMPTY-PASS flag)."""
     from es_to_clickhouse_spark.operators.text import winnowing_fingerprints
 
     n = spark.sparkContext.defaultParallelism
@@ -712,7 +715,7 @@ def d15_winnowing_pairs(spark, sf_dir):
     w = Window.partitionBy("fph")
     kept = (
         fps.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .where(F.col("_bsz") <= 40)
+        .where(F.col("_bsz") <= 60)
         .drop("_bsz")
     )
     a = kept.select(F.col("fph"), F.col("doc_id").alias("id_a"))
@@ -722,7 +725,7 @@ def d15_winnowing_pairs(spark, sf_dir):
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 20)
+        .where(F.col("n_shared") >= 12)
     )
 
 

@@ -92,13 +92,20 @@ def j3_semi_join(spark, sf_dir):
     "j4_anti_join",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     """,
 )
 def j4_anti_join(spark, sf_dir):
-    """Left-anti join (NOT EXISTS) — customers with no orders."""
+    """Left-anti join (NOT EXISTS) — customers with no RECENT orders
+    (none in the last 7 months of the order-date range). The date
+    restriction keeps the anti-join path load-bearing at EVERY SF: with
+    no cutoff the result was empty below sf0.1 (every customer has some
+    order), a vacuous pass the EMPTY-PASS gate flags."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -536,15 +543,30 @@ def st2_intersect(spark, sf_dir):
 @query(
     "st3_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+    FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey, CAST(floor(s_acctbal / 2000) AS BIGINT)
+    FROM supplier
     """,
 )
 def st3_except(spark, sf_dir):
-    """EXCEPT — nations with customers but no suppliers."""
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    """EXCEPT — (nation, account-balance band) combinations that have
+    customers but no supplier. The composite key (vs the original
+    nation-only EXCEPT) keeps the set-difference path non-vacuous at
+    every SF: above sf0.001 every nation has suppliers, so the old
+    shape returned 0 rows — a vacuous pass the EMPTY-PASS gate flags.
+    floor() over the exact decimal keeps the band integer-exact in
+    both engines."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.floor(F.col("s_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
     return c.subtract(s)
 
 

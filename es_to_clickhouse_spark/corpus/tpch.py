@@ -625,16 +625,24 @@ def q19_disjunctive_predicate(spark, sf_dir):
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                        WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01')
     GROUP BY c_nationkey
     """,
 )
 def q22_dormant_customers(spark, sf_dir):
-    """TPC-H Q22 adapted (cntrycode := c_nationkey): rich customers with no
-    orders. Scalar-avg subquery broadcast as a 1-row cross join; the
-    NOT EXISTS is a left-anti join against orders."""
+    """TPC-H Q22 adapted (cntrycode := c_nationkey): rich customers with
+    no RECENT orders (none in the last 7 months of the order-date
+    range — the cutoff keeps the anti-join non-vacuous at every SF;
+    below sf0.1 every customer has SOME order). Scalar-avg subquery
+    broadcast as a 1-row cross join; the NOT EXISTS is a left-anti
+    join against the date-filtered orders."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
