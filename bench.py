@@ -107,6 +107,41 @@ HEAVY_WARM_PASSES = 3
 REGRESSION_FACTOR = 1.5
 
 
+def _timing_maps(rec: dict) -> list[dict]:
+    """Extract every {query: seconds} timing map from one BENCH_r*.json
+    record, whatever its shape:
+
+    - a direct run of this script: flat {"queries": ..., "heavy_queries": ...}
+    - the driver's wrapper with "parsed" set: same maps under rec["parsed"]
+    - the driver's wrapper with "parsed": null and only a TRUNCATED
+      stdout "tail" string (rounds 4-5 were recorded this way — the
+      JSON line's head is cut off, so json.loads can't parse it, but
+      the per-key maps are flat {name: number} objects that a regex
+      recovers intact). Silently dropping these erased the heavy-set
+      baseline, which is exactly what the regression gate exists to
+      prevent — hence the salvage path + its unit test
+      (tests/test_properties.py::test_bench_prior_parser_*).
+    """
+    import re
+
+    flat = rec.get("parsed") or rec
+    maps = []
+    for key in ("queries", "heavy_queries"):
+        m = flat.get(key)
+        if isinstance(m, dict) and m:
+            maps.append(m)
+    if not maps and isinstance(rec.get("tail"), str):
+        for key in ("queries", "heavy_queries"):
+            # flat map of "name": number — no nested braces by construction
+            hit = re.search(r'"%s":\s*(\{[^{}]*\})' % key, rec["tail"])
+            if hit:
+                try:
+                    maps.append(json.loads(hit.group(1)))
+                except ValueError:
+                    pass
+    return maps
+
+
 def best_prior_per_query(here: str) -> dict[str, float]:
     """Per-query best (lowest) recorded timing across all prior rounds'
     BENCH_r*.json — the baseline a median must not exceed by >1.5x."""
@@ -117,11 +152,8 @@ def best_prior_per_query(here: str) -> dict[str, float]:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        # the driver wraps bench stdout under "parsed"; a direct run of
-        # this script emits the flat shape
-        flat = rec.get("parsed") or rec
-        for key in ("queries", "heavy_queries"):
-            for name, sec in (flat.get(key) or {}).items():
+        for timing_map in _timing_maps(rec):
+            for name, sec in timing_map.items():
                 if isinstance(sec, (int, float)) and sec > 0:
                     best[name] = min(best.get(name, float("inf")), float(sec))
     return best

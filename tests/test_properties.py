@@ -298,3 +298,61 @@ def test_window_funnel_matches_bruteforce(spark, evs):
                 if seq[k][3] == "c" and seq[k][1] - seq[i][1] <= W:
                     best = max(best, 3)
     assert got == best
+
+
+# -------------------------------------------- bench regression basis
+
+
+def test_bench_prior_parser_recovers_truncated_tail():
+    """The driver sometimes records a round's bench as {"parsed": null,
+    "tail": "<truncated stdout>"} (rounds 4-5 were). The baseline parser
+    must salvage the flat timing maps from the tail text — silently
+    dropping them erases the heavy-set regression baseline."""
+    import bench
+
+    rec = {
+        "parsed": None,
+        "tail": 'ume": 0.03}, "queries": {"a": 1.5, "b": 0.25}, '
+        '"heavy_queries": {"c": 2.75}, "sf": 0.1}\n',
+    }
+    maps = bench._timing_maps(rec)
+    assert {"a": 1.5, "b": 0.25} in maps
+    assert {"c": 2.75} in maps
+    # flat + parsed shapes still work
+    assert bench._timing_maps({"queries": {"x": 1.0}}) == [{"x": 1.0}]
+    assert bench._timing_maps({"parsed": {"heavy_queries": {"y": 2.0}}}) == [
+        {"y": 2.0}
+    ]
+
+
+def test_bench_prior_baseline_covers_heavy_set():
+    """Every HEAVY query must have a non-empty comparison basis from the
+    committed BENCH_r*.json records (r5 was the first heavy recording;
+    it lives only in a truncated tail) — otherwise the regression gate
+    for the real cost centers is vacuous."""
+    import os
+
+    import bench
+
+    prior = bench.best_prior_per_query(
+        os.path.dirname(os.path.abspath(bench.__file__))
+    )
+    missing = [q for q in bench.HEAVY if q not in prior]
+    assert not missing, f"heavy queries with no regression baseline: {missing}"
+    assert all(v > 0 for v in prior.values())
+
+
+def test_doc_counts_match_corpus():
+    """README and COVERAGE.md quote the corpus size; generate the number
+    from len(all_queries()) so the docs can't rot again (VERDICT r5 #7:
+    README said 201 and COVERAGE 198 while the corpus was 248)."""
+    import re
+
+    from es_to_clickhouse_spark.corpus import all_queries
+
+    n = len(all_queries())
+    readme = open("/root/repo/README.md").read()
+    assert f"{n} oracle-checked queries" in readme
+    assert f"**{n} pass, 0 fail, 0 rows-only**" in readme
+    coverage = open("/root/repo/COVERAGE.md").read()
+    assert re.search(rf"— {n} queries,", coverage)
