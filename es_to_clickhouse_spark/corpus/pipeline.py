@@ -28,7 +28,7 @@ from es_to_clickhouse_spark.functions import epoch_micros
     WITH g AS (
       SELECT doc_id, pos,
              md5(substring(text, pos, 5))
-               || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS packed
+               || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS packed
       FROM (SELECT doc_id, text,
                    unnest(generate_series(1, length(text) - 4)) AS pos
             FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 8)
@@ -52,7 +52,7 @@ def txt17_winnowing(spark, sf_dir):
     the position-robust complement to MinHash (d3), which is order-blind.
 
     The rightmost-min tie-break is encoded ENGINE-PORTABLY by packing
-    (hash, 999999-pos) into one sortable string, so a plain window min
+    (hash, 10^12-pos) into one sortable string, so a plain window min
     picks (smallest hash, largest position) in both engines — no
     argmin/struct-ordering semantics needed. Per-row explode fan-out is
     bounded by doc length; everything else is one partition-local window
@@ -663,7 +663,7 @@ def zo1_zorder_layout(spark, sf_dir):
     WITH g AS (
       SELECT doc_id, pos,
              md5(substring(text, pos, 5))
-               || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS packed
+               || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS packed
       FROM (SELECT doc_id, text,
                    unnest(generate_series(1, length(text) - 4)) AS pos
             FROM documents WHERE doc_id % 4 = 0 AND length(text) >= 8)
@@ -888,7 +888,7 @@ def d16_dup_span_fraction(spark, sf_dir):
     ), g AS (
       SELECT doc_id, pos,
              md5(substring(text, pos, 5))
-               || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS packed
+               || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS packed
       FROM (SELECT doc_id, text,
                    unnest(generate_series(1, length(text) - 4)) AS pos
             FROM d WHERE length(text) >= 8)

@@ -121,8 +121,19 @@ def scale_to_bits(col: Column, vmin: Column, vmax: Column, bits: int = 8) -> Col
     engine reproduces the same bucket — rank scaling would be
     skew-robust but needs a quantile pass; min/max is the oracle-exact
     baseline and the operator takes the bounds as columns so a caller
-    can broadcast approx-quantile cuts instead."""
+    can broadcast approx-quantile cuts instead.
+
+    Spark's ``/`` on longs is DOUBLE division, so once the numerator
+    exceeds 2^53 (epoch-micros spans over ~1 year already do at
+    bits=8) floor(double) can be off by one vs true integer division
+    (ADVICE r5). The double quotient is still within ±1 of the truth,
+    so one exact long-math correction step restores floor-div exactly
+    — no doc'd precondition, no engine-specific ``div`` operator."""
     span = vmax.cast("long") - vmin.cast("long") + 1
-    return F.floor(
-        ((col.cast("long") - vmin.cast("long")) * F.lit(2**bits).cast("long")) / span
-    ).cast("long")
+    num = (col.cast("long") - vmin.cast("long")) * F.lit(2**bits).cast("long")
+    q0 = F.floor(num / span).cast("long")
+    return (
+        F.when((q0 + 1) * span <= num, q0 + 1)
+        .when(q0 * span > num, q0 - 1)
+        .otherwise(q0)
+    )

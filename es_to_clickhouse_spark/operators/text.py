@@ -151,9 +151,15 @@ def winnowing_fingerprints(
 
     Returns one row per WINDOW: (id_col, pos, fp) where ``pos`` is the
     window-end gram position (1-based, pos >= w) and ``fp`` is the
-    selected fingerprint PACKED as md5hex || zero-padded(999999 - gram
+    selected fingerprint PACKED as md5hex || zero-padded(10^12 - gram
     position): string order on the packed value == (hash asc, position
-    desc), so a plain window min implements the rightmost-min tie-break
+    desc), so a plain window min implements the rightmost-min tie-break.
+    The 10^12 bias keeps the packed suffix non-negative (and the
+    ordering intact) for any realistic document — the old 999999 bias
+    went NEGATIVE past 1M chars and lpad truncated the '-' string,
+    silently corrupting the tie-break (ADVICE r5). Precondition: doc
+    length < 10^12 chars (a terabyte-scale single document) — far
+    beyond anything a row-sized text column can hold
     portably (no struct-ordering semantics; DuckDB replays it with the
     same concat). Distinct fp values per doc are the document's
     fingerprint set; equal fp across docs == same gram hash (position
@@ -174,7 +180,9 @@ def winnowing_fingerprints(
     )
     packed = F.concat(
         F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))),
-        F.lpad((F.lit(999999) - F.col("pos")).cast("string"), 6, "0"),
+        F.lpad(
+            (F.lit(1_000_000_000_000) - F.col("pos")).cast("string"), 13, "0"
+        ),
     )
     win = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)

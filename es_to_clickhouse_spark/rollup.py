@@ -215,12 +215,16 @@ def batch_partials(
         F.max(value_col).alias("v_max"),
     ]
     if arg_col is not None:
+        # the value stays in its NATIVE orderable type: struct max only
+        # needs an ordering, and a double cast would collapse distinct
+        # bigint/decimal values past 2^53, picking a wrong argmax and
+        # losing v_amax_val precision (ADVICE r5)
         aggs.append(
             F.max(
                 F.when(
                     F.col(value_col).isNotNull(),
                     F.struct(
-                        F.col(value_col).cast("double").alias("v"),
+                        F.col(value_col).alias("v"),
                         F.col(arg_col).cast("string").alias("a"),
                     ),
                 )

@@ -305,6 +305,31 @@ class TestZorder:
         assert vals == sorted(vals)
         assert all(0 <= v <= 255 for v in vals)
 
+    def test_scale_to_bits_exact_past_double_precision(self, spark):
+        """(v - min) * 2^bits beyond 2^53 (epoch-micros spans over ~1
+        year at bits=8): floor(double) can be off by one vs true integer
+        division; the correction step must restore exact floor-div
+        (ADVICE r5). Checked against Python's exact big-int // ."""
+        from es_to_clickhouse_spark.operators.partitioning import scale_to_bits
+        lo, hi = 0, 3 * 10**13  # ~1 year of micros -> num up to 7.7e15 > 2^53
+        span = hi - lo + 1
+        # probe values straddling bucket boundaries where the double
+        # quotient is most likely to land on the wrong side
+        probes = []
+        for b in (1, 127, 128, 200, 255):
+            edge = b * span // 256
+            probes += [edge - 1, edge, edge + 1]
+        probes = [min(max(v, lo), hi) for v in probes]
+        df = spark.createDataFrame([(v,) for v in probes], "v long")
+        got = [
+            r.s
+            for r in df.select(
+                scale_to_bits(F.col("v"), F.lit(lo), F.lit(hi), 8).alias("s")
+            ).collect()
+        ]
+        want = [(v - lo) * 256 // span for v in probes]
+        assert got == want
+
 
 # ------------------------------------------------------ interval merge
 

@@ -453,3 +453,23 @@ def test_argmax_partial_incremental_equals_recompute(spark, tmp_path):
     assert got == full
     assert got["2024-01-01"] == (10.0, "7")  # tie -> max arg string
     assert got["2024-01-02"] == (99.0, "9")
+
+
+def test_argmax_partial_exact_past_double_precision(spark, tmp_path):
+    """bigint values beyond 2^53: a double cast in the v_amax struct
+    would collapse 2^53 and 2^53+1 into the same value and could pick
+    the wrong arg (ADVICE r5) — the value must stay in its native
+    orderable type through partials, merges, and the stored rollup."""
+    path = str(tmp_path / "amax_big")
+    base = 1 << 53
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "d string, user_id long, value long")
+
+    b1 = [("2024-01-01", 1, base), ("2024-01-01", 2, base + 1)]
+    b2 = [("2024-01-01", 3, base - 1)]
+    for b in (b1, b2):
+        refresh_rollup(spark, path, ev(b), ["d"], "value", arg_col="user_id")
+    r = read_rollup(spark, path).collect()[0]
+    assert (r.v_amax_val, r.v_amax_arg) == (base + 1, "2")
+    assert isinstance(r.v_amax_val, int)
