@@ -454,3 +454,246 @@ def read_rollup(spark: SparkSession, path: str) -> DataFrame:
             "v_amax_arg", F.col("v_amax.a")
         )
     return df
+
+
+# ---------------------------------------------------- funnel partial
+#
+# windowFunnelState analog: a MERGEABLE per-key funnel state, so a
+# funnel dashboard is incrementally maintainable like the other
+# partials. operators/funnel.window_funnel is the one-shot batch
+# computation; streaming/stateful.funnel_stream the streaming twin;
+# this is the rollup (incremental batch) leg.
+#
+# State per key, for an n-condition funnel with window W (all
+# timestamps in the same unit, epoch micros in the corpus):
+#
+#   f_ach            max funnel depth fully achieved so far (window
+#                    check applied at each completion event)
+#   f_i{l}           best (latest) chain START among chains reaching
+#                    depth l using seen events only, l = 1..n-1 —
+#                    the seed material future batches can extend
+#   f_r{j}_{l}       0/1: seen events can extend a chain already at
+#                    depth j to depth l (conds j+1..l in order),
+#                    1 <= j < l <= n-1 (diagonal identity implicit)
+#   f_m{j}_{k}       earliest timestamp of a cond_k event preceded by
+#                    a j->(k-1) extension path within seen events,
+#                    1 <= j < k <= n: a chain at depth j with start s
+#                    completes depth k through these events iff
+#                    s >= f_m{j}_{k} - W
+#
+# Composition of two states A (earlier events) then B (later events)
+# is associative — boolean matrix product for R, seeded max for I,
+# path-filtered min for M, and cross-boundary completions
+# A.I[m] >= B.M[m][k] - W folding into ach — so incremental refreshes
+# equal a full recompute BIT-FOR-BIT as long as batches arrive STRICTLY
+# time-partitioned (every event in a batch is later than every event in
+# the previous batch — equal timestamps must not straddle a boundary;
+# the watermarked-append contract every incremental funnel feed has).
+# Late data violating that contract needs a recompute of the affected
+# keys, same as ClickHouse's AggregatingMergeTree funnel rollups.
+
+
+def funnel_partials(
+    batch: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str],
+    conds: list[Column],
+    window: int,
+) -> DataFrame:
+    """Per-key mergeable funnel state for one micro-batch. One Exchange
+    on the key and ONE shared sort (the cascaded-running-max device of
+    operators/funnel.window_funnel, plus O(n^2) seeded-reachability
+    cascades — n is the condition count, 3 in the corpus), then a
+    single groupBy; no self-joins, no per-key collects."""
+    n = len(conds)
+    assert n >= 2, "a funnel needs at least two conditions"
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = batch.withColumn(
+        "_fs1", F.max(F.when(conds[0], F.col(ts_col))).over(w_prev)
+    )
+    for i in range(2, n):
+        out = out.withColumn(
+            f"_fs{i}", F.max(F.when(conds[i - 1], F.col(f"_fs{i-1}"))).over(w_prev)
+        )
+    # seeded reachability BEFORE each row: _fr{j}_{l} = 1 iff prior
+    # batch events extend a depth-j seed to depth l
+    for j in range(1, n):
+        for l in range(j + 1, n):
+            prev_ok = (
+                F.lit(True) if l - 1 == j else (F.col(f"_fr{j}_{l-1}") == 1)
+            )
+            out = out.withColumn(
+                f"_fr{j}_{l}",
+                F.coalesce(
+                    F.max(F.when(conds[l - 1] & prev_ok, 1)).over(w_prev),
+                    F.lit(0),
+                ),
+            )
+    aggs = []
+    # internal best chain starts reaching depth l (seed material)
+    aggs.append(F.max(F.when(conds[0], F.col(ts_col))).alias("f_i1"))
+    for l in range(2, n):
+        aggs.append(F.max(F.when(conds[l - 1], F.col(f"_fs{l-1}"))).alias(f"f_i{l}"))
+    for j in range(1, n):
+        for l in range(j + 1, n):
+            prev_ok = F.lit(True) if l - 1 == j else (F.col(f"_fr{j}_{l-1}") == 1)
+            aggs.append(
+                F.coalesce(
+                    F.max(F.when(conds[l - 1] & prev_ok, 1)), F.lit(0)
+                ).alias(f"f_r{j}_{l}")
+            )
+        for k in range(j + 1, n + 1):
+            prev_ok = F.lit(True) if k - 1 == j else (F.col(f"_fr{j}_{k-1}") == 1)
+            aggs.append(
+                F.min(F.when(conds[k - 1] & prev_ok, F.col(ts_col))).alias(
+                    f"f_m{j}_{k}"
+                )
+            )
+    # fully-achieved level within the batch (window check at the
+    # completion event; intermediate events are automatically inside
+    # the window — time-ordered chain, see operators/funnel.py)
+    aggs.append(F.coalesce(F.max(F.when(conds[0], 1)), F.lit(0)).alias("_fl1"))
+    for k in range(2, n + 1):
+        aggs.append(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        conds[k - 1]
+                        & (F.col(f"_fs{k-1}") >= F.col(ts_col) - window),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"_fl{k}")
+        )
+    g = out.groupBy(*key_cols).agg(*aggs)
+    ach = F.lit(0)
+    for k in range(1, n + 1):
+        ach = F.when(F.col(f"_fl{k}") == 1, k).otherwise(ach)
+    return g.select(
+        *key_cols,
+        *[c for c in g.columns if c.startswith("f_")],
+        ach.cast("int").alias("f_ach"),
+    )
+
+
+def _funnel_compose(n: int, window: int) -> list[Column]:
+    """Column expressions composing funnel state A (alias ``a``,
+    earlier events) with B (alias ``b``, later events). NULL state on
+    either side (key absent from that batch) behaves as the identity."""
+
+    def aR(j: int, m: int) -> Column:
+        return F.lit(1) if j == m else F.coalesce(F.col(f"a.f_r{j}_{m}"), F.lit(0))
+
+    def bR(m: int, l: int) -> Column:
+        return F.lit(1) if m == l else F.coalesce(F.col(f"b.f_r{m}_{l}"), F.lit(0))
+
+    exprs: list[Column] = []
+    for j in range(1, n):
+        for l in range(j + 1, n):
+            exprs.append(
+                F.greatest(
+                    *[
+                        F.when((aR(j, m) == 1) & (bR(m, l) == 1), 1).otherwise(0)
+                        for m in range(j, l + 1)
+                    ]
+                ).alias(f"f_r{j}_{l}")
+            )
+    for l in range(1, n):
+        cands = [F.col(f"b.f_i{l}")] + [
+            F.when(bR(m, l) == 1, F.col(f"a.f_i{m}")) for m in range(1, l + 1)
+        ]
+        exprs.append(F.greatest(*cands).alias(f"f_i{l}"))
+    for j in range(1, n):
+        for k in range(j + 1, n + 1):
+            cands = [F.col(f"a.f_m{j}_{k}")] + [
+                F.when(aR(j, m) == 1, F.col(f"b.f_m{m}_{k}"))
+                for m in range(j, min(k - 1, n - 1) + 1)
+            ]
+            exprs.append(F.least(*cands).alias(f"f_m{j}_{k}"))
+    ach_cands = [
+        F.coalesce(F.col("a.f_ach"), F.lit(0)),
+        F.coalesce(F.col("b.f_ach"), F.lit(0)),
+    ]
+    for m in range(1, n):
+        for k in range(m + 1, n + 1):
+            ach_cands.append(
+                F.when(
+                    F.col(f"a.f_i{m}") >= F.col(f"b.f_m{m}_{k}") - window,
+                    k,
+                ).otherwise(0)
+            )
+    exprs.append(F.greatest(*ach_cands).cast("int").alias("f_ach"))
+    return exprs
+
+
+#: hash buckets for the funnel rollup layout: the funnel key is an
+#: entity id (user), so partitioning by the key itself would mean one
+#: directory per user; a refresh rewrites only the buckets its batch
+#: touches
+FUNNEL_BUCKETS = 64
+
+
+def refresh_funnel_rollup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str],
+    conds: list[Column],
+    n_conds: int,
+    window: int,
+) -> int:
+    """Merge one time-ordered micro-batch into the funnel rollup at
+    ``path``; returns the number of hash buckets touched. Buckets are
+    pmod(hash(keys), FUNNEL_BUCKETS); a refresh reads back ONLY the
+    touched buckets — in full, since a bucket holds many keys — full-
+    outer-joins them with the new partials on the keys, and rewrites
+    just those buckets (dynamic partition overwrite). ``conds`` must be
+    resolvable against ``batch``; pass ``n_conds`` = len(conds) so the
+    stored-state shape is explicit."""
+    new = funnel_partials(batch, key_cols, ts_col, order_cols, conds, window)
+    new = new.withColumn(
+        "_fb", F.pmod(F.hash(*key_cols), F.lit(FUNNEL_BUCKETS))
+    )
+    touched = [r[0] for r in new.select("_fb").distinct().collect()]
+    if not touched:
+        return 0
+    merged = new
+    if fsio.exists(spark, path):
+        old = (
+            spark.read.parquet(path)
+            .where(F.col("_fb").isin(touched))
+            .drop("_fb")
+        )
+        state_cols = [c for c in new.columns if c.startswith("f_")]
+        joined = old.alias("a").join(
+            new.drop("_fb").alias("b"), list(key_cols), "full_outer"
+        )
+        merged = joined.select(
+            *key_cols, *_funnel_compose(n_conds, window)
+        ).withColumn("_fb", F.pmod(F.hash(*key_cols), F.lit(FUNNEL_BUCKETS)))
+        assert sorted(c for c in merged.columns if c.startswith("f_")) == sorted(
+            state_cols
+        )
+    (
+        merged.repartition("_fb")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_fb")
+        .parquet(path)
+    )
+    return len(touched)
+
+
+def read_funnel_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Query view: per-key achieved funnel level (plus the raw
+    mergeable state columns for debugging/continuation)."""
+    df = spark.read.parquet(path).drop("_fb")
+    return df.withColumn("funnel_level", F.col("f_ach"))

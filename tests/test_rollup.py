@@ -473,3 +473,140 @@ def test_argmax_partial_exact_past_double_precision(spark, tmp_path):
     r = read_rollup(spark, path).collect()[0]
     assert (r.v_amax_val, r.v_amax_arg) == (base + 1, "2")
     assert isinstance(r.v_amax_val, int)
+
+
+# ---------------------------------------------------- funnel partial
+
+
+def _funnel_conds():
+    return [F.col("et") == s for s in ("a", "b", "c")]
+
+
+def test_funnel_rollup_incremental_equals_recompute_randomized(spark, tmp_path):
+    """The mergeable funnel state must reproduce window_funnel exactly
+    when the same events arrive split into time-ordered micro-batches —
+    including chains spanning batch boundaries, seeds expiring across a
+    boundary, within-batch completions, and keys absent from some
+    batches. Randomized sweep: 8 seeds x 6 keys x ~30 events each,
+    split at 2 strict time boundaries."""
+    import random
+
+    from es_to_clickhouse_spark.operators.funnel import window_funnel
+    from es_to_clickhouse_spark.rollup import (
+        read_funnel_rollup,
+        refresh_funnel_rollup,
+    )
+
+    W = 50
+    for seed in range(8):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for k in range(6):
+            n_ev = rng.randint(5, 30)
+            ts = 0
+            for _ in range(n_ev):
+                ts += rng.randint(1, 25)
+                rows.append((k, eid, ts, rng.choice("abcx")))
+                eid += 1
+        # strict time boundaries at 1/3 and 2/3 of the global ts range
+        all_ts = sorted({r[2] for r in rows})
+        b1, b2 = all_ts[len(all_ts) // 3], all_ts[2 * len(all_ts) // 3]
+        batches = [
+            [r for r in rows if r[2] <= b1],
+            [r for r in rows if b1 < r[2] <= b2],
+            [r for r in rows if r[2] > b2],
+        ]
+        schema = "user_id long, event_id long, us long, et string"
+        path = str(tmp_path / f"funnel_{seed}")
+        for b in batches:
+            if not b:
+                continue
+            refresh_funnel_rollup(
+                spark, path, spark.createDataFrame(b, schema),
+                ["user_id"], "us", ["event_id"], _funnel_conds(), 3, W,
+            )
+        got = {
+            r.user_id: r.funnel_level
+            for r in read_funnel_rollup(spark, path).collect()
+        }
+        want = {
+            r.user_id: r.funnel_level
+            for r in window_funnel(
+                spark.createDataFrame(rows, schema),
+                "user_id", "us", ["event_id"], _funnel_conds(), W,
+            ).collect()
+        }
+        # keys with zero funnel-relevant events may be absent vs level 0
+        want_nz = {k: v for k, v in want.items()}
+        for k in want_nz:
+            assert got.get(k, 0) == want_nz[k], (seed, k, got, want)
+
+
+def test_funnel_rollup_boundary_chain_and_expiry(spark, tmp_path):
+    """Directed cases: (1) a chain spanning all three batches completes
+    iff its start is within the window of the completion event; (2) a
+    seed older than the window when cond_3 fires must NOT complete;
+    (3) a later restart (new cond_1) rescues the chain."""
+    from es_to_clickhouse_spark.rollup import (
+        read_funnel_rollup,
+        refresh_funnel_rollup,
+    )
+
+    W = 100
+    schema = "user_id long, event_id long, us long, et string"
+    batches = [
+        # u1: a@10 -> b@60 -> c@105 (within 100) => 3
+        # u2: a@10 -> b@60 -> c@150 (start expired: 150-100 > 10) => 2
+        # u3: a@10, a@80 -> b@120 -> c@170 (second start rescues) => 3
+        [(1, 1, 10, "a"), (2, 2, 10, "a"), (3, 3, 10, "a"), (3, 4, 80, "a")],
+        [(1, 5, 60, "b"), (2, 6, 60, "b"), (3, 7, 120, "b")],
+        [(1, 8, 105, "c"), (2, 9, 150, "c"), (3, 10, 170, "c")],
+    ]
+    path = str(tmp_path / "funnel_directed")
+    for b in batches:
+        refresh_funnel_rollup(
+            spark, path, spark.createDataFrame(b, schema),
+            ["user_id"], "us", ["event_id"], _funnel_conds(), 3, W,
+        )
+    got = {
+        r.user_id: r.funnel_level
+        for r in read_funnel_rollup(spark, path).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 3}
+
+
+def test_funnel_partials_compose_associatively(spark):
+    """(A . B) . C == A . (B . C): compose the same three batch states
+    in both groupings via the refresh machinery run over different
+    split points of the same stream — same final state either way."""
+    from es_to_clickhouse_spark.rollup import funnel_partials, _funnel_compose
+
+    W = 40
+    schema = "user_id long, event_id long, us long, et string"
+    rows = [
+        (1, 1, 5, "a"), (1, 2, 20, "b"), (1, 3, 42, "c"),
+        (1, 4, 50, "a"), (1, 5, 70, "b"), (1, 6, 95, "c"),
+        (2, 7, 5, "a"), (2, 8, 80, "b"), (2, 9, 90, "c"),
+    ]
+
+    def part(lo, hi):
+        sub = [r for r in rows if lo < r[2] <= hi]
+        return funnel_partials(
+            spark.createDataFrame(sub, schema),
+            ["user_id"], "us", ["event_id"], _funnel_conds(), W,
+        )
+
+    def compose(a, b):
+        return (
+            a.alias("a")
+            .join(b.alias("b"), ["user_id"], "full_outer")
+            .select("user_id", *_funnel_compose(3, W))
+        )
+
+    A, B, C = part(0, 30), part(30, 60), part(60, 100)
+    left = compose(compose(A, B), C)
+    right = compose(A, compose(B, C))
+    l = sorted(map(tuple, left.collect()))
+    r = sorted(map(tuple, right.collect()))
+    assert l == r
