@@ -1133,3 +1133,190 @@ def mm11_ppm_pixel_stats(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return ppm_pixel_stats(assets)
+
+
+# ------------------------------------ BMP raster / WAV PCM decode
+
+
+def _le_hex(v, nbytes):
+    """Little-endian hex string of a non-negative integral Column —
+    construction-side helper for binary fixtures (the DECODERS never
+    use it; they re-derive layout from the bytes)."""
+    parts = []
+    x = v.cast("long")
+    for i in range(nbytes):
+        parts.append(
+            F.lpad(F.hex(F.floor(x / F.lit(256 ** i)).cast("long") % 256), 2, "0")
+        )
+    return F.concat(*parts)
+
+
+@query(
+    "mm12_bmp_pixel_stats",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST(doc_id % 5 + 2 AS BIGINT) AS width,
+             CAST((doc_id * 7) % 4 + 2 AS BIGINT) AS height,
+             (doc_id * 13) % 256 AS seed
+      FROM documents
+    ), ex AS (
+      SELECT asset_id, width, height, seed,
+             unnest(range(0, 3 * width * height)) AS j
+      FROM base
+    ), px AS (
+      SELECT asset_id, width, height,
+             CAST(j % 3 AS BIGINT) AS ch,
+             CAST((seed + 5 * j) % 256 AS BIGINT) AS v
+      FROM ex
+    )
+    SELECT asset_id, width, height,
+           min(CASE WHEN ch = 2 THEN v END) AS min_r,
+           max(CASE WHEN ch = 2 THEN v END) AS max_r,
+           CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS sum_r,
+           round(sum(CASE WHEN ch = 2 THEN v END) / (width * height), 4)
+             AS mean_r,
+           min(CASE WHEN ch = 1 THEN v END) AS min_g,
+           max(CASE WHEN ch = 1 THEN v END) AS max_g,
+           CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS sum_g,
+           round(sum(CASE WHEN ch = 1 THEN v END) / (width * height), 4)
+             AS mean_g,
+           min(CASE WHEN ch = 0 THEN v END) AS min_b,
+           max(CASE WHEN ch = 0 THEN v END) AS max_b,
+           CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS sum_b,
+           round(sum(CASE WHEN ch = 0 THEN v END) / (width * height), 4)
+             AS mean_b
+    FROM px
+    GROUP BY asset_id, width, height
+    """,
+)
+def mm12_bmp_pixel_stats(spark, sf_dir):
+    """Uncompressed 24-bit BMP RASTER decode — the second real pixel
+    decode (after mm11's P6), with the layout hazards P6 lacks: rows
+    padded to 4-byte boundaries (padding bytes are 0xAB here, so a
+    decoder that fails to skip them corrupts every stat), B,G,R sample
+    order, and the pixel-array offset read from the file header. The
+    fixture widths (2..6) mix all three padding amounts (0/2/3 bytes).
+    Pixel byte j (B,G,R interleave) = (13*doc_id + 5*j) % 256; oracle
+    is ground truth from that formula, so offset/stride/channel bugs
+    cannot cancel."""
+    from es_to_clickhouse_spark.operators.multimodal import bmp_pixel_stats
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 5 + 2).cast("long")
+    h = ((F.col("doc_id") * 7) % 4 + 2).cast("long")
+    seed = (F.col("doc_id") * 13) % 256
+    stride3 = 3 * w + 3
+    stride = stride3 - (stride3 % 4)
+
+    def row_hex(r):
+        def px(k):
+            j = r * (3 * w) + k
+            return F.lpad(F.hex((seed + 5 * j) % 256), 2, "0")
+
+        row = F.concat_ws(
+            "", F.transform(F.sequence(F.lit(0), (3 * w - 1).cast("int")), px)
+        )
+        # padding bytes deliberately non-zero: including them in the
+        # stats would show up as a wrong min/sum
+        pad = F.repeat(F.lit("ab"), (stride - 3 * w).cast("int"))
+        return F.concat(row, pad)
+
+    raster_hex = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), (h - 1).cast("int")), row_hex)
+    )
+    header_hex = F.concat(
+        F.lit("424d"),                       # 'BM'
+        _le_hex(F.lit(54) + stride * h, 4),  # file size
+        F.lit("00000000"),                   # reserved
+        _le_hex(F.lit(54), 4),               # pixel array offset
+        _le_hex(F.lit(40), 4),               # BITMAPINFOHEADER size
+        _le_hex(w, 4),                       # width (positive)
+        _le_hex(h, 4),                       # height (bottom-up)
+        _le_hex(F.lit(1), 2),                # planes
+        _le_hex(F.lit(24), 2),               # bpp
+        _le_hex(F.lit(0), 4),                # BI_RGB
+        _le_hex(stride * h, 4),              # image size
+        F.lit("130b0000130b0000"),           # 2835 ppm x/y
+        F.lit("0000000000000000"),           # palette counts
+    )
+    payload = F.unhex(F.concat(header_hex, raster_hex))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return bmp_pixel_stats(assets)
+
+
+@query(
+    "mm13_wav_pcm_stats",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+             CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+             (doc_id * 17) % 65536 AS seed
+      FROM documents
+    ), ex AS (
+      SELECT asset_id, sample_rate, n_samples, seed,
+             unnest(range(0, n_samples)) AS i
+      FROM base
+    ), sm AS (
+      SELECT asset_id, sample_rate, n_samples,
+             CAST(CASE WHEN (seed + 31 * i) % 65536 >= 32768
+                       THEN (seed + 31 * i) % 65536 - 65536
+                       ELSE (seed + 31 * i) % 65536 END AS BIGINT) AS v
+      FROM ex
+    )
+    SELECT asset_id, sample_rate, n_samples,
+           min(v) AS min_amp, max(v) AS max_amp,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           round(sum(v) / n_samples, 4) AS mean_amp,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           round(sqrt(sum(v * v) / n_samples), 4) AS rms
+    FROM sm
+    GROUP BY asset_id, sample_rate, n_samples
+    """,
+)
+def mm13_wav_pcm_stats(spark, sf_dir):
+    """Canonical 16-bit mono PCM WAV SAMPLE decode — the first real
+    AUDIO decode in the battery (headers were mm7): signed little-endian
+    int16 samples folded JVM-side into count/min/max/sum/mean, exact
+    integer energy, and IEEE rms. Sample i = two's complement of
+    u16 = (17*doc_id + 31*i) mod 65536, covering the full signed range
+    including the -32768 edge; oracle is ground truth from the
+    formula. The decoder
+    re-derives the data-chunk size from the RIFF bytes it did not
+    build."""
+    from es_to_clickhouse_spark.operators.multimodal import wav_pcm_stats
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    rate = (8000 + (F.col("doc_id") % 3) * 4000).cast("long")
+    n = (F.col("doc_id") % 50 + 10).cast("long")
+    seed = (F.col("doc_id") * 17) % 65536
+
+    def sample_hex(i):
+        u = (seed + 31 * i) % 65536
+        return _le_hex(u, 2)
+
+    data_hex = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), sample_hex)
+    )
+    header_hex = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _le_hex(36 + 2 * n, 4),       # riff size
+        F.lit("57415645666d7420"),    # 'WAVE' 'fmt '
+        _le_hex(F.lit(16), 4),        # fmt chunk size
+        _le_hex(F.lit(1), 2),         # PCM
+        _le_hex(F.lit(1), 2),         # mono
+        _le_hex(rate, 4),             # sample rate
+        _le_hex(rate * 2, 4),         # byte rate
+        _le_hex(F.lit(2), 2),         # block align
+        _le_hex(F.lit(16), 2),        # bits
+        F.lit("64617461"),            # 'data'
+        _le_hex(2 * n, 4),            # data size
+    )
+    payload = F.unhex(F.concat(header_hex, data_hex))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return wav_pcm_stats(assets)

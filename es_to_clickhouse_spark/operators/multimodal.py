@@ -430,10 +430,24 @@ def ppm_pixel_stats(
         ).alias("_hx"),
     ).localCheckpoint(eager=False)
 
+    # pixel i, channel c -> 2 hex chars at 1-based 6*i + 2*c + 1
+    return _rgb_channel_stats(
+        staged, id_col, lambda i, c: i * 6 + 2 * c + 1
+    )
+
+
+def _rgb_channel_stats(staged, id_col: str, sample_pos) -> DataFrame:
+    """Shared raster fold: per-image sum/min/max/mean for each RGB
+    channel from a staged frame carrying (_hx hex'd pixel region, _npix,
+    _ok, width, height). ``sample_pos(i, c)`` maps (pixel index Column,
+    output channel index 0=r/1=g/2=b) to the 1-based hex position of
+    that sample — format-specific layout (P6 packing, BMP stride
+    padding + BGR order) lives entirely in that function. ONE
+    9-field-struct F.aggregate pass (interpreted folds don't CSE)."""
+
     def _sample(i: Column, c: int) -> Column:
-        # pixel i, channel c -> 2 hex chars at 1-based 6*i + 2*c + 1
         return F.conv(
-            F.substr(F.col("_hx"), i * 6 + 2 * c + 1, F.lit(2)), 16, 10
+            F.substr(F.col("_hx"), sample_pos(i, c), F.lit(2)), 16, 10
         ).cast("long")
 
     names = [f"{agg}_{ch}" for ch in "rgb" for agg in ("sum", "min", "max")]
@@ -471,3 +485,158 @@ def ppm_pixel_stats(
             F.round(stc[f"sum_{ch}"] / F.col("_npix"), 4).alias(f"mean_{ch}"),
         ]
     return staged.select(*out_cols)
+
+
+def bmp_pixel_stats(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_pixels: int = 4096,
+) -> DataFrame:
+    """REAL pixel decode of uncompressed 24-bit BMPs — per-image
+    sum / min / max / mean per RGB channel, JVM-side, no codec libs.
+    Unlike the byte-contiguous P6 raster, the BMP pixel array
+    (BITMAPINFOHEADER, public wire format) has real layout hazards the
+    decoder must honor:
+
+    - each row is padded to a 4-byte boundary (stride = (3w + 3) & ~3),
+      so the padding bytes must be EXCLUDED from the stats;
+    - samples are stored B,G,R — the fold swaps them back;
+    - a negative height means top-down row order; channel stats are
+      row-order-free, so both signs decode (|h| rows) — a positional op
+      (resize/crop) would need the flip, stats don't.
+
+    Fails closed (all-NULL stats) on: non-BM magic, bpp != 24,
+    compression != BI_RGB (0), zero/oversized dimensions, or a payload
+    shorter than offset + stride * |h|."""
+    p = F.col(payload_col)
+    w, h, bpp = bmp_dims(p)
+    ah = F.abs(h)
+    compression = _le_u32(p, 31)
+    off = _le_u32(p, 11)  # pixel-array offset (0-based in the file)
+    stride3 = 3 * w + 3
+    stride = stride3 - (stride3 % 4)
+    npix = (w * ah).cast("long")
+    ok = (
+        w.isNotNull()
+        & (bpp == 24)
+        & (compression == 0)
+        & (w > 0)
+        & (ah > 0)
+        & (npix <= max_pixels)
+        & (F.length(p) >= off + stride * ah)
+    )
+    staged = df.select(
+        F.col(id_col),
+        w.alias("width"),
+        ah.alias("height"),
+        w.alias("_w"),
+        stride.alias("_stride"),
+        npix.alias("_npix"),
+        ok.alias("_ok"),
+        F.when(
+            ok, F.hex(F.substr(p, (off + 1).cast("int"), (stride * ah).cast("int")))
+        ).alias("_hx"),
+    ).localCheckpoint(eager=False)
+
+    def pos(i: Column, c: int) -> Column:
+        # pixel i: row-major over w*|h| pixels; byte offset inside the
+        # pixel array = row*stride + col*3 + (2 - c)   [B,G,R on disk]
+        row = F.floor(i / F.col("_w")).cast("long")
+        colx = i % F.col("_w")
+        return (row * F.col("_stride") + colx * 3 + (2 - c)) * 2 + 1
+
+    return _rgb_channel_stats(staged, id_col, pos)
+
+
+def wav_pcm_stats(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_samples: int = 8192,
+) -> DataFrame:
+    """REAL audio decode of canonical 16-bit mono PCM WAV payloads —
+    per-file sample count, min/max/sum amplitude, mean, exact energy
+    (sum of squares), and RMS, entirely JVM-side. Samples are SIGNED
+    little-endian int16 (two's complement via the 2^15 fold — the same
+    device as bmp_dims' int32); the data chunk is located at the
+    canonical offset (bytes 37-40 = 'data', size at 41, samples from
+    45) — files with extension chunks before 'data' fail closed, like
+    wav_header's canonical-layout contract.
+
+    Fails closed (all-NULL stats) on: bad RIFF/WAVE/fmt magic, a
+    non-PCM format tag, channels != 1, bits != 16, a missing canonical
+    'data' chunk, an odd or oversized sample count, or a payload
+    shorter than the declared data size."""
+    p = F.col(payload_col)
+    channels, rate, bits = wav_header(p)
+    fmt_tag = _le_u16(p, 21)
+    data_magic = F.hex(F.substring(p, 37, 4)) == F.lit("64617461")  # 'data'
+    dsize = _le_u32(p, 41)
+    nsamp = (dsize / 2).cast("long")
+    ok = (
+        channels.isNotNull()
+        & (fmt_tag == 1)
+        & (channels == 1)
+        & (bits == 16)
+        & data_magic
+        & (dsize % 2 == 0)
+        & (nsamp > 0)
+        & (nsamp <= max_samples)
+        & (F.length(p) >= 44 + dsize)
+    )
+    staged = df.select(
+        F.col(id_col),
+        rate.alias("sample_rate"),
+        nsamp.alias("_n"),
+        ok.alias("_ok"),
+        F.when(ok, F.hex(F.substr(p, F.lit(45), dsize.cast("int")))).alias(
+            "_hx"
+        ),
+    ).localCheckpoint(eager=False)
+
+    def sample(i: Column) -> Column:
+        lo = F.conv(F.substr(F.col("_hx"), i * 4 + 1, F.lit(2)), 16, 10).cast(
+            "long"
+        )
+        hi = F.conv(F.substr(F.col("_hx"), i * 4 + 3, F.lit(2)), 16, 10).cast(
+            "long"
+        )
+        u = lo + hi * 256
+        return F.when(u >= 32768, u - 65536).otherwise(u)
+
+    zero = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("sq"),
+        F.lit(32768).cast("long").alias("mn"),
+        F.lit(-32769).cast("long").alias("mx"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        v = sample(i)
+        return F.struct(
+            (acc["s"] + v).alias("s"),
+            (acc["sq"] + v * v).alias("sq"),
+            F.least(acc["mn"], v).alias("mn"),
+            F.greatest(acc["mx"], v).alias("mx"),
+        )
+
+    st = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), F.col("_n") - 1), zero, step
+    )
+    stc = F.when(F.col("_ok"), st)
+    none = F.lit(None).cast("long")
+    return staged.select(
+        F.col(id_col),
+        F.when(F.col("_ok"), F.col("sample_rate")).alias("sample_rate"),
+        F.when(F.col("_ok"), F.col("_n")).alias("n_samples"),
+        F.coalesce(stc["mn"], none).alias("min_amp"),
+        F.coalesce(stc["mx"], none).alias("max_amp"),
+        F.coalesce(stc["s"], none).alias("sum_amp"),
+        F.round(stc["s"] / F.col("_n"), 4).alias("mean_amp"),
+        F.coalesce(stc["sq"], none).alias("energy"),
+        # sqrt + round: two float ops over exact integer sums, evaluated
+        # once per output row (sqrt is correctly-rounded IEEE in both
+        # engines, so the oracle reproduces it bit-for-bit)
+        F.round(F.sqrt(stc["sq"] / F.col("_n")), 4).alias("rms"),
+    )

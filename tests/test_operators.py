@@ -599,3 +599,99 @@ def test_ppm_dims_rejects_prefix_truncated_numbers(spark):
     }
     assert got[2] == (2, 2, 255)
     assert got[1] == (None, None, None) or got[1][2] is None
+
+
+def test_bmp_pixel_stats_real_bytes_padding_and_bgr(spark):
+    """bmp_pixel_stats inverts real BMP bytes built with struct.pack:
+    row padding excluded, B,G,R disk order swapped back, negative
+    (top-down) heights decoded, and fail-closed on 32bpp / RLE /
+    truncated payloads."""
+    import struct
+
+    def bmp(w, h, pix, bpp=24, compression=0, truncate=0):
+        stride = (3 * w + 3) & ~3
+        rows = b""
+        idx = 0
+        for _ in range(abs(h)):
+            rows += bytes(pix[idx : idx + 3 * w]) + b"\xAB" * (stride - 3 * w)
+            idx += 3 * w
+        off = 54
+        hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+            len(rows), 2835, 2835, 0, 0,
+        )
+        out = hdr + info + rows
+        return out[: len(out) - truncate] if truncate else out
+
+    # 3x2, w=3 -> stride 12 (3 padding bytes per row, set to 0xAB so
+    # including them would corrupt every stat)
+    # pixel bytes per pixel: B,G,R
+    pix = bytes(range(10, 10 + 18))  # B:10,13,16,19,22,25 G:+1 R:+2
+    rows_in = [
+        (1, bmp(3, 2, pix)),
+        (2, bmp(3, -2, pix)),  # top-down: same channel stats
+        (3, bmp(3, 2, pix, bpp=32)),
+        (4, bmp(3, 2, pix, compression=1)),
+        (5, bmp(3, 2, pix, truncate=5)),
+        (6, b"PK\x03\x04 not a bmp"),
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r for r in multimodal.bmp_pixel_stats(df).collect()
+    }
+    for aid in (1, 2):
+        g = got[aid]
+        assert (g.width, g.height) == (3, 2)
+        assert (g.min_b, g.max_b, g.sum_b) == (10, 25, 105)
+        assert (g.min_g, g.max_g, g.sum_g) == (11, 26, 111)
+        assert (g.min_r, g.max_r, g.sum_r) == (12, 27, 117)
+        assert g.mean_b == 17.5 and g.mean_r == 19.5
+    for aid in (3, 4, 5, 6):
+        r = got[aid]
+        assert all(
+            getattr(r, f"{agg}_{ch}") is None
+            for ch in "rgb"
+            for agg in ("min", "max", "sum", "mean")
+        ), aid
+
+
+def test_wav_pcm_stats_real_bytes_signed_and_fail_closed(spark):
+    """wav_pcm_stats inverts real canonical WAV bytes: signed int16 LE
+    (extremes included), exact energy + IEEE rms, and fail-closed on
+    stereo / 8-bit / float-PCM / truncated-data payloads."""
+    import math
+    import struct
+
+    def wav(samples, rate=8000, channels=1, bits=16, fmt=1, truncate=0):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        out = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack(
+                "<IHHIIHH", 16, fmt, channels, rate,
+                rate * channels * bits // 8, channels * bits // 8, bits,
+            )
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return out[: len(out) - truncate] if truncate else out
+
+    samples = [0, 100, -32768, 32767, -1]
+    rows_in = [
+        (1, wav(samples)),
+        (2, wav(samples, channels=2)),
+        (3, wav(samples, bits=8)),
+        (4, wav(samples, fmt=3)),  # IEEE-float tag
+        (5, wav(samples, truncate=4)),
+        (6, b"RIFFnope"),
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {r.asset_id: r for r in multimodal.wav_pcm_stats(df).collect()}
+    g = got[1]
+    assert (g.sample_rate, g.n_samples) == (8000, 5)
+    assert (g.min_amp, g.max_amp, g.sum_amp) == (-32768, 32767, 98)
+    assert g.mean_amp == 19.6
+    energy = sum(s * s for s in samples)
+    assert g.energy == energy
+    assert g.rms == round(math.sqrt(energy / 5), 4)
+    for aid in (2, 3, 4, 5, 6):
+        assert got[aid].n_samples is None and got[aid].energy is None, aid
