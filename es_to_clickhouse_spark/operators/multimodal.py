@@ -507,8 +507,10 @@ def bmp_pixel_stats(
       (resize/crop) would need the flip, stats don't.
 
     Fails closed (all-NULL stats) on: non-BM magic, bpp != 24,
-    compression != BI_RGB (0), zero/oversized dimensions, or a payload
-    shorter than offset + stride * |h|."""
+    compression != BI_RGB (0), zero/oversized dimensions, a pixel-array
+    offset pointing inside the 54-byte header (would decode header
+    bytes as pixels — ADVICE r6), or a payload shorter than
+    offset + stride * |h|."""
     p = F.col(payload_col)
     w, h, bpp = bmp_dims(p)
     ah = F.abs(h)
@@ -524,6 +526,9 @@ def bmp_pixel_stats(
         & (w > 0)
         & (ah > 0)
         & (npix <= max_pixels)
+        # 14-byte file header + 40-byte BITMAPINFOHEADER: an offset
+        # inside that span points at header bytes, not pixels
+        & (off >= 54)
         & (F.length(p) >= off + stride * ah)
     )
     staged = df.select(

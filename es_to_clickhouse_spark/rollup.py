@@ -202,7 +202,13 @@ def batch_partials(
     ``argMaxState`` analog: which entity carried the maximum value —
     one (v, a) struct whose lexicographic max is exactly associative,
     so incremental == recompute bit-for-bit; ties break to the largest
-    arg string, deterministic where ClickHouse's is first-seen). The
+    arg string, deterministic where ClickHouse's is first-seen).
+    COMPATIBILITY: rollup directories written before v_amax kept its
+    native type store ``v`` as double; refreshing such a directory with
+    new long/decimal-typed partials would union struct<v:double> with
+    struct<v:long> and coerce back to double, silently losing the
+    past-2^53 precision fix — REBUILD pre-existing rollups to get exact
+    argmax (ADVICE r6). The
     sketch options ride as extra columns joined on the grain — the
     joins are grain-co-partitioned aggregates over the same batch, and
     the sketch sides are bounded (<= quantile_k rows / <= 2^hll_p

@@ -226,13 +226,15 @@ class ScrollSession:
                     break
                 rows.extend(scroll_docs(page, store_source=store_source))
                 page = self._send(self.page_request(scroll_id))
-        except OSError:
+        except (OSError, ValueError):
+            # OSError = transport failure; ValueError = 200 response whose
+            # body is not valid JSON (json.loads). Both keep partial rows.
             pass  # partial progress kept; cleanup still runs below
         finally:
             if scroll_id:
                 try:
                     self._send(self.cleanup_request(scroll_id))
-                except OSError:
+                except (OSError, ValueError):
                     pass  # cleanup is best-effort, like the reference
         return rows
 

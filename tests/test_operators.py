@@ -608,15 +608,14 @@ def test_bmp_pixel_stats_real_bytes_padding_and_bgr(spark):
     truncated payloads."""
     import struct
 
-    def bmp(w, h, pix, bpp=24, compression=0, truncate=0):
+    def bmp(w, h, pix, bpp=24, compression=0, truncate=0, off=54):
         stride = (3 * w + 3) & ~3
         rows = b""
         idx = 0
         for _ in range(abs(h)):
             rows += bytes(pix[idx : idx + 3 * w]) + b"\xAB" * (stride - 3 * w)
             idx += 3 * w
-        off = 54
-        hdr = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, off)
         info = struct.pack(
             "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
             len(rows), 2835, 2835, 0, 0,
@@ -635,6 +634,10 @@ def test_bmp_pixel_stats_real_bytes_padding_and_bgr(spark):
         (4, bmp(3, 2, pix, compression=1)),
         (5, bmp(3, 2, pix, truncate=5)),
         (6, b"PK\x03\x04 not a bmp"),
+        # pixel-array offset pointing INSIDE the 54-byte header: every
+        # other gate passes (payload is long enough), but decoding from
+        # off=40 would read header bytes as pixels (ADVICE r6)
+        (7, bmp(3, 2, pix, off=40)),
     ]
     df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
     got = {
@@ -647,7 +650,7 @@ def test_bmp_pixel_stats_real_bytes_padding_and_bgr(spark):
         assert (g.min_g, g.max_g, g.sum_g) == (11, 26, 111)
         assert (g.min_r, g.max_r, g.sum_r) == (12, 27, 117)
         assert g.mean_b == 17.5 and g.mean_r == 19.5
-    for aid in (3, 4, 5, 6):
+    for aid in (3, 4, 5, 6, 7):
         r = got[aid]
         assert all(
             getattr(r, f"{agg}_{ch}") is None

@@ -451,6 +451,15 @@ class _ScrollHandler:
                 state["i"] += 1
                 if page == "fail":
                     self._reply({"error": "scroll ctx gone"}, code=500)
+                elif page == "garbage":
+                    # 200 whose body is NOT valid JSON (truncated proxy
+                    # response) — exercises the ValueError failure class
+                    data = b'{"hits": {"hi'
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._reply(page)
 
@@ -511,6 +520,27 @@ def test_scroll_http_loopback_failure_keeps_partial_and_cleans_up():
     kept (at-least-once partial progress) and the scroll context is
     still DELETEd — over a real socket, not a simulated exception."""
     pages = [_page("sid-1", ["a", "b"]), "fail"]
+    srv, log, host = _serve_scroll(pages)
+    try:
+        rows = ScrollSession(host=host, size=2).drain_http("idx-a")
+    finally:
+        srv.shutdown()
+    assert [r["_id"] for r in rows] == ["a", "b"]
+    assert [(r["method"], r["path"]) for r in log] == [
+        ("POST", "/idx-a/_search"),
+        ("POST", "/_search/scroll"),
+        ("DELETE", "/_search/scroll"),
+    ]
+    assert log[-1]["body"] == {"scroll_id": "sid-1"}
+
+
+def test_scroll_http_loopback_bad_json_keeps_partial_and_cleans_up():
+    """A 200 response whose body is not valid JSON (truncated proxy
+    reply) raises ValueError from json.loads — the fold must treat it
+    like a transport error: keep the partial rows and still DELETE the
+    scroll context (ADVICE r6: previously only OSError was caught and
+    the partial rows were lost)."""
+    pages = [_page("sid-1", ["a", "b"]), "garbage"]
     srv, log, host = _serve_scroll(pages)
     try:
         rows = ScrollSession(host=host, size=2).drain_http("idx-a")
