@@ -167,8 +167,8 @@ def q5_local_supplier_volume(spark, sf_dir):
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
         AND c_nationkey = n2.n_nationkey
-        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
                            AND TIMESTAMP '1997-12-31'
     ) shipping
@@ -178,7 +178,10 @@ def q5_local_supplier_volume(spark, sf_dir):
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7: bilateral trade volume between two nations by year. The
     disjunctive nation-pair predicate lands after both broadcast joins so
-    Catalyst can still prune each nation scan to the two names."""
+    Catalyst can still prune each nation scan to the two names. Pair
+    (NATION_12, NATION_10) chosen because it trades at EVERY test SF
+    (20/22/497 rows at sf0.001/0.01/0.1) — the old (1, 2) pair was
+    empty below sf0.1, making the query vacuously green (r6 VERDICT)."""
     s = t(spark, sf_dir, "supplier")
     l = t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between(
@@ -194,8 +197,8 @@ def q7_volume_shipping(spark, sf_dir):
     n2 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    pair = (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10")
+    rpair = (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
