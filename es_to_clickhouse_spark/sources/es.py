@@ -129,12 +129,20 @@ class ScrollSession:
     size: int = 1000
     timeout: str = "5m"
 
-    def initial_request(self, index: str, query: dict | None = None) -> dict:
+    def initial_request(
+        self, index: str, query: dict | None = None, sort_field: str | None = None
+    ) -> dict:
+        body = {"size": self.size, "query": query or {"match_all": {}}}
+        if sort_field:
+            # the incremental scan sorts ascending on the (original) time
+            # field so pages arrive in watermark order
+            # (es/es_to_bytehouse.py:869-871)
+            body["sort"] = [{sort_field: "asc"}]
         return {
             "method": "POST",
             "url": f"{self.host}/{index}/_search",
             "params": {"scroll": self.timeout},
-            "body": {"size": self.size, "query": query or {"match_all": {}}},
+            "body": body,
         }
 
     def page_request(self, scroll_id: str) -> dict:
@@ -238,6 +246,108 @@ class ScrollSession:
                     pass  # cleanup is best-effort, like the reference
         return rows
 
+    def drain_http_incremental(
+        self,
+        index: str,
+        time_field: str,
+        since: str,
+        update_field: str | None = None,
+        since_update: str | None = None,
+        mapping_response: dict | None = None,
+        store_source: bool = False,
+        max_pages: int = 10_000,
+    ) -> tuple[list[dict], str, str | None]:
+        """The INCREMENTAL scroll session over a real socket — the live
+        counterpart of the reference's ``scroll_es_incremental``
+        (es/es_to_bytehouse.py:825-961), end-to-end:
+
+        - the range predicate is built by :func:`range_query` against the
+          ORIGINAL field name — ``timestamp`` rebinds back to
+          ``@timestamp`` when the index mapping carries it (P13,
+          es/es_to_bytehouse.py:837-840) — including the OR-of-ranges +
+          ``minimum_should_match=1`` shape when an update field rides
+          along;
+        - the initial request sorts ascending on the original time field;
+        - watermarks advance as a running max over each hit's SANITIZED
+          document (so ``@timestamp`` values land on ``timestamp``),
+          string-compared exactly like the reference's in-flight max
+          (es/es_to_bytehouse.py:909-919); a failed page keeps both the
+          partial rows AND the watermark progress already made —
+          at-least-once, the resume point never overshoots the data.
+
+        Returns ``(rows, max_time, max_update_time)``. The Spark
+        production path computes the same watermarks as one distributed
+        agg (:func:`incremental.batch_watermarks`); this driver-side fold
+        pins the wire-protocol contract on bounded test transcripts."""
+        from es_to_clickhouse_spark.functions import sanitize_field_name
+
+        original = original_time_field(time_field, mapping_response)
+        query = json.loads(
+            range_query(original, since, update_field, since_update)
+        )["query"]
+        rows: list[dict] = []
+        max_time = since
+        max_update = since_update
+        scroll_id: str | None = None
+        try:
+            page = self._send(
+                self.initial_request(index, query, sort_field=original)
+            )
+            for _ in range(max_pages):
+                scroll_id = page.get("_scroll_id", scroll_id)
+                hits = page.get("hits", {}).get("hits", [])
+                if not hits:
+                    break
+                page_rows = scroll_docs(page, store_source=store_source)
+                for row in page_rows:
+                    flat = {
+                        sanitize_field_name(k): v
+                        for k, v in row.items()
+                        if k not in ("_id", "_source")
+                    }
+                    t = flat.get(time_field, "")
+                    if t and t > max_time:
+                        max_time = t
+                    if update_field:
+                        u = flat.get(update_field, "")
+                        if u and (max_update is None or u > max_update):
+                            max_update = u
+                rows.extend(page_rows)
+                page = self._send(self.page_request(scroll_id))
+        except (OSError, ValueError):
+            pass  # partial rows + watermark progress kept
+        finally:
+            if scroll_id:
+                try:
+                    self._send(self.cleanup_request(scroll_id))
+                except (OSError, ValueError):
+                    pass
+        return rows, max_time, max_update
+
+
+def original_time_field(
+    time_field: str, mapping_response: dict | None
+) -> str:
+    """The P13 rebind, query-side: the engine's detected field is the
+    sanitized ``timestamp``, but the index may actually store
+    ``@timestamp`` — the range/sort DSL must use the ORIGINAL name
+    (es/es_to_bytehouse.py:837-840 checks the raw mapping). The check
+    walks the mapping's property names (recursively, matching
+    flatten_mapping's traversal) instead of the reference's
+    str-contains over the whole response, which also fires on values."""
+    if time_field != "timestamp" or not mapping_response:
+        return time_field
+
+    def _has(props: dict) -> bool:
+        for name, cfg in props.items():
+            if name == "@timestamp":
+                return True
+            if isinstance(cfg, dict) and _has(cfg.get("properties", {})):
+                return True
+        return False
+
+    return "@timestamp" if _has(mapping_properties(mapping_response)) else time_field
+
 
 def range_query(
     time_field: str,
@@ -255,7 +365,9 @@ def range_query(
         return json.dumps(
             {"query": {"bool": {"should": ranges, "minimum_should_match": 1}}}
         )
-    return json.dumps({"query": {"bool": {"filter": ranges[0]}}})
+    # the reference wraps the single range in a LIST
+    # (es/es_to_bytehouse.py:856-860: "filter": [ {range...} ])
+    return json.dumps({"query": {"bool": {"filter": [ranges[0]]}}})
 
 
 @dataclass

@@ -142,7 +142,7 @@ def test_add_columns_idempotent_sorted():
 def test_es_range_query_shapes():
     assert json.loads(range_query("ts"))["query"] == {"match_all": {}}
     q = json.loads(range_query("ts", "2024-01-01"))
-    assert q["query"]["bool"]["filter"] == {"range": {"ts": {"gt": "2024-01-01"}}}
+    assert q["query"]["bool"]["filter"] == [{"range": {"ts": {"gt": "2024-01-01"}}}]
     # OR-of-ranges with minimum_should_match (es/es_to_bytehouse.py:841-861)
     q2 = json.loads(range_query("ts", "2024-01-01", "upd", "2024-02-02"))
     assert q2["query"]["bool"]["minimum_should_match"] == 1

@@ -144,7 +144,7 @@ def test_es_incremental_dsl_wire_golden():
     }
     # plain strict-greater watermark
     assert json.loads(range_query("@timestamp", "2024-01-01")) == {
-        "query": {"bool": {"filter": {"range": {"@timestamp": {"gt": "2024-01-01"}}}}}
+        "query": {"bool": {"filter": [{"range": {"@timestamp": {"gt": "2024-01-01"}}}]}}
     }
     assert json.loads(range_query("ts")) == {"query": {"match_all": {}}}
 
@@ -349,9 +349,173 @@ def test_scroll_session_query_passthrough_matches_range_dsl():
     s = ScrollSession(size=500)
     req = s.initial_request("logs", query=dsl["query"])
     assert req["body"]["query"] == {
-        "bool": {"filter": {"range": {"created_at": {"gt": "2024-01-01T00:00:00"}}}}
+        "bool": {"filter": [{"range": {"created_at": {"gt": "2024-01-01T00:00:00"}}}]}
     }
     assert req["body"]["size"] == 500
+
+
+def _src_page(scroll_id, docs):
+    return {
+        "_scroll_id": scroll_id,
+        "hits": {"hits": [{"_id": d.pop("_id"), "_source": d} for d in docs]},
+    }
+
+
+def test_scroll_http_incremental_plain_range():
+    """The INCREMENTAL scroll over a real loopback socket, end-to-end
+    (es/es_to_bytehouse.py:825-961): the init body carries the
+    strict-greater range in a filter LIST plus the ascending sort on the
+    time field, pages drain through the same rotated-id loop, the
+    watermark advances as a running max over hit times, and the context
+    is DELETEd."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession
+
+    pages = [
+        _src_page("sid-1", [
+            {"_id": "a", "created_at": "2024-01-02", "v": 1},
+            {"_id": "b", "created_at": "2024-01-03", "v": 2},
+        ]),
+        _src_page("sid-1", [{"_id": "c", "created_at": "2024-01-05", "v": 3}]),
+        _src_page("sid-1", []),
+    ]
+    srv, log, host = _serve_scroll(pages)
+    try:
+        rows, max_t, max_u = ScrollSession(host=host, size=2).drain_http_incremental(
+            "logs", time_field="created_at", since="2024-01-01"
+        )
+    finally:
+        srv.shutdown()
+    assert [r["_id"] for r in rows] == ["a", "b", "c"]
+    assert max_t == "2024-01-05" and max_u is None
+    init = log[0]
+    assert init["params"] == {"scroll": "5m"}
+    assert init["body"]["query"] == {
+        "bool": {"filter": [{"range": {"created_at": {"gt": "2024-01-01"}}}]}
+    }
+    assert init["body"]["sort"] == [{"created_at": "asc"}]
+    assert [(r["method"], r["path"]) for r in log] == [
+        ("POST", "/logs/_search"),
+        ("POST", "/_search/scroll"),
+        ("POST", "/_search/scroll"),
+        ("DELETE", "/_search/scroll"),
+    ]
+
+
+def test_scroll_http_incremental_or_ranges_and_update_watermark():
+    """OR-of-ranges incremental (new + updated docs): the init body is
+    the bool.should + minimum_should_match=1 shape, and BOTH watermarks
+    advance independently — docs without the update field don't touch
+    the update watermark (es/es_to_bytehouse.py:843-853,909-919)."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession
+
+    pages = [
+        _src_page("sid-9", [
+            {"_id": "a", "ts": "2024-03-02", "updated_at": "2024-03-09"},
+            {"_id": "b", "ts": "2024-03-04"},  # no update field
+        ]),
+        _src_page("sid-9", []),
+    ]
+    srv, log, host = _serve_scroll(pages)
+    try:
+        rows, max_t, max_u = ScrollSession(host=host).drain_http_incremental(
+            "logs",
+            time_field="ts",
+            since="2024-03-01",
+            update_field="updated_at",
+            since_update="2024-03-05",
+        )
+    finally:
+        srv.shutdown()
+    assert len(rows) == 2
+    assert max_t == "2024-03-04"
+    assert max_u == "2024-03-09"
+    q = log[0]["body"]["query"]["bool"]
+    assert q["minimum_should_match"] == 1
+    assert q["should"] == [
+        {"range": {"ts": {"gt": "2024-03-01"}}},
+        {"range": {"updated_at": {"gt": "2024-03-05"}}},
+    ]
+    assert log[0]["body"]["sort"] == [{"ts": "asc"}]
+
+
+def test_scroll_http_incremental_timestamp_rebind():
+    """P13 end-to-end: the detected field is the sanitized `timestamp`,
+    but the mapping carries `@timestamp` — the range and sort DSL must
+    use the ORIGINAL `@timestamp` name, while the running-max watermark
+    reads the sanitized key off each hit
+    (es/es_to_bytehouse.py:837-840)."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession
+
+    pages = [
+        _src_page("sid-2", [
+            {"_id": "a", "@timestamp": "2024-06-02T10:00:00"},
+            {"_id": "b", "@timestamp": "2024-06-02T12:00:00"},
+        ]),
+        _src_page("sid-2", []),
+    ]
+    srv, log, host = _serve_scroll(pages)
+    try:
+        rows, max_t, _ = ScrollSession(host=host).drain_http_incremental(
+            "logs",
+            time_field="timestamp",
+            since="2024-06-01T00:00:00",
+            mapping_response=MAPPING_RESPONSE,
+        )
+    finally:
+        srv.shutdown()
+    assert len(rows) == 2
+    assert max_t == "2024-06-02T12:00:00"
+    assert log[0]["body"]["query"] == {
+        "bool": {"filter": [{"range": {"@timestamp": {"gt": "2024-06-01T00:00:00"}}}]}
+    }
+    assert log[0]["body"]["sort"] == [{"@timestamp": "asc"}]
+
+
+def test_scroll_http_incremental_failure_keeps_rows_and_watermark():
+    """HTTP 500 mid-scroll: the rows already drained are kept AND the
+    watermark reflects them (the resume point re-fetches only what the
+    failed page would have delivered — at-least-once, no overshoot);
+    the scroll context is still DELETEd."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession
+
+    pages = [
+        _src_page("sid-3", [{"_id": "a", "ts": "2024-02-02"}]),
+        "fail",
+    ]
+    srv, log, host = _serve_scroll(pages)
+    try:
+        rows, max_t, _ = ScrollSession(host=host).drain_http_incremental(
+            "logs", time_field="ts", since="2024-02-01"
+        )
+    finally:
+        srv.shutdown()
+    assert [r["_id"] for r in rows] == ["a"]
+    assert max_t == "2024-02-02"
+    assert (log[-1]["method"], log[-1]["path"]) == ("DELETE", "/_search/scroll")
+    assert log[-1]["body"] == {"scroll_id": "sid-3"}
+
+
+def test_original_time_field_rebind_rules():
+    """Query-side rebind only fires for the sanitized `timestamp` name
+    AND a mapping that actually carries `@timestamp` (top-level or
+    nested); everything else passes through."""
+    from es_to_clickhouse_spark.sources.es import original_time_field
+
+    assert original_time_field("timestamp", MAPPING_RESPONSE) == "@timestamp"
+    assert original_time_field("created_at", MAPPING_RESPONSE) == "created_at"
+    assert original_time_field("timestamp", None) == "timestamp"
+    no_at = {"idx": {"mappings": {"properties": {"timestamp": {"type": "date"}}}}}
+    assert original_time_field("timestamp", no_at) == "timestamp"
+    nested = {
+        "idx": {
+            "mappings": {
+                "properties": {
+                    "meta": {"properties": {"@timestamp": {"type": "date"}}}
+                }
+            }
+        }
+    }
+    assert original_time_field("timestamp", nested) == "@timestamp"
 
 
 def test_mongo_keyset_session_transcript_golden():

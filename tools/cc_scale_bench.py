@@ -1,0 +1,248 @@
+"""Scale-evidence bench: star-contraction connected components vs the
+retired min-label-propagation implementation, head-to-head on synthetic
+graphs whose structure is CONTROLLED (the r6 rewrite traded ~6% of the
+tiny-graph bench for an O(log n) round bound — this harness pins what
+that bound is worth, and where the crossover sits).
+
+The propagation comparator below is this repo's own pre-r6
+implementation (git f365654^:es_to_clickhouse_spark/operators/graph.py,
+min-label propagation with double path-halving pointer jumping),
+resurrected HERE — outside the package — purely as a measurement
+baseline. It is not part of the engine.
+
+Topologies (all generated deterministically from spark.range, no
+randomness, no driver-side loops):
+
+- ``path``  — one component of diameter n: propagation's worst case
+  (pointer jumping still needs O(log d) rounds over the FULL static
+  edge list); star contraction's round bound is the same O(log n) but
+  its edge frame shrinks every round.
+- ``grid``  — 2-D k x k lattice: diameter 2k, lots of redundant paths;
+  the "neither trivially easy nor adversarial" middle case.
+- ``blobs`` — many 8-node clusters (chain + chord): the dedup-cluster
+  shape both implementations were built for; converges in 2-4 rounds,
+  so convergence-probe overhead dominates — the small-graph regime
+  where propagation was measured ~1.15x faster at r6.
+
+Each run asserts both implementations return IDENTICAL (node, label)
+sets before timing is trusted.
+
+Usage::
+
+    python tools/cc_scale_bench.py            # full table (~ minutes)
+    python tools/cc_scale_bench.py path 100000  # one topology, one size
+
+Writes CC_SCALE_BENCH.md at the repo root when run with no arguments.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from es_to_clickhouse_spark.operators.graph import (  # noqa: E402
+    connected_components,
+)
+from es_to_clickhouse_spark.session import get_spark  # noqa: E402
+
+
+# ----------------------------------------------------------------- graphs
+
+
+def path_graph(spark, n_edges: int) -> DataFrame:
+    """0-1-2-...-n: one component, diameter = n_edges."""
+    return spark.range(n_edges).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+
+
+def grid_graph(spark, n_edges: int) -> DataFrame:
+    """k x k lattice with right + down edges: ~2k^2 edges, diameter 2k."""
+    k = max(2, int((n_edges / 2) ** 0.5))
+    nodes = spark.range(k * k).select(
+        F.col("id"), (F.col("id") % k).alias("c"), (F.col("id") / k).cast("long").alias("r")
+    )
+    right = nodes.where(F.col("c") < k - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    down = nodes.where(F.col("r") < k - 1).select(
+        F.col("id").alias("a"), (F.col("id") + k).alias("b")
+    )
+    return right.unionByName(down)
+
+
+def blobs_graph(spark, n_edges: int) -> DataFrame:
+    """Disjoint 8-node clusters, each a 7-edge chain plus a 0-4 chord:
+    8 edges per cluster, diameter 4 — the near-dup-cluster shape."""
+    m = 8
+    n_clusters = max(1, n_edges // m)
+    base = spark.range(n_clusters * m).select(
+        F.col("id"),
+        (F.col("id") / m).cast("long").alias("cl"),
+        (F.col("id") % m).alias("pos"),
+    )
+    chain = base.where(F.col("pos") < m - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    chord = base.where(F.col("pos") == 0).select(
+        F.col("id").alias("a"), (F.col("id") + 4).alias("b")
+    )
+    return chain.unionByName(chord)
+
+
+TOPOLOGIES = {"path": path_graph, "grid": grid_graph, "blobs": blobs_graph}
+
+
+# ------------------------------------- retired comparator (f365654^)
+
+
+def cc_min_label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 50,
+    check_every: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The pre-r6 implementation: min-label propagation with double
+    path-halving, verbatim semantics (git f365654^). Kept out of the
+    package; exists only so this bench compares real code, not a
+    strawman."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = und.select(F.col("a").alias("n")).distinct().withColumn(
+        "lab", F.col("n")
+    )
+    rounds_since_check = 0
+    for i in range(max_iter):
+        nbr = und.join(labels, und["b"] == labels["n"]).select(
+            F.col("a").alias("n"), F.col("lab")
+        )
+        m1 = labels.unionByName(nbr).groupBy("n").agg(F.min("lab").alias("lab"))
+        m1a = m1.alias("x")
+        short = m1a.join(m1.alias("y"), F.col("x.lab") == F.col("y.n")).select(
+            F.col("x.n").alias("n"), F.col("y.lab").alias("lab")
+        )
+        short = (
+            short.alias("x")
+            .join(m1.alias("y"), F.col("x.lab") == F.col("y.n"))
+            .select(F.col("x.n").alias("n"), F.col("y.lab").alias("lab"))
+        )
+        new = (
+            m1.unionByName(short)
+            .groupBy("n")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+        rounds_since_check += 1
+        if rounds_since_check >= check_every or i == max_iter - 1:
+            changed = (
+                new.alias("x")
+                .join(labels.alias("y"), "n")
+                .where(F.col("x.lab") != F.col("y.lab"))
+                .count()
+            )
+            if changed == 0:
+                if stats is not None:
+                    stats["rounds"] = i + 1
+                return new.select(
+                    F.col("n").alias("node"), F.col("lab").alias("label")
+                )
+            rounds_since_check = 0
+        labels = new
+    raise RuntimeError(f"propagation did not converge in {max_iter} rounds")
+
+
+# ---------------------------------------------------------------- harness
+
+
+def run_one(spark, topo: str, n_edges: int, repeats: int = 2) -> list[dict]:
+    edges = TOPOLOGIES[topo](spark, n_edges).localCheckpoint(eager=True)
+    true_edges = edges.count()
+    results = []
+    outs = {}
+    for name, fn in (
+        ("star", lambda s: connected_components(edges, "a", "b", max_iter=40, stats=s)),
+        ("propagation", lambda s: cc_min_label_propagation(edges, "a", "b", stats=s)),
+    ):
+        best, rounds = None, None
+        for _ in range(repeats):
+            st: dict = {}
+            t0 = time.monotonic()
+            out = fn(st)
+            n_labels = out.count()  # materialize
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+            rounds = st.get("rounds")
+            outs[name] = out
+        results.append(
+            {
+                "topology": topo,
+                "edges": true_edges,
+                "impl": name,
+                "sec": round(best, 2),
+                "rounds": rounds,
+                "labels": n_labels,
+            }
+        )
+    # both implementations must agree exactly before the timing counts
+    diff = (
+        outs["star"].exceptAll(outs["propagation"]).count()
+        + outs["propagation"].exceptAll(outs["star"]).count()
+    )
+    assert diff == 0, f"{topo}/{n_edges}: outputs diverge by {diff} rows"
+    return results
+
+
+def main() -> None:
+    spark = get_spark("cc_scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    if len(sys.argv) == 3:
+        rows = run_one(spark, sys.argv[1], int(sys.argv[2]))
+        for r in rows:
+            print(r)
+        return
+    rows = []
+    for topo in ("blobs", "grid", "path"):
+        for n in (100_000, 1_000_000):
+            rows.extend(run_one(spark, topo, n))
+            print(rows[-2], rows[-1], flush=True)
+    lines = [
+        "# CC scale bench — star contraction vs min-label propagation",
+        "",
+        "Generated by `python tools/cc_scale_bench.py` (local[%d], warm min of 2," % spark.sparkContext.defaultParallelism,
+        "identical outputs asserted per run). Propagation is the retired pre-r6",
+        "implementation (git f365654^), resurrected inside the bench only.",
+        "",
+        "| topology | edges | impl | sec | rounds |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['topology']} | {r['edges']:,} | {r['impl']} | {r['sec']} | {r['rounds']} |"
+        )
+    by = {(r["topology"], r["edges"], r["impl"]): r for r in rows}
+    lines += ["", "## Ratios (star / propagation)", ""]
+    for (topo, n) in sorted({(r["topology"], r["edges"]) for r in rows}):
+        s = by[(topo, n, "star")]["sec"]
+        p = by[(topo, n, "propagation")]["sec"]
+        lines.append(f"- {topo} @ {n:,} edges: {s / p:.2f}x")
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(os.path.dirname(__file__), "..", "CC_SCALE_BENCH.md"), "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
