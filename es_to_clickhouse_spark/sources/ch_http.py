@@ -1,0 +1,315 @@
+"""ClickHouse source/sink over the HTTP interface (public wire format,
+no driver jar needed — the gap that kept S7/S15 "done-modulo-environment"
+through r6: the sandbox has neither the JDBC jar nor the native-TCP
+driver, but ClickHouse's HTTP interface is plain ``POST /?query=`` and
+stdlib urllib drives it).
+
+Reference behaviors mapped (clickhouse/clickhouse_to_bytehouse.py):
+
+- paged full sync: ``SELECT COUNT(*)`` then ``SELECT * ... LIMIT B
+  OFFSET o`` per batch (:303-306) — ``paged_sql``/``count_sql`` are
+  byte-identical; ``fetch_all_paged`` drives the same O(n²/B) loop for
+  protocol parity, while :meth:`read_table` is the scale path (parallel
+  range predicates, one pass);
+- incremental sync: ``SELECT * FROM `db`.`t` WHERE `col` > '...'``
+  (:346-347, condition built at :455-468 including the
+  ``now() - INTERVAL 1 DAY`` bootstrap) — ``incremental_sql`` /
+  ``since_condition``;
+- batched INSERT (:313-316 native ``INSERT ... VALUES``) ↔ HTTP
+  ``INSERT ... FORMAT JSONEachRow`` with an NDJSON body — same batch
+  semantics, public wire format instead of the native protocol.
+
+Scale design: :meth:`read_table` plans N numeric ranges and fetches
+each ON THE EXECUTORS (``sparkContext.parallelize(ranges).flatMap``),
+so a large table streams through the cluster in one pass — the HTTP
+analog of JDBC partitioned reads. Rows travel as raw NDJSON lines and
+are parsed JVM-side by ``spark.read.schema(...).json`` with the typed
+schema derived from ``DESCRIBE TABLE`` — no row-at-a-time Python
+parsing on the hot path. :meth:`write_table` pushes NDJSON INSERT
+batches from ``foreachPartition`` — executor-side, batch_size-bounded
+memory, no driver collect."""
+
+from __future__ import annotations
+
+import json
+import re
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: ClickHouse scalar type → Spark type (DESCRIBE TABLE vocabulary).
+#: UInt64 maps to Decimal(20,0) — it does not fit a signed long.
+CH_SCALAR_TO_SPARK: dict[str, T.DataType] = {
+    "Int8": T.ByteType(),
+    "Int16": T.ShortType(),
+    "Int32": T.IntegerType(),
+    "Int64": T.LongType(),
+    "UInt8": T.ShortType(),
+    "UInt16": T.IntegerType(),
+    "UInt32": T.LongType(),
+    "UInt64": T.DecimalType(20, 0),
+    "Float32": T.FloatType(),
+    "Float64": T.DoubleType(),
+    "String": T.StringType(),
+    "UUID": T.StringType(),
+    "IPv4": T.StringType(),
+    "IPv6": T.StringType(),
+    "Bool": T.BooleanType(),
+    "Date": T.DateType(),
+    "Date32": T.DateType(),
+    "DateTime": T.TimestampType(),
+}
+
+
+def ch_type_to_spark(ch_type: str) -> T.DataType:
+    """Parse one DESCRIBE TABLE type string into a Spark type.
+    Handles the wrapper grammar (Nullable/LowCardinality unwrap,
+    Array recursion, DateTime64/FixedString/Decimal/Enum parameters);
+    unknown types fall back to String — the reference's wide-String
+    posture (es/es_to_bytehouse.py:166-188) applied to the CH path."""
+    s = ch_type.strip()
+    m = re.fullmatch(r"(Nullable|LowCardinality)\((.*)\)", s)
+    if m:
+        return ch_type_to_spark(m.group(2))
+    m = re.fullmatch(r"Array\((.*)\)", s)
+    if m:
+        return T.ArrayType(ch_type_to_spark(m.group(1)))
+    m = re.fullmatch(r"DateTime64\(\s*\d+\s*(,.*)?\)", s)
+    if m:
+        return T.TimestampType()
+    m = re.fullmatch(r"DateTime\(.*\)", s)  # tz-parameterized
+    if m:
+        return T.TimestampType()
+    m = re.fullmatch(r"FixedString\(\s*\d+\s*\)", s)
+    if m:
+        return T.StringType()
+    m = re.fullmatch(r"Decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"Enum(?:8|16)\(.*\)", s)
+    if m:
+        return T.StringType()
+    return CH_SCALAR_TO_SPARK.get(s, T.StringType())
+
+
+def describe_to_schema(rows: list[dict]) -> T.StructType:
+    """``DESCRIBE TABLE ... FORMAT JSONEachRow`` rows → Spark schema
+    (the S9 schema fetch over the HTTP interface)."""
+    return T.StructType(
+        [T.StructField(r["name"], ch_type_to_spark(r["type"]), True) for r in rows]
+    )
+
+
+@dataclass
+class ClickHouseHttpSource:
+    """ClickHouse over HTTP — same engine surface as
+    :class:`sources.jdbc.JdbcSource`, loopback-testable."""
+
+    host: str = "http://localhost:8123"
+    database: str = "default"
+    user: str = "default"
+    password: str = ""
+    batch_size: int = 10_000  # BATCH_SIZE (clickhouse/clickhouse_to_bytehouse.py:33)
+    settings: dict[str, str] = field(default_factory=dict)
+
+    # ----------------------------------------------------- pure builders
+
+    def count_sql(self, table: str) -> str:
+        """Byte-identical to clickhouse/clickhouse_to_bytehouse.py:440."""
+        return f"SELECT COUNT(*) FROM `{self.database}`.`{table}`"
+
+    def paged_sql(self, table: str, limit: int, offset: int) -> str:
+        """Byte-identical to the reference's batch_sql (:304)."""
+        return (
+            f"SELECT * FROM `{self.database}`.`{table}` "
+            f"LIMIT {limit} OFFSET {offset}"
+        )
+
+    @staticmethod
+    def since_condition(
+        time_column: str,
+        last_sync_time: str | None = None,
+        start_date: str | None = None,
+    ) -> str:
+        """The incremental WHERE condition, precedence and spelling per
+        clickhouse/clickhouse_to_bytehouse.py:455-468: last-sync wins
+        unless a start date is forced; no state at all → the 1-day
+        bootstrap window (P6)."""
+        if last_sync_time and not start_date:
+            return f"`{time_column}` > '{last_sync_time}'"
+        if start_date:
+            return f"`{time_column}` > '{start_date}'"
+        return f"`{time_column}` > now() - INTERVAL 1 DAY"
+
+    def incremental_sql(self, table: str, since_condition: str = "") -> str:
+        """Byte-identical to sync_table_incremental's query (:346-347),
+        including the trailing space when the condition is empty."""
+        where_clause = f"WHERE {since_condition}" if since_condition else ""
+        return f"SELECT * FROM `{self.database}`.`{table}` {where_clause}"
+
+    def max_time_sql(self, table: str, time_column: str, since_condition: str) -> str:
+        """Watermark advance query (:475-477): max over the just-synced
+        batch's condition."""
+        return (
+            f"SELECT max(`{time_column}`) FROM `{self.database}`.`{table}` "
+            f"WHERE {since_condition}"
+        )
+
+    def insert_sql(self, table: str, columns: list[str]) -> str:
+        """HTTP-interface INSERT: named columns like the reference's
+        insert_sql (:313-314), FORMAT JSONEachRow instead of VALUES
+        (the body carries NDJSON rows)."""
+        cols = ", ".join(f"`{c}`" for c in columns)
+        return (
+            f"INSERT INTO `{self.database}`.`{table}` ({cols}) "
+            "FORMAT JSONEachRow"
+        )
+
+    def request_for(self, sql: str, data: bytes | None = None) -> urllib.request.Request:
+        """One HTTP-interface request: query in the URL, payload (if
+        any) in the body, credentials in X-ClickHouse-* headers."""
+        params = {"query": sql, "database": self.database, **self.settings}
+        url = f"{self.host}/?" + urllib.parse.urlencode(params)
+        return urllib.request.Request(
+            url,
+            data=data if data is not None else b"",
+            headers={
+                "X-ClickHouse-User": self.user,
+                "X-ClickHouse-Key": self.password,
+                "Content-Type": "application/x-ndjson",
+            },
+            method="POST",
+        )
+
+    # ------------------------------------------------------------- wire
+
+    def execute(self, sql: str, data: bytes | None = None, timeout: int = 60) -> str:
+        with urllib.request.urlopen(self.request_for(sql, data), timeout=timeout) as r:
+            return r.read().decode("utf-8")
+
+    def fetch_rows(self, sql: str) -> list[dict]:
+        """SELECT → list of dicts via FORMAT JSONEachRow."""
+        text = self.execute(f"{sql} FORMAT JSONEachRow")
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
+
+    def fetch_scalar(self, sql: str):
+        """One-value result (COUNT/max watermark) via TabSeparated."""
+        text = self.execute(f"{sql} FORMAT TabSeparated").strip()
+        return text if text and text != "\\N" else None
+
+    def table_schema(self, table: str) -> T.StructType:
+        return describe_to_schema(
+            self.fetch_rows(f"DESCRIBE TABLE `{self.database}`.`{table}`")
+        )
+
+    def fetch_all_paged(self, table: str) -> tuple[list[dict], list[str]]:
+        """The reference's full-sync pagination loop (:440-460) verbatim:
+        COUNT, then LIMIT/OFFSET batches until done or an empty batch.
+        Returns (rows, sql transcript) so tests golden-check the wire
+        exchange. Parity path — :meth:`read_table` is the scale path."""
+        transcript = [self.count_sql(table)]
+        total = int(self.fetch_scalar(self.count_sql(table)) or 0)
+        rows: list[dict] = []
+        offset = 0
+        while offset < total:
+            sql = self.paged_sql(table, self.batch_size, offset)
+            transcript.append(sql)
+            batch = self.fetch_rows(sql)
+            if not batch:
+                break
+            rows.extend(batch)
+            offset += self.batch_size
+        return rows, transcript
+
+    # ------------------------------------------------------ Spark paths
+
+    def read_table(
+        self,
+        spark: SparkSession,
+        table: str,
+        where: str | None = None,
+        partition_column: str | None = None,
+        bounds: tuple[int, int] | None = None,
+        num_partitions: int = 32,
+    ) -> DataFrame:
+        """Distributed read: N disjoint range predicates over a numeric
+        column, each fetched BY AN EXECUTOR as raw NDJSON and parsed
+        JVM-side against the DESCRIBE-derived schema — one pass over the
+        table, no jar, no driver bottleneck. Without a partition column,
+        a single range (still executor-side) — the small-table case."""
+        schema = self.table_schema(table)
+        base_where = f"({where})" if where else None
+        if partition_column and bounds:
+            lo, hi = bounds
+            n = max(1, num_partitions)
+            step = max(1, (hi - lo + n) // n)
+            cuts = list(range(lo, hi + 1, step)) + [hi + 1]
+            preds = [
+                f"`{partition_column}` >= {a} AND `{partition_column}` < {b}"
+                for a, b in zip(cuts, cuts[1:])
+            ]
+        else:
+            preds = [None]
+        sqls = []
+        for p in preds:
+            conj = " AND ".join(c for c in (base_where, p) if c)
+            sqls.append(
+                f"SELECT * FROM `{self.database}`.`{table}`"
+                + (f" WHERE {conj}" if conj else "")
+                + " FORMAT JSONEachRow"
+            )
+        src = self  # dataclass is picklable; closures ship it to executors
+
+        def _fetch(sql: str) -> list[str]:
+            return [
+                ln
+                for ln in src.execute(sql).splitlines()
+                if ln.strip()
+            ]
+
+        lines = spark.sparkContext.parallelize(sqls, len(sqls)).flatMap(_fetch)
+        return (
+            spark.read.schema(schema)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+            .option("mode", "FAILFAST")
+            .json(lines)
+        )
+
+    def write_table(
+        self, df: DataFrame, table: str, columns: list[str] | None = None
+    ) -> None:
+        """Batched INSERT sink over HTTP (S15): each partition posts
+        NDJSON bodies of at most ``batch_size`` rows — executor-side,
+        at-least-once per partition like the reference's per-batch
+        insert loop (:313-316)."""
+        cols = columns or df.columns
+        sql = self.insert_sql(table, cols)
+        src = self
+        bsz = self.batch_size
+
+        def _post(it):
+            buf: list[str] = []
+            for row in it:
+                d = row.asDict(recursive=True)
+                buf.append(
+                    json.dumps({c: d.get(c) for c in cols}, default=str)
+                )
+                if len(buf) >= bsz:
+                    src.execute(sql, ("\n".join(buf) + "\n").encode("utf-8"))
+                    buf = []
+            if buf:
+                src.execute(sql, ("\n".join(buf) + "\n").encode("utf-8"))
+
+        df.select(*cols).foreachPartition(_post)
+
+    def ping(self) -> bool:
+        """GET /ping → ``Ok.`` (the HTTP interface's health check)."""
+        try:
+            req = urllib.request.Request(f"{self.host}/ping", method="GET")
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.read().decode("utf-8").strip() == "Ok."
+        except OSError:
+            return False

@@ -1,0 +1,284 @@
+"""ClickHouse HTTP-interface source/sink against a loopback fake server
+(127.0.0.1 http.server speaking the public HTTP wire format: query in
+the URL, JSONEachRow/TabSeparated bodies). Moves S7/S15 from
+done-modulo-environment to done-modulo-server — everything but a real
+ClickHouse binary runs here, including executor-side fetches and
+INSERT batches."""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import types as T
+
+from es_to_clickhouse_spark.sources.ch_http import (
+    ClickHouseHttpSource,
+    ch_type_to_spark,
+    describe_to_schema,
+)
+
+# in-memory "table" the fake serves; DateTime rendered the way the HTTP
+# interface does (no T separator)
+TABLE_SCHEMA = [
+    {"name": "id", "type": "Int64"},
+    {"name": "name", "type": "Nullable(String)"},
+    {"name": "created_at", "type": "DateTime"},
+    {"name": "score", "type": "Float64"},
+]
+TABLE_ROWS = [
+    {"id": i, "name": None if i == 3 else f"row-{i}",
+     "created_at": f"2024-05-0{1 + i % 9} 10:00:0{i % 10}", "score": i / 2.0}
+    for i in range(10)
+]
+
+
+class _FakeCH:
+    """Scripted-but-functional ClickHouse HTTP endpoint: DESCRIBE,
+    COUNT, SELECT with LIMIT/OFFSET or range predicates, INSERT with an
+    NDJSON body. Records every (sql, body) for transcript goldens."""
+
+    @staticmethod
+    def make(log, inserted):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _reply(self, text, code=200):
+                data = text.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/ping":
+                    self._reply("Ok.\n")
+                else:
+                    self._reply("not found", code=404)
+
+            def do_POST(self):
+                q = urllib.parse.urlsplit(self.path).query
+                params = dict(urllib.parse.parse_qsl(q))
+                sql = params.get("query", "")
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode("utf-8") if n else ""
+                log.append({"sql": sql, "body": body, "params": params})
+                if sql.startswith("INSERT INTO"):
+                    inserted.extend(
+                        json.loads(ln) for ln in body.splitlines() if ln.strip()
+                    )
+                    return self._reply("")
+                if sql.startswith("DESCRIBE TABLE"):
+                    return self._reply(
+                        "\n".join(json.dumps(r) for r in TABLE_SCHEMA) + "\n"
+                    )
+                if "COUNT(*)" in sql:
+                    return self._reply(f"{len(TABLE_ROWS)}\n")
+                if sql.startswith("SELECT max("):
+                    return self._reply("2024-05-09 10:00:09\n")
+                if sql.startswith("SELECT * FROM"):
+                    rows = list(TABLE_ROWS)
+                    m = re.search(r"`(\w+)` >= (\d+) AND `\1` < (\d+)", sql)
+                    if m:
+                        col, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
+                        rows = [r for r in rows if lo <= r[col] < hi]
+                    m = re.search(r"`created_at` > '([^']+)'", sql)
+                    if m:
+                        rows = [r for r in rows if r["created_at"] > m.group(1)]
+                    m = re.search(r"LIMIT (\d+) OFFSET (\d+)", sql)
+                    if m:
+                        lim, off = int(m.group(1)), int(m.group(2))
+                        rows = rows[off : off + lim]
+                    return self._reply(
+                        "".join(json.dumps(r) + "\n" for r in rows)
+                    )
+                return self._reply(f"unhandled: {sql}", code=500)
+
+        return Handler
+
+
+@pytest.fixture()
+def fake_ch():
+    log: list[dict] = []
+    inserted: list[dict] = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeCH.make(log, inserted))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", log, inserted
+    finally:
+        srv.shutdown()
+
+
+def _src(host, **kw):
+    return ClickHouseHttpSource(host=host, database="src_db", **kw)
+
+
+# ------------------------------------------------------- pure builders
+
+
+def test_sql_builders_byte_match_reference():
+    """count/paged/incremental SQL byte-identical to the reference
+    (clickhouse_to_bytehouse.py:440,:304,:346-347); since_condition
+    precedence per :455-468 (last-sync wins unless start_date forced;
+    no state -> 1-day bootstrap)."""
+    s = ClickHouseHttpSource(database="src_db", batch_size=1000)
+    assert s.count_sql("t1") == "SELECT COUNT(*) FROM `src_db`.`t1`"
+    assert (
+        s.paged_sql("t1", 1000, 5000)
+        == "SELECT * FROM `src_db`.`t1` LIMIT 1000 OFFSET 5000"
+    )
+    cond = s.since_condition("created_at", "2024-01-01 00:00:00")
+    assert cond == "`created_at` > '2024-01-01 00:00:00'"
+    assert (
+        s.since_condition("created_at", "2024-01-01", start_date="2023-06-01")
+        == "`created_at` > '2023-06-01'"
+    )
+    assert (
+        s.since_condition("created_at")
+        == "`created_at` > now() - INTERVAL 1 DAY"
+    )
+    assert (
+        s.incremental_sql("t1", cond)
+        == "SELECT * FROM `src_db`.`t1` WHERE `created_at` > '2024-01-01 00:00:00'"
+    )
+    # empty condition keeps the reference's trailing space (:347)
+    assert s.incremental_sql("t1") == "SELECT * FROM `src_db`.`t1` "
+    assert s.max_time_sql("t1", "created_at", cond) == (
+        "SELECT max(`created_at`) FROM `src_db`.`t1` "
+        "WHERE `created_at` > '2024-01-01 00:00:00'"
+    )
+    assert s.insert_sql("t1", ["id", "name"]) == (
+        "INSERT INTO `src_db`.`t1` (`id`, `name`) FORMAT JSONEachRow"
+    )
+
+
+def test_ch_type_mapping_battery():
+    cases = {
+        "Int64": T.LongType(),
+        "UInt8": T.ShortType(),
+        "UInt64": T.DecimalType(20, 0),
+        "Nullable(Int32)": T.IntegerType(),
+        "LowCardinality(String)": T.StringType(),
+        "LowCardinality(Nullable(String))": T.StringType(),
+        "Array(Nullable(Float64))": T.ArrayType(T.DoubleType()),
+        "Array(Array(Int8))": T.ArrayType(T.ArrayType(T.ByteType())),
+        "DateTime": T.TimestampType(),
+        "DateTime64(3)": T.TimestampType(),
+        "DateTime64(9, 'UTC')": T.TimestampType(),
+        "DateTime('UTC')": T.TimestampType(),
+        "FixedString(16)": T.StringType(),
+        "Decimal(10, 2)": T.DecimalType(10, 2),
+        "Enum8('a' = 1, 'b' = 2)": T.StringType(),
+        "Bool": T.BooleanType(),
+        "AggregateFunction(sum, Int64)": T.StringType(),  # unknown fallback
+    }
+    for ch, expected in cases.items():
+        assert ch_type_to_spark(ch) == expected, ch
+    schema = describe_to_schema(TABLE_SCHEMA)
+    assert [f.dataType for f in schema.fields] == [
+        T.LongType(), T.StringType(), T.TimestampType(), T.DoubleType(),
+    ]
+
+
+# ------------------------------------------------------------ loopback
+
+
+def test_ping(fake_ch):
+    host, _, _ = fake_ch
+    assert _src(host).ping() is True
+    assert ClickHouseHttpSource(host="http://127.0.0.1:9").ping() is False
+
+
+def test_fetch_all_paged_transcript(fake_ch):
+    """The reference's full-sync loop over the wire: COUNT then
+    LIMIT/OFFSET batches, byte-golden transcript."""
+    host, log, _ = fake_ch
+    rows, transcript = _src(host, batch_size=4).fetch_all_paged("t1")
+    assert [r["id"] for r in rows] == list(range(10))
+    assert transcript == [
+        "SELECT COUNT(*) FROM `src_db`.`t1`",
+        "SELECT * FROM `src_db`.`t1` LIMIT 4 OFFSET 0",
+        "SELECT * FROM `src_db`.`t1` LIMIT 4 OFFSET 4",
+        "SELECT * FROM `src_db`.`t1` LIMIT 4 OFFSET 8",
+    ]
+    # the wire actually saw those statements (FORMAT suffixes added)
+    assert [r["sql"].split(" FORMAT ")[0] for r in log] == transcript
+    assert log[0]["params"]["database"] == "src_db"
+
+
+def test_incremental_fetch_over_wire(fake_ch):
+    """S7 end-to-end: condition build -> wire SELECT -> rows filtered by
+    the watermark; the max-time watermark advance query too."""
+    host, log, _ = fake_ch
+    s = _src(host)
+    cond = s.since_condition("created_at", "2024-05-05 00:00:00")
+    rows = s.fetch_rows(s.incremental_sql("t1", cond))
+    assert all(r["created_at"] > "2024-05-05 00:00:00" for r in rows)
+    assert len(rows) == 5  # ids 4..8 land on 05-05..05-09 10:00:0x
+    assert s.fetch_scalar(s.max_time_sql("t1", "created_at", cond)) == (
+        "2024-05-09 10:00:09"
+    )
+    assert log[0]["sql"] == (
+        "SELECT * FROM `src_db`.`t1` WHERE `created_at` > "
+        "'2024-05-05 00:00:00' FORMAT JSONEachRow"
+    )
+
+
+def test_read_table_distributed_typed(fake_ch, spark):
+    """The scale path: 3 range partitions, each fetched executor-side,
+    parsed JVM-side into the DESCRIBE-derived typed schema."""
+    host, log, _ = fake_ch
+    df = _src(host).read_table(
+        spark, "t1", partition_column="id", bounds=(0, 9), num_partitions=3
+    )
+    got = {r.id: r for r in df.collect()}
+    assert len(got) == 10
+    assert got[3].name is None and got[2].name == "row-2"
+    assert got[7].score == 3.5
+    assert got[0].created_at.year == 2024 and got[0].created_at.hour == 10
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "timestamp", "double",
+    ]
+    selects = [r["sql"] for r in log if "`id` >=" in r["sql"]]
+    assert len(selects) == 3  # one bounded scan per partition
+    assert all("FORMAT JSONEachRow" in s for s in selects)
+
+
+def test_read_table_where_composes_with_ranges(fake_ch, spark):
+    host, log, _ = fake_ch
+    df = _src(host).read_table(
+        spark,
+        "t1",
+        where="`created_at` > '2024-05-05 00:00:00'",
+        partition_column="id",
+        bounds=(0, 9),
+        num_partitions=2,
+    )
+    ids = sorted(r.id for r in df.collect())
+    assert ids == [4, 5, 6, 7, 8]  # watermark filter applied server-side
+    sel = [r["sql"] for r in log if r["sql"].startswith("SELECT * FROM")]
+    assert all("`created_at` >" in s and "`id` >=" in s for s in sel)
+
+
+def test_write_table_ndjson_batches(fake_ch, spark):
+    """S15 passthrough sink over the wire: named-column INSERT with
+    NDJSON bodies, batch_size-bounded posts from the executors."""
+    host, log, inserted = fake_ch
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(7)], "id long, name string"
+    ).coalesce(1)
+    _src(host, batch_size=3).write_table(df, "t_out")
+    assert sorted(r["id"] for r in inserted) == list(range(7))
+    assert {r["name"] for r in inserted} == {f"n{i}" for i in range(7)}
+    posts = [r for r in log if r["sql"].startswith("INSERT INTO")]
+    assert all(
+        r["sql"] == "INSERT INTO `src_db`.`t_out` (`id`, `name`) FORMAT JSONEachRow"
+        for r in posts
+    )
+    # 7 rows in one partition at batch_size 3 -> 3 posts
+    assert [len(p["body"].splitlines()) for p in posts] == [3, 3, 1]
