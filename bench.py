@@ -199,8 +199,39 @@ def main() -> None:
             stddevs[name] = round(statistics.pstdev(warms), 3)
         return timings, mins, stddevs, cold
 
+    # Noise floor (r6 VERDICT #5): the same fixed query, repeated with
+    # NO code change, brackets the whole bench — half the passes before
+    # the sets run, half after — so its spread captures both fast
+    # scheduling jitter and slow host drift across the bench window.
+    # A future round's per-query delta smaller than ~3x the relative
+    # floor is host noise, not a regression, at a glance.
+    NOISE_QUERY = "w1_latest_per_key"
+    NOISE_PASSES = 6
+
+    def noise_passes(n: int) -> list[float]:
+        out = []
+        fn = qs[NOISE_QUERY]
+        for _ in range(n):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out.append(time.time() - t0)
+        return out
+
+    noise = noise_passes(NOISE_PASSES // 2 + 1)[1:]  # drop its cold pass
+
     timings, mins, stddevs, cold = run_set(HEADLINE, WARM_PASSES)
     h_timings, h_mins, h_stddevs, h_cold = run_set(HEAVY, HEAVY_WARM_PASSES)
+
+    noise += noise_passes(NOISE_PASSES // 2)
+    noise_med = statistics.median(noise)
+    noise_floor = {
+        "query": NOISE_QUERY,
+        "passes": len(noise),
+        "median": round(noise_med, 3),
+        "stddev": round(statistics.pstdev(noise), 3),
+        "rel": round(statistics.pstdev(noise) / noise_med, 3) if noise_med else None,
+        "spread": round((max(noise) - min(noise)) / noise_med, 3) if noise_med else None,
+    }
 
     here = os.path.dirname(os.path.abspath(__file__))
     prior = best_prior_per_query(here)
@@ -242,6 +273,7 @@ def main() -> None:
                 "heavy_warm_passes": HEAVY_WARM_PASSES,
                 "cpus": DEFAULT_CPUS,
                 "regressions": regressions,
+                "noise_floor": noise_floor,
                 "sf": sf_num,
             }
         )

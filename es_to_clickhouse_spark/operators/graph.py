@@ -103,7 +103,7 @@ def connected_components(
     edges: DataFrame,
     src: str,
     dst: str,
-    max_iter: int = 25,
+    max_iter: int = 50,
     out_node: str = "node",
     out_label: str = "label",
     check_every: int = 3,
@@ -121,13 +121,16 @@ def connected_components(
     (each probe is a driver round-trip plus jobs over the lazy round
     chain, and the per-round edge frames are tiny on dedup graphs, so
     probe jobs DOMINATE wall clock); running extra rounds past the
-    fixpoint is a no-op, so probing late never changes the result — the
-    no-op rounds cost only expression depth inside the next probe's
-    job, never extra jobs. Schedule measured on d9's near-dup graph at
-    sf0.1 (true convergence round 5, one JVM, min-of-4 warm): probes
-    {3,5} 2.61 s < {5} 2.78 s ≈ {3,6} 2.77 s ≈ {4,6} 2.78 s — the
-    early probe returns fast on the common 2-3-round graphs, the
-    2-round follow-up cadence tracks the O(log n) tail cheaply. The probe requires BOTH phases to be identities
+    fixpoint is a no-op, so probing late never changes the result.
+    Schedule measured on d9's near-dup graph at sf0.1 (true convergence
+    round 5, one JVM, min-of-4 warm): probes {3,5} 2.61 s < {5} 2.78 s
+    ≈ {3,6} 2.77 s ≈ {4,6} 2.78 s. An exponential-backoff cadence was
+    tried and REJECTED by measurement (r7, tools/cc_scale_bench): on a
+    10^6-edge path it saved 4 probes but overshot the fixpoint by 7
+    rounds, and a no-op round on a GIANT component is two full shuffles
+    over its (n-1)-edge star forest — 55.1 s vs 44.5 s, +24%. Probes
+    are cheaper than overshoot in every regime measured, so the dense
+    fixed cadence stays. The probe requires BOTH phases to be identities
     (prev == large_star(prev) == small_star(large_star(prev))): only a
     common fixpoint of both operations is guaranteed to be a star
     forest, and "one composed round returned the same set" alone would

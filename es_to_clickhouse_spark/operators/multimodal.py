@@ -645,3 +645,159 @@ def wav_pcm_stats(
         # engines, so the oracle reproduces it bit-for-bit)
         F.round(F.sqrt(stc["sq"] / F.col("_n")), 4).alias("rms"),
     )
+
+
+def gif_animation_inventory(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_blocks: int = 64,
+) -> DataFrame:
+    """REAL animation inventory from a GIF89a container walk — frame
+    count, total duration (centiseconds, per-frame Graphic Control
+    Extension delays summed), and NETSCAPE loop count — without
+    decoding a single LZW pixel. This is pure block-structure traversal
+    (the GIF spec's grammar, public wire format), the animation/video
+    analog of :func:`jpeg_sof0_dims`'s segment walk:
+
+    - header: magic + Logical Screen Descriptor, then the Global Color
+      Table (3·2^(N+1) bytes) skipped by HOISTED math — computed once
+      outside the fold (F.aggregate lambdas re-evaluate captured
+      expressions per element);
+    - ``0x2C`` Image Descriptor: counts a frame, skips the optional
+      Local Color Table + LZW-min-code byte, then enters the
+      size-prefixed data sub-block chain (skipped, never decoded);
+    - ``0x21 0xF9`` Graphic Control Extension: fixed 8-byte layout,
+      little-endian delay accumulated;
+    - ``0x21 0xFF`` NETSCAPE2.0 application extension: loop count
+      (fixed 19-byte layout); any other extension (comment, plain
+      text, foreign app) skips generically through its sub-blocks;
+    - ``0x3B`` trailer terminates.
+
+    One ``F.aggregate`` fold with a struct accumulator (pos, mode,
+    frames, delay, loop); each step consumes exactly one block or one
+    sub-block, so ``max_blocks`` bounds the walk. FAILS CLOSED (all
+    NULL) on: bad magic, an unknown block byte, any field read past the
+    payload end (NULL position poisons the step), a truncated GCE, or
+    step exhaustion before the trailer — a partial inventory is never
+    reported as a total one. ``loop_count`` is NULL when no NETSCAPE
+    block exists (a non-looping animation).
+
+    Reference parity: the reference pipelines treat media as opaque
+    strings (es/es_to_bytehouse.py:166-188); this operator is part of
+    the engine's multimodal extension (SURVEY §2 multimodal battery)."""
+    p = F.col("_pay")
+    packed = F.conv(F.hex(F.substring(p, 11, 1)), 16, 10).cast("long")
+    gct = F.when(
+        packed >= 128,
+        F.lit(3) * F.pow(F.lit(2.0), F.pmod(packed, 8) + 1).cast("long"),
+    ).otherwise(F.lit(0))
+    staged = df.select(
+        F.col(id_col),
+        F.col(payload_col).alias("_pay"),
+        (F.substring(F.col(payload_col), 1, 6).cast("string") == "GIF89a").alias("_ok0"),
+    ).select(
+        F.col(id_col),
+        p.alias("_pay"),
+        (F.col("_ok0") & (F.length(p) >= 14)).alias("_ok"),
+        F.when(F.col("_ok0"), F.lit(14) + gct).otherwise(F.lit(0)).alias("_p0"),
+    ).localCheckpoint(eager=False)
+
+    def u8(pos: Column) -> Column:
+        h = F.hex(F.substring(p, pos.cast("int"), 1))
+        return F.when(h == "", F.lit(None)).otherwise(
+            F.conv(h, 16, 10).cast("long")
+        )
+
+    def le16(pos: Column) -> Column:
+        return u8(pos) + u8(pos + 1) * 256
+
+    FAIL = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("mode"),
+        F.lit(0).cast("long").alias("frames"),
+        F.lit(0).cast("long").alias("delay"),
+        F.lit(-1).cast("long").alias("loop"),
+    )
+
+    def mk(pos, mode, frames, delay, loop) -> Column:
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            mode.cast("long").alias("mode"),
+            frames.cast("long").alias("frames"),
+            delay.cast("long").alias("delay"),
+            loop.cast("long").alias("loop"),
+        )
+
+    def step(acc: Column, _i: Column) -> Column:
+        pos, mode = acc["pos"], acc["mode"]
+        frames, delay, loop = acc["frames"], acc["delay"], acc["loop"]
+        b = u8(pos)
+        label = u8(pos + 1)
+        # sub-block chain: one size-prefixed block per step; size 0 ends
+        sub_sz = u8(pos)
+        in_sub = F.when(sub_sz.isNull(), FAIL).when(
+            sub_sz == 0, mk(pos + 1, F.lit(0), frames, delay, loop)
+        ).otherwise(mk(pos + 1 + sub_sz, F.lit(1), frames, delay, loop))
+        # GCE: 21 F9 04 packed delay_lo delay_hi transparent 00
+        gce_ok = (u8(pos + 2) == 4) & (u8(pos + 7) == 0)
+        gce = F.when(
+            gce_ok & le16(pos + 4).isNotNull(),
+            mk(pos + 8, F.lit(0), frames, delay + le16(pos + 4), loop),
+        ).otherwise(FAIL)
+        # NETSCAPE2.0: 21 FF 0B "NETSCAPE2.0" 03 01 loop_lo loop_hi 00
+        is_netscape = (u8(pos + 2) == 11) & (
+            F.substring(p, (pos + 3).cast("int"), 11).cast("string")
+            == "NETSCAPE2.0"
+        ) & (u8(pos + 14) == 3) & (u8(pos + 15) == 1) & (u8(pos + 18) == 0)
+        netscape = F.when(
+            le16(pos + 16).isNotNull(),
+            mk(pos + 19, F.lit(0), frames, delay, le16(pos + 16)),
+        ).otherwise(FAIL)
+        # image descriptor: 2C + 8 bytes geometry + packed, optional LCT,
+        # LZW min-code byte, then data sub-blocks
+        ipacked = u8(pos + 9)
+        lct = F.when(
+            ipacked >= 128,
+            F.lit(3) * F.pow(F.lit(2.0), F.pmod(ipacked, 8) + 1).cast("long"),
+        ).otherwise(F.lit(0))
+        imgdesc = F.when(ipacked.isNull(), FAIL).otherwise(
+            mk(pos + 10 + lct + 1, F.lit(1), frames + 1, delay, loop)
+        )
+        ext = (
+            F.when(label.isNull(), FAIL)
+            .when(label == 0xF9, gce)
+            .when(
+                label == 0xFF,
+                F.when(is_netscape, netscape).otherwise(
+                    mk(pos + 2, F.lit(1), frames, delay, loop)
+                ),
+            )
+            .otherwise(mk(pos + 2, F.lit(1), frames, delay, loop))
+        )
+        nxt = (
+            F.when(pos <= 0, acc)  # terminal: done (-1) or failed (0)
+            .when(mode == 1, in_sub)
+            .when(b.isNull(), FAIL)
+            .when(b == 0x3B, mk(F.lit(-1), F.lit(0), frames, delay, loop))
+            .when(b == 0x21, ext)
+            .when(b == 0x2C, imgdesc)
+            .otherwise(FAIL)
+        )
+        # a NULL position (read past payload end) poisons the walk
+        return F.when(nxt["pos"].isNull(), FAIL).otherwise(nxt)
+
+    zero = mk(F.col("_p0"), F.lit(0), F.lit(0), F.lit(0), F.lit(-1))
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_blocks))), zero, step
+    )
+    done = F.col("_ok") & (st["pos"] == -1)
+    none = F.lit(None).cast("long")
+    return staged.select(
+        F.col(id_col),
+        F.when(done, st["frames"]).otherwise(none).alias("frame_count"),
+        F.when(done, st["delay"]).otherwise(none).alias("total_delay_cs"),
+        F.when(done & (st["loop"] >= 0), st["loop"])
+        .otherwise(none)
+        .alias("loop_count"),
+    )

@@ -659,6 +659,65 @@ def test_bmp_pixel_stats_real_bytes_padding_and_bgr(spark):
         ), aid
 
 
+def test_gif_animation_inventory_real_bytes(spark):
+    """gif_animation_inventory walks real GIF89a bytes built with
+    struct.pack: GCT/LCT skips, generic-extension sub-block skipping,
+    GCE delay accumulation, NETSCAPE loop count — and fails closed on
+    GIF87a, truncation, unknown blocks, and step exhaustion."""
+    import struct
+
+    def gce(delay):
+        return b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+
+    def frame(w, h, data=b"\x01\x02", lct_bits=None):
+        packed = 0x80 | lct_bits if lct_bits is not None else 0
+        out = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([packed])
+        if lct_bits is not None:
+            out += b"\x55" * (3 * 2 ** (lct_bits + 1))
+        out += b"\x02" + bytes([len(data)]) + data + b"\x00"
+        return out
+
+    def gif(frames, loop=None, gct_bits=None, magic=b"GIF89a", comment=False):
+        packed = 0x80 | gct_bits if gct_bits is not None else 0
+        out = magic + struct.pack("<HH", 9, 7) + bytes([packed, 0, 0])
+        if gct_bits is not None:
+            out += b"\x24" * (3 * 2 ** (gct_bits + 1))
+        if comment:
+            out += b"\x21\xfe\x02hi\x00"
+        if loop is not None:
+            out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack(
+                "<H", loop
+            ) + b"\x00"
+        for d, fr in frames:
+            out += gce(d) + fr
+        return out + b"\x3b"
+
+    rows_in = [
+        (1, gif([(10, frame(2, 2, lct_bits=1)), (25, frame(3, 1))],
+                loop=7, gct_bits=2, comment=True)),
+        (2, gif([(500, frame(1, 1))])),                      # no NETSCAPE
+        (3, gif([(10, frame(1, 1))], magic=b"GIF87a")),      # wrong version
+        (4, gif([(10, frame(1, 1))], loop=0)[:-5]),          # truncated
+        (5, b"GIF89a" + struct.pack("<HH", 1, 1) + b"\x00\x00\x00\x99"),
+        (6, gif([(1, frame(1, 1, data=b"\x00" * 200))] * 30)),  # exhausts
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r
+        for r in multimodal.gif_animation_inventory(df, max_blocks=32).collect()
+    }
+    assert (got[1].frame_count, got[1].total_delay_cs, got[1].loop_count) == (
+        2, 35, 7,
+    )
+    assert (got[2].frame_count, got[2].total_delay_cs) == (1, 500)
+    assert got[2].loop_count is None  # non-looping, not zero
+    for aid in (3, 4, 5, 6):
+        r = got[aid]
+        assert (r.frame_count, r.total_delay_cs, r.loop_count) == (
+            None, None, None,
+        ), aid
+
+
 def test_wav_pcm_stats_real_bytes_signed_and_fail_closed(spark):
     """wav_pcm_stats inverts real canonical WAV bytes: signed int16 LE
     (extremes included), exact energy + IEEE rms, and fail-closed on

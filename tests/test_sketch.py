@@ -119,6 +119,56 @@ def test_connected_components_pathological_chain_olog_rounds(spark):
     assert (agg.n, agg.labs, agg.mn) == (n, 1, 0)
 
 
+def test_connected_components_topology_round_pins(spark):
+    """Round-count pins across the three cc_scale_bench topologies
+    (small instances of tools/cc_scale_bench.py's generators): star
+    contraction's convergence round stays O(log n) on path and grid
+    and constant on the dedup-cluster blob shape; the default probe
+    schedule (3, then every 2) confirms within 2 rounds of the true
+    convergence round."""
+    from es_to_clickhouse_spark.operators.graph import connected_components
+
+    k = 16  # 16x16 grid
+    nodes = spark.range(k * k).select(
+        "id", (F.col("id") % k).alias("c"), (F.col("id") / k).cast("long").alias("r")
+    )
+    grid = (
+        nodes.where(F.col("c") < k - 1)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        .unionByName(
+            nodes.where(F.col("r") < k - 1).select(
+                F.col("id").alias("a"), (F.col("id") + k).alias("b")
+            )
+        )
+    )
+    m = 8
+    blobs = (
+        spark.range(32 * m)
+        .select("id", (F.col("id") % m).alias("pos"))
+        .where(F.col("pos") < m - 1)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    )
+    path = spark.range(511).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    for name, edges, true_bound, n_comp in (
+        ("path-512", path, 12, 1),     # ~log2(512)=9 + small slack
+        ("grid-16x16", grid, 12, 1),
+        ("blobs-32x8", blobs, 5, 32),  # constant rounds on tiny stars
+    ):
+        st: dict = {}
+        got = connected_components(
+            edges, "a", "b", check_every=1, stats=st
+        )
+        assert st["rounds"] <= true_bound, (name, st)
+        assert got.select("label").distinct().count() == n_comp, name
+        # default schedule: confirmation lands at the next probe point
+        # after the true round (first probe 3, then every 2)
+        st2: dict = {}
+        connected_components(edges, "a", "b", stats=st2)
+        assert st2["rounds"] <= true_bound + 2, (name, st2)
+
+
 def test_connected_components_raises_without_convergence(spark):
     import pytest as _pytest
 

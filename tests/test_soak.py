@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from es_to_clickhouse_spark.catalog import ParquetCatalog
 from es_to_clickhouse_spark.engine import SyncEngine
-from es_to_clickhouse_spark.rollup import batch_partials, refresh_rollup
+from es_to_clickhouse_spark.operators.funnel import window_funnel
+from es_to_clickhouse_spark.rollup import (
+    batch_partials,
+    read_funnel_rollup,
+    refresh_funnel_rollup,
+    refresh_rollup,
+)
 from es_to_clickhouse_spark.sink import WarehouseTarget
 from es_to_clickhouse_spark.state import StateStore
 
@@ -95,7 +101,7 @@ def test_twenty_round_soak(spark, tmp_path):
         fresh = [r for r in rows if (r._id, r._u) not in seen]
         seen.update((r._id, r._u) for r in rows)
         if not fresh:
-            return
+            return []
         batch = spark.createDataFrame(
             [(r.d, f"{r._id}#{r._u}", r.value) for r in fresh],
             "d string, vkey string, value double",
@@ -103,8 +109,65 @@ def test_twenty_round_soak(spark, tmp_path):
         refresh_rollup(
             spark, rollup_path, batch, ["d"], "value", key_col="vkey"
         )
+        return fresh
 
-    feed_rollup()
+    # -- funnel rollup leg (VERDICT r6 #4): a continuously-maintained
+    # windowFunnel partial rides the same 20 rounds. Each fresh row
+    # version maps to ONE deterministic funnel event (user = _id mod 3,
+    # strictly increasing event time, step letter cycling a/b/c/x), so
+    # chains span empty/late/evolving rounds and batch boundaries.
+    funnel_path = str(tmp_path / "funnel_rollup")
+    FUNNEL_SCHEMA = "user_id long, event_id long, us long, et string"
+    FW = 500  # us advances 7/event and a user sees every ~3rd event, so
+    # this spans most of the soak — wide enough that a->b->c chains
+    # REALLY form across rounds (expiry semantics are pinned by the
+    # directed + randomized tests in test_rollup.py; the soak's job is
+    # cross-round incremental maintenance)
+    fconds = lambda: [F.col("et") == s for s in ("a", "b", "c")]  # noqa: E731
+    funnel_events: list[tuple] = []
+    fclock = [0]
+
+    def _funnel_files():
+        return {
+            p: os.stat(p).st_mtime_ns
+            for p in glob.glob(os.path.join(funnel_path, "_fb=*", "*.parquet"))
+        }
+
+    def feed_funnel(fresh):
+        batch = []
+        for r in sorted(fresh, key=lambda r: int(r._id)):
+            fclock[0] += 7
+            eid = len(funnel_events)
+            ev = (int(r._id) % 3, eid, fclock[0], "abcx"[(int(r._id) + eid) % 4])
+            funnel_events.append(ev)
+            batch.append(ev)
+        before = _funnel_files()
+        touched = refresh_funnel_rollup(
+            spark,
+            funnel_path,
+            spark.createDataFrame(batch, FUNNEL_SCHEMA),
+            ["user_id"], "us", ["event_id"], fconds(), 3, FW,
+        )
+        after = _funnel_files()
+        changed_dirs = {
+            os.path.basename(os.path.dirname(p))
+            for p in set(after) - set(before)
+            | {p for p in after if p in before and after[p] != before[p]}
+        }
+        if not batch:
+            # idle round: zero buckets touched, zero files rewritten
+            assert touched == 0 and after == before
+        else:
+            # active round: ONLY the touched buckets' partitions moved
+            assert touched >= 1 and len(changed_dirs) == touched
+        # untouched bucket files are bit-level untouched every round
+        assert all(
+            after[p] == before[p]
+            for p in before
+            if os.path.basename(os.path.dirname(p)) not in changed_dirs
+        )
+
+    feed_funnel(feed_rollup())
 
     # 20-round scenario script: (tag, rows-to-append, expected-moved)
     next_id = [3]
@@ -169,7 +232,7 @@ def test_twenty_round_soak(spark, tmp_path):
                 assert b >= a, (i, tag, a, b)
         assert int(st_after.last_id) >= int(st_before.last_id), (i, tag)
         wm_history.append(_state_key(st_after))
-        feed_rollup()
+        feed_funnel(feed_rollup())
 
     # -- end state ------------------------------------------------------
     wh = engine.target.read("docs")
@@ -201,3 +264,22 @@ def test_twenty_round_soak(spark, tmp_path):
         for r in spark.read.parquet(rollup_path).collect()
     }
     assert got == want
+
+    # incrementally-maintained FUNNEL rollup == one-shot window_funnel
+    # recompute over every event ever fed (chains crossed batch
+    # boundaries on the 'late'/'evolve' rounds by construction)
+    f_got = {
+        r.user_id: r.funnel_level
+        for r in read_funnel_rollup(spark, funnel_path).collect()
+    }
+    f_want = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(
+            spark.createDataFrame(funnel_events, FUNNEL_SCHEMA),
+            "user_id", "us", ["event_id"], fconds(), FW,
+        ).collect()
+    }
+    assert set(f_got) == set(f_want) and all(
+        f_got[k] == f_want[k] for k in f_want
+    ), (f_got, f_want)
+    assert max(f_want.values()) >= 2  # the soak actually built chains

