@@ -1,0 +1,245 @@
+"""MongoDB wire protocol (OP_MSG) over a plain TCP socket — the
+jar-free, driver-free path that lets the keyset-scan protocol
+(:class:`sources.mongo.KeysetSession`) run against a REAL socket
+instead of replayed batches. Public wire format throughout: the BSON
+spec (bsonspec.org) and the OP_MSG framing (opcode 2013, MongoDB 3.6+
+standard message), both stable public documentation.
+
+The reference's scan (mongodb/mongodb_to_bytehouse.py:524-565) drives
+pymongo's ``collection.find(query).sort("_id", 1).limit(BATCH_SIZE)``;
+on the wire that is exactly one ``find`` command document per keyset
+page — fresh cursor each page (``limit`` <= batch means the server
+returns cursor id 0), so there is no getMore/server-cursor state and
+the scan stays restartable from the ``_id`` watermark.
+
+The BSON codec below is deliberately BOUNDED to the types the
+reference's rows can carry after its ``default=str`` serialization
+posture: string, int32/int64, double, bool, null, embedded document,
+array, UTC datetime, and ObjectId (decoded to the 24-hex string the
+reference's ``str(doc["_id"])`` produces). Unknown element types raise
+— failing closed beats silently mis-framing the stream.
+
+Scale note: like ``ch_http``, the session object is picklable, so a
+production read can fan pages out per executor with disjoint ``_id``
+ranges; the driver-side fold here exists to pin the PROTOCOL contract
+over a loopback socket (tests/test_mongo_wire.py)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import socket
+import struct
+from dataclasses import dataclass
+
+OP_MSG = 2013
+
+
+# ------------------------------------------------------------- BSON
+
+
+def _cstring(b: bytes, off: int) -> tuple[str, int]:
+    end = b.index(b"\x00", off)
+    return b[off:end].decode("utf-8"), end + 1
+
+
+def bson_encode(doc: dict) -> bytes:
+    out = bytearray()
+    for k, v in doc.items():
+        key = k.encode("utf-8") + b"\x00"
+        if isinstance(v, bool):  # before int (bool is an int subclass)
+            out += b"\x08" + key + (b"\x01" if v else b"\x00")
+        elif isinstance(v, int):
+            if -(2**31) <= v < 2**31:
+                out += b"\x10" + key + struct.pack("<i", v)
+            else:
+                out += b"\x12" + key + struct.pack("<q", v)
+        elif isinstance(v, float):
+            out += b"\x01" + key + struct.pack("<d", v)
+        elif isinstance(v, str):
+            s = v.encode("utf-8") + b"\x00"
+            out += b"\x02" + key + struct.pack("<i", len(s)) + s
+        elif v is None:
+            out += b"\x0a" + key
+        elif isinstance(v, _dt.datetime):
+            ms = int(v.timestamp() * 1000)
+            out += b"\x09" + key + struct.pack("<q", ms)
+        elif isinstance(v, dict):
+            out += b"\x03" + key + bson_encode(v)
+        elif isinstance(v, (list, tuple)):
+            out += b"\x04" + key + bson_encode(
+                {str(i): x for i, x in enumerate(v)}
+            )
+        else:
+            raise TypeError(f"unsupported BSON type: {type(v)} for {k!r}")
+    return struct.pack("<i", len(out) + 5) + bytes(out) + b"\x00"
+
+
+def _decode_elements(b: bytes, off: int, end: int) -> dict:
+    doc: dict = {}
+    while off < end:
+        t = b[off]
+        if t == 0:
+            break
+        name, off = _cstring(b, off + 1)
+        if t == 0x01:
+            doc[name] = struct.unpack_from("<d", b, off)[0]
+            off += 8
+        elif t == 0x02:
+            n = struct.unpack_from("<i", b, off)[0]
+            doc[name] = b[off + 4 : off + 4 + n - 1].decode("utf-8")
+            off += 4 + n
+        elif t in (0x03, 0x04):
+            n = struct.unpack_from("<i", b, off)[0]
+            inner = _decode_elements(b, off + 4, off + n - 1)
+            doc[name] = list(inner.values()) if t == 0x04 else inner
+            off += n
+        elif t == 0x07:  # ObjectId -> 24-hex string (reference str(_id))
+            doc[name] = b[off : off + 12].hex()
+            off += 12
+        elif t == 0x08:
+            doc[name] = b[off] == 1
+            off += 1
+        elif t == 0x09:
+            ms = struct.unpack_from("<q", b, off)[0]
+            doc[name] = _dt.datetime.fromtimestamp(
+                ms / 1000.0, tz=_dt.timezone.utc
+            )
+            off += 8
+        elif t == 0x0A:
+            doc[name] = None
+        elif t == 0x10:
+            doc[name] = struct.unpack_from("<i", b, off)[0]
+            off += 4
+        elif t == 0x12:
+            doc[name] = struct.unpack_from("<q", b, off)[0]
+            off += 8
+        else:
+            raise ValueError(f"unsupported BSON element type 0x{t:02x}")
+    return doc
+
+
+def bson_decode(b: bytes) -> dict:
+    n = struct.unpack_from("<i", b, 0)[0]
+    if n != len(b):
+        raise ValueError(f"BSON length {n} != buffer {len(b)}")
+    return _decode_elements(b, 4, n - 1)
+
+
+# ----------------------------------------------------------- OP_MSG
+
+
+def op_msg(request_id: int, body: dict, response_to: int = 0) -> bytes:
+    """One OP_MSG frame: standard header + flagBits 0 + one kind-0
+    (body) section."""
+    payload = struct.pack("<I", 0) + b"\x00" + bson_encode(body)
+    return (
+        struct.pack("<iiii", 16 + len(payload), request_id, response_to, OP_MSG)
+        + payload
+    )
+
+
+def parse_op_msg(frame: bytes) -> tuple[int, int, dict]:
+    """(request_id, response_to, body) from one OP_MSG frame. Raises
+    ValueError on a non-OP_MSG opcode or a non-body leading section."""
+    length, request_id, response_to, opcode = struct.unpack_from("<iiii", frame, 0)
+    if opcode != OP_MSG:
+        raise ValueError(f"expected OP_MSG (2013), got opcode {opcode}")
+    if length != len(frame):
+        raise ValueError(f"frame length {length} != buffer {len(frame)}")
+    # skip flagBits; require a kind-0 section (checksum flag unused here)
+    if frame[20] != 0:
+        raise ValueError(f"expected kind-0 section, got {frame[20]}")
+    return request_id, response_to, bson_decode(frame[21:])
+
+
+def read_frame(sock: socket.socket) -> bytes:
+    """Read one length-prefixed message off the socket."""
+    head = b""
+    while len(head) < 4:
+        chunk = sock.recv(4 - len(head))
+        if not chunk:
+            raise OSError("connection closed mid-header")
+        head += chunk
+    (length,) = struct.unpack("<i", head)
+    if length < 16 or length > 48_000_000:  # maxMessageSizeBytes
+        raise ValueError(f"implausible message length {length}")
+    buf = bytearray(head)
+    while len(buf) < length:
+        chunk = sock.recv(length - len(buf))
+        if not chunk:
+            raise OSError("connection closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+# ---------------------------------------------------------- session
+
+
+@dataclass
+class MongoWireSession:
+    """Keyset scan over a live OP_MSG socket — the socket-driven
+    counterpart of :class:`sources.mongo.KeysetSession.drain`, same row
+    shape and failure contract."""
+
+    host: str = "127.0.0.1"
+    port: int = 27017
+    database: str = "test"
+    batch_size: int = 1000
+
+    def find_command(self, collection: str, last_id=None) -> dict:
+        """The find command document one keyset page puts on the wire
+        (pymongo's find(query).sort('_id', 1).limit(n) compiles to
+        exactly this, mongodb/mongodb_to_bytehouse.py:524-531)."""
+        q = {"_id": {"$gt": last_id}} if last_id is not None else {}
+        return {
+            "find": collection,
+            "filter": q,
+            "sort": {"_id": 1},
+            "limit": self.batch_size,
+            "$db": self.database,
+        }
+
+    def _find(self, sock: socket.socket, rid: int, cmd: dict) -> list[dict]:
+        sock.sendall(op_msg(rid, cmd))
+        _, _, reply = parse_op_msg(read_frame(sock))
+        if reply.get("ok") != 1:
+            raise ValueError(f"server returned ok={reply.get('ok')!r}")
+        return reply.get("cursor", {}).get("firstBatch", [])
+
+    def drain_socket(
+        self,
+        collection: str,
+        store_source: bool = False,
+        max_pages: int = 100_000,
+    ) -> tuple[list[dict], str | None]:
+        """The full keyset scan over the wire. Returns ``(rows,
+        last_id)`` — the watermark a restart would resume from. A
+        transport error or malformed reply keeps the partial rows AND
+        the watermark progress (at-least-once, like drain_http)."""
+        rows: list[dict] = []
+        last_id = None
+        rid = 0
+        try:
+            with socket.create_connection((self.host, self.port), timeout=30) as sock:
+                for _ in range(max_pages):
+                    rid += 1
+                    batch = self._find(
+                        sock, rid, self.find_command(collection, last_id)
+                    )
+                    if not batch:
+                        break
+                    for doc in batch:
+                        row = {"_id": str(doc.get("_id", ""))}
+                        if store_source:
+                            row["_source"] = json.dumps(
+                                doc, ensure_ascii=False, default=str
+                            )
+                        row.update(
+                            {k: v for k, v in doc.items() if k != "_id"}
+                        )
+                        rows.append(row)
+                        last_id = doc.get("_id")
+        except (OSError, ValueError):
+            pass  # partial rows + watermark kept
+        return rows, last_id

@@ -1,0 +1,216 @@
+"""Mongo OP_MSG wire protocol against a loopback fake mongod (raw TCP
+socket speaking real BSON + OP_MSG framing). Moves S11 from
+done-modulo-environment to done-modulo-server: the keyset fold that was
+previously a replayed-batch golden now drives actual find commands over
+a socket and parses actual BSON replies."""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+import pytest
+
+from es_to_clickhouse_spark.sources.mongo_wire import (
+    MongoWireSession,
+    bson_decode,
+    bson_encode,
+    op_msg,
+    parse_op_msg,
+    read_frame,
+)
+
+DOCS = [
+    {"_id": f"id-{i:02d}", "n": i, "big": 2**40 + i, "score": i / 4.0,
+     "ok": i % 2 == 0, "tags": ["a", f"t{i}"], "meta": {"d": i}, "gap": None}
+    for i in range(5)
+]
+
+
+# ---------------------------------------------------------- BSON unit
+
+
+def test_bson_roundtrip_battery():
+    doc = {
+        "s": "héllo",
+        "i32": 7,
+        "neg": -(2**31),
+        "i64": 2**40,
+        "f": 3.25,
+        "t": True,
+        "fls": False,
+        "nul": None,
+        "sub": {"x": 1, "y": "z"},
+        "arr": [1, "two", {"three": 3}, None],
+    }
+    assert bson_decode(bson_encode(doc)) == doc
+
+
+def test_bson_unknown_types_fail_closed():
+    with pytest.raises(TypeError):
+        bson_encode({"x": object()})
+    good = bson_encode({"a": 1})
+    with pytest.raises(ValueError):
+        bson_decode(good[:-2] + b"\x00")  # length mismatch
+    # unknown element type byte
+    bad = bytearray(bson_encode({"a": 1}))
+    bad[4] = 0x7F
+    with pytest.raises(ValueError):
+        bson_decode(bytes(bad))
+
+
+def test_bson_objectid_decodes_to_hex_string():
+    # hand-built doc: {_id: ObjectId(0x0102...0c)} — type 0x07
+    oid = bytes(range(1, 13))
+    body = b"\x07_id\x00" + oid
+    frame = struct.pack("<i", len(body) + 5) + body + b"\x00"
+    assert bson_decode(frame) == {"_id": oid.hex()}
+    assert len(oid.hex()) == 24  # the str(doc['_id']) shape
+
+
+def test_op_msg_frame_roundtrip_and_validation():
+    frame = op_msg(42, {"find": "c", "$db": "d"}, response_to=7)
+    rid, rto, body = parse_op_msg(frame)
+    assert (rid, rto) == (42, 7)
+    assert body == {"find": "c", "$db": "d"}
+    bad = bytearray(frame)
+    struct.pack_into("<i", bad, 12, 2004)  # OP_QUERY opcode
+    with pytest.raises(ValueError):
+        parse_op_msg(bytes(bad))
+
+
+# ------------------------------------------------------ loopback fake
+
+
+class _FakeMongod(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, docs, log, fail_after=None):
+        self.docs, self.log, self.fail_after = docs, log, fail_after
+
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                served = 0
+                while True:
+                    try:
+                        frame = read_frame(self.request)
+                    except OSError:
+                        return
+                    rid, _, cmd = parse_op_msg(frame)
+                    outer.log.append(cmd)
+                    if outer.fail_after is not None and served >= outer.fail_after:
+                        self.request.close()  # mid-scan connection drop
+                        return
+                    served += 1
+                    rows = sorted(outer.docs, key=lambda d: d["_id"])
+                    gt = cmd.get("filter", {}).get("_id", {}).get("$gt")
+                    if gt is not None:
+                        rows = [d for d in rows if d["_id"] > gt]
+                    rows = rows[: cmd.get("limit", 101)]
+                    reply = {
+                        "cursor": {
+                            "firstBatch": rows,
+                            "id": 0,
+                            "ns": f"{cmd.get('$db')}.{cmd.get('find')}",
+                        },
+                        "ok": 1,
+                    }
+                    self.request.sendall(op_msg(1000 + rid, reply, rid))
+
+        super().__init__(("127.0.0.1", 0), Handler)
+
+
+@pytest.fixture()
+def fake_mongod():
+    def _start(fail_after=None):
+        log: list[dict] = []
+        srv = _FakeMongod(DOCS, log, fail_after)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, log
+
+    servers = []
+
+    def start(**kw):
+        srv, log = _start(**kw)
+        servers.append(srv)
+        return srv.server_address[1], log
+
+    yield start
+    for s in servers:
+        s.shutdown()
+
+
+def test_drain_socket_full_keyset_scan(fake_mongod):
+    """The reference's keyset loop over a REAL socket: fresh find per
+    page with `_id $gt last`, ascending sort, batch limit; ends at the
+    first empty batch; row shape matches KeysetSession.drain (all BSON
+    types surviving the wire)."""
+    port, log = fake_mongod()
+    s = MongoWireSession(port=port, database="app", batch_size=2)
+    rows, last_id = s.drain_socket("users")
+    assert [r["_id"] for r in rows] == [f"id-{i:02d}" for i in range(5)]
+    assert last_id == "id-04"
+    assert rows[3]["big"] == 2**40 + 3 and rows[3]["score"] == 0.75
+    assert rows[2]["tags"] == ["a", "t2"] and rows[2]["meta"] == {"d": 2}
+    assert rows[1]["gap"] is None and rows[0]["ok"] is True
+    # wire transcript: {} then $gt watermarks, constant sort/limit/$db
+    assert [c["filter"] for c in log] == [
+        {},
+        {"_id": {"$gt": "id-01"}},
+        {"_id": {"$gt": "id-03"}},
+        {"_id": {"$gt": "id-04"}},
+    ]
+    assert all(
+        c["sort"] == {"_id": 1} and c["limit"] == 2 and c["$db"] == "app"
+        and c["find"] == "users"
+        for c in log
+    )
+
+
+def test_drain_socket_store_source(fake_mongod):
+    import json
+
+    port, _ = fake_mongod()
+    rows, _ = MongoWireSession(port=port, batch_size=10).drain_socket(
+        "users", store_source=True
+    )
+    src = json.loads(rows[0]["_source"])
+    assert src["_id"] == "id-00" and src["meta"] == {"d": 0}
+
+
+def test_drain_socket_failure_keeps_partial_and_watermark(fake_mongod):
+    """Connection drop mid-scan: rows already drained are kept and the
+    returned watermark points at the last drained doc — a restart
+    resumes exactly there (at-least-once, no overshoot)."""
+    port, log = fake_mongod(fail_after=1)
+    s = MongoWireSession(port=port, batch_size=2)
+    rows, last_id = s.drain_socket("users")
+    assert [r["_id"] for r in rows] == ["id-00", "id-01"]
+    assert last_id == "id-01"
+    # the failed page's command made it to the wire before the drop
+    assert log[-1]["filter"] == {"_id": {"$gt": "id-01"}}
+
+
+def test_drain_socket_connection_refused_is_empty_not_raise():
+    rows, last_id = MongoWireSession(port=9, batch_size=2).drain_socket("c")
+    assert rows == [] and last_id is None
+
+
+def test_find_command_matches_keyset_golden():
+    """The wire command mirrors KeysetSession.query_for page-for-page
+    (same filter/sort/limit; plus the $db/find addressing OP_MSG needs)."""
+    from es_to_clickhouse_spark.sources.mongo import KeysetSession
+
+    w = MongoWireSession(database="db1", batch_size=500)
+    k = KeysetSession(batch_size=500)
+    for last in (None, "abc"):
+        wc, kc = w.find_command("coll", last), k.query_for(last)
+        assert wc["filter"] == kc["filter"]
+        assert wc["limit"] == kc["limit"]
+        assert wc["sort"] == dict(kc["sort"])
+        assert wc["find"] == "coll" and wc["$db"] == "db1"
