@@ -313,3 +313,63 @@ class ClickHouseHttpSource:
                 return r.read().decode("utf-8").strip() == "Ok."
         except OSError:
             return False
+
+
+def sync_incremental_http(
+    spark: SparkSession,
+    source: "ClickHouseHttpSource",
+    target,
+    state,
+    table: str,
+    time_column: str = "created_at",
+    start_date: str | None = None,
+    partition_column: str | None = None,
+    bounds: tuple[int, int] | None = None,
+    num_partitions: int = 32,
+):
+    """One incremental sync round for a ClickHouse source table over
+    the HTTP interface — the reference daemon's loop body
+    (clickhouse/clickhouse_to_bytehouse.py:455-495) on the Spark
+    engine's warehouse/state machinery:
+
+    1. condition = last-sync watermark from the StateStore, unless a
+       start date is forced; neither -> the 1-day bootstrap (P6);
+    2. the table reads DISTRIBUTED (``read_table`` with the condition
+       pushed into every range query, executor-side fetch);
+    3. rows append to the warehouse target (system columns + schema
+       evolution handled by the sink);
+    4. the watermark advances to the source-side
+       ``max(time_column) WHERE condition`` — the reference's own
+       advance query (:475-477), so a row landing between the read and
+       the max query can only re-sync (at-least-once), never be missed.
+
+    Returns ``(rows_synced, condition, new_watermark)``."""
+    from es_to_clickhouse_spark.state import SyncState
+
+    st = state.get(table)
+    last = st.last_sync_time if st else None
+    cond = source.since_condition(time_column, last, start_date)
+    df = source.read_table(
+        spark,
+        table,
+        where=cond,
+        partition_column=partition_column,
+        bounds=bounds,
+        num_partitions=num_partitions,
+    )
+    n = df.count()
+    if n == 0:
+        return 0, cond, last
+    target.append(table, df)
+    max_time = source.fetch_scalar(source.max_time_sql(table, time_column, cond))
+    new_wm = max_time or last
+    state.commit(
+        SyncState(
+            table_name=table,
+            source_name=f"ch_http:{source.database}.{table}",
+            time_field=time_column,
+            last_sync_time=new_wm,
+            last_sync_count=n,
+        )
+    )
+    return n, cond, new_wm

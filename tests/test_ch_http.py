@@ -43,7 +43,8 @@ class _FakeCH:
     NDJSON body. Records every (sql, body) for transcript goldens."""
 
     @staticmethod
-    def make(log, inserted):
+    def make(log, inserted, rows_ref=None):
+        rows_ref = TABLE_ROWS if rows_ref is None else rows_ref
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):
                 pass
@@ -78,11 +79,16 @@ class _FakeCH:
                         "\n".join(json.dumps(r) for r in TABLE_SCHEMA) + "\n"
                     )
                 if "COUNT(*)" in sql:
-                    return self._reply(f"{len(TABLE_ROWS)}\n")
+                    return self._reply(f"{len(rows_ref)}\n")
                 if sql.startswith("SELECT max("):
-                    return self._reply("2024-05-09 10:00:09\n")
+                    rows = list(rows_ref)
+                    m = re.search(r"`created_at` > '([^']+)'", sql)
+                    if m:
+                        rows = [r for r in rows if r["created_at"] > m.group(1)]
+                    mx = max((r["created_at"] for r in rows), default=None)
+                    return self._reply(f"{mx}\n" if mx else "\\N\n")
                 if sql.startswith("SELECT * FROM"):
-                    rows = list(TABLE_ROWS)
+                    rows = list(rows_ref)
                     m = re.search(r"`(\w+)` >= (\d+) AND `\1` < (\d+)", sql)
                     if m:
                         col, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
@@ -221,7 +227,7 @@ def test_incremental_fetch_over_wire(fake_ch):
     assert all(r["created_at"] > "2024-05-05 00:00:00" for r in rows)
     assert len(rows) == 5  # ids 4..8 land on 05-05..05-09 10:00:0x
     assert s.fetch_scalar(s.max_time_sql("t1", "created_at", cond)) == (
-        "2024-05-09 10:00:09"
+        "2024-05-09 10:00:08"  # id 8's timestamp, the max under the cond
     )
     assert log[0]["sql"] == (
         "SELECT * FROM `src_db`.`t1` WHERE `created_at` > "
@@ -263,6 +269,58 @@ def test_read_table_where_composes_with_ranges(fake_ch, spark):
     assert ids == [4, 5, 6, 7, 8]  # watermark filter applied server-side
     sel = [r["sql"] for r in log if r["sql"].startswith("SELECT * FROM")]
     assert all("`created_at` >" in s and "`id` >=" in s for s in sel)
+
+
+def test_sync_incremental_http_rounds(fake_ch, spark, tmp_path):
+    """S7 fully in-engine: the reference daemon's incremental loop body
+    over the HTTP interface — start-date bootstrap round, warehouse
+    append, source-side max-time watermark advance, then a second round
+    that picks up ONLY rows newer than the committed watermark."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.ch_http import sync_incremental_http
+    from es_to_clickhouse_spark.state import StateStore
+
+    host, log, _ = fake_ch
+    src = _src(host)
+    target = WarehouseTarget(spark, str(tmp_path / "wh"))
+    state = StateStore(spark, str(tmp_path / "wh"))
+
+    n1, cond1, wm1 = sync_incremental_http(
+        spark, src, target, state, "t1",
+        time_column="created_at", start_date="2024-05-03 00:00:00",
+        partition_column="id", bounds=(0, 9), num_partitions=2,
+    )
+    assert cond1 == "`created_at` > '2024-05-03 00:00:00'"
+    assert n1 == 7  # ids 2..8 (id 9 wraps back to 05-01)
+    assert wm1 == "2024-05-09 10:00:08"
+    assert target.read("t1").count() == 7
+    st = state.get("t1")
+    assert st.last_sync_time == wm1 and st.last_sync_count == 7
+    assert st.source_name == "ch_http:src_db.t1"
+
+    # a new row lands at the source; round 2 must sync ONLY it
+    TABLE_ROWS.append(
+        {"id": 10, "name": "row-10",
+         "created_at": "2024-05-20 08:00:00", "score": 5.0}
+    )
+    try:
+        n2, cond2, wm2 = sync_incremental_http(
+            spark, src, target, state, "t1", time_column="created_at",
+            partition_column="id", bounds=(0, 10), num_partitions=2,
+        )
+        assert cond2 == f"`created_at` > '{wm1}'"
+        assert n2 == 1 and wm2 == "2024-05-20 08:00:00"
+        assert target.read("t1").count() == 8
+        assert state.get("t1").last_sync_time == wm2
+
+        # idle round: nothing newer -> no append, no state commit
+        n3, _, wm3 = sync_incremental_http(
+            spark, src, target, state, "t1", time_column="created_at",
+        )
+        assert n3 == 0 and wm3 == wm2
+        assert target.read("t1").count() == 8
+    finally:
+        TABLE_ROWS.pop()
 
 
 def test_write_table_ndjson_batches(fake_ch, spark):
