@@ -56,9 +56,9 @@ def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--source-dir",
-        required=env.source_dir is None,
         default=env.source_dir,
-        help="parquet source catalog dir [env: SOURCE_DIR]",
+        help="parquet source catalog dir [env: SOURCE_DIR] — required "
+        "unless --ch-http-url drives a live incremental sync",
     )
     p.add_argument(
         "--warehouse",
@@ -123,17 +123,71 @@ def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
     p.add_argument(
         "--list-only", action="store_true", help="print matching tables and exit"
     )
+    p.add_argument(
+        "--ch-http-url",
+        default=env.ch_http_url,
+        help="ClickHouse HTTP-interface URL (e.g. http://ch:8123) — "
+        "switches --mode incremental to the jar-free live source "
+        "(sources/ch_http.py) instead of the parquet catalog "
+        "[env: CH_HTTP_URL]",
+    )
+    p.add_argument(
+        "--ch-database",
+        default=env.ch_database,
+        help="source ClickHouse database "
+        "(reference SOURCE_CH_DATABASE, clickhouse_to_bytehouse.py:68) "
+        "[env: SOURCE_CH_DATABASE]",
+    )
+    p.add_argument(
+        "--time-column",
+        default=env.time_column,
+        help="incremental watermark column for the ch-http source "
+        "(reference --time-column) [env: TIME_COLUMN]",
+    )
     return p
 
 
 def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
     env = EnvConfig.from_env(environ)
-    args = build_parser(env).parse_args(argv)
+    parser = build_parser(env)
+    args = parser.parse_args(argv)
+    ch_http_mode = args.mode == "incremental" and args.ch_http_url
+    if not args.source_dir and not ch_http_mode:
+        parser.error("--source-dir is required (or set SOURCE_DIR)")
     spark = get_spark("es_to_clickhouse_spark.cli")
     spark.sparkContext.setLogLevel(env.log_level)
     target = WarehouseTarget(spark, args.warehouse)
     if args.batch_size:
         target.max_records_per_file = args.batch_size
+    if ch_http_mode:
+        # live ClickHouse source over the HTTP interface — the
+        # reference clickhouse daemon's incremental mode
+        # (clickhouse_to_bytehouse.py:499-512), jar-free; no parquet
+        # catalog involved
+        from es_to_clickhouse_spark.sources.ch_http import (
+            ClickHouseHttpSource,
+            sync_incremental_http,
+        )
+
+        src = ClickHouseHttpSource(
+            host=args.ch_http_url, database=args.ch_database
+        )
+        state = StateStore(spark, args.warehouse)
+        for table in (args.tables or "").split(","):
+            table = table.strip()
+            if not table:
+                continue
+            n, cond, wm = sync_incremental_http(
+                spark, src, target, state, table,
+                time_column=args.time_column, start_date=args.start_date,
+            )
+            print(
+                json.dumps(
+                    {"table": table, "mode": "incremental_ch_http",
+                     "rows": n, "condition": cond, "watermark": wm}
+                )
+            )
+        return 0
     engine = SyncEngine(
         spark=spark,
         catalog=ParquetCatalog(spark, args.source_dir),

@@ -64,6 +64,13 @@ class EnvConfig:
     dialect: str = "es"
     id_field: str | None = None
     log_level: str = "WARN"
+    # live ClickHouse HTTP-interface source (sources/ch_http.py) — the
+    # reference clickhouse daemon's connection surface
+    # (clickhouse_to_bytehouse.py:60-68: CLICKHOUSE_HOST/PORT,
+    # SOURCE_CH_DATABASE) collapsed to one URL + database + time column
+    ch_http_url: str | None = None
+    ch_database: str = "default"
+    time_column: str = "created_at"
 
     @classmethod
     def from_env(cls, environ: dict | None = None) -> "EnvConfig":
@@ -83,4 +90,7 @@ class EnvConfig:
             dialect=env_first(e, ["SYNC_DIALECT"], "es"),
             id_field=env_first(e, ["ID_FIELD"]),
             log_level=env_first(e, ["LOG_LEVEL"], "WARN").upper(),
+            ch_http_url=env_first(e, ["CH_HTTP_URL"]),
+            ch_database=env_first(e, ["SOURCE_CH_DATABASE"], "default"),
+            time_column=env_first(e, ["TIME_COLUMN"], "created_at"),
         )

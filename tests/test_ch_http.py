@@ -323,6 +323,44 @@ def test_sync_incremental_http_rounds(fake_ch, spark, tmp_path):
         TABLE_ROWS.pop()
 
 
+def test_cli_incremental_ch_http_mode(fake_ch, spark, tmp_path, capsys):
+    """The CLI's env-driven live mode: CH_HTTP_URL switches
+    --mode incremental to the HTTP source — no --source-dir needed —
+    and a second invocation resumes from the committed watermark."""
+    from es_to_clickhouse_spark.__main__ import main
+    from es_to_clickhouse_spark.state import StateStore
+
+    host, _, _ = fake_ch
+    env = {
+        "CH_HTTP_URL": host,
+        "SOURCE_CH_DATABASE": "src_db",
+        "TIME_COLUMN": "created_at",
+        "WAREHOUSE_DIR": str(tmp_path / "wh"),
+        "INDEX_PATTERN": "t1",
+        "START_DATE": "2024-05-03 00:00:00",
+    }
+    assert main(["--mode", "incremental"], environ=env) == 0
+    out = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert out[-1]["mode"] == "incremental_ch_http"
+    assert out[-1]["rows"] == 7 and out[-1]["watermark"] == "2024-05-09 10:00:08"
+    st = StateStore(spark, str(tmp_path / "wh")).get("t1")
+    assert st.last_sync_time == "2024-05-09 10:00:08"
+    # round 2 without START_DATE: resumes at the watermark, finds nothing
+    env.pop("START_DATE")
+    assert main(["--mode", "incremental"], environ=env) == 0
+    out2 = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert out2[-1]["rows"] == 0
+    assert out2[-1]["condition"] == "`created_at` > '2024-05-09 10:00:08'"
+
+
 def test_write_table_ndjson_batches(fake_ch, spark):
     """S15 passthrough sink over the wire: named-column INSERT with
     NDJSON bodies, batch_size-bounded posts from the executors."""
