@@ -1438,3 +1438,129 @@ def mm14_gif_animation_inventory(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return gif_animation_inventory(assets)
+
+
+@query(
+    "mm15_tiff_ifd_dims",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(5 AS BIGINT) AS n_tags,
+           CAST(doc_id % 500 + 1 AS BIGINT) AS width,
+           CAST((doc_id * 3) % 400 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def mm15_tiff_ifd_dims(spark, sf_dir):
+    """TIFF IFD decode in BOTH byte orders — the one raster container
+    whose endianness is data, not convention. Even docs build ``II``
+    files, odd docs ``MM``; each IFD carries five ascending tags
+    (width, height, a count-3 bits-per-sample entry stored by OFFSET,
+    compression, photometric) so the decoder must skip non-inline and
+    non-dimension entries. Inline SHORT values are LEFT-justified in
+    the 4-byte field — an LE-only reader returns the MM widths *65536,
+    so the oracle (construction formulas) catches any endianness
+    shortcut."""
+    from es_to_clickhouse_spark.operators.multimodal import tiff_ifd_dims
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    is_le = did % 2 == 0
+    w = (did % 500 + 1).cast("long")
+    h = ((did * 3) % 400 + 1).cast("long")
+
+    def be_hex(v, nbytes):
+        return F.lpad(F.hex(v.cast("long")), 2 * nbytes, "0")
+
+    def xh(v, nbytes):
+        return F.when(is_le, _le_hex(v, nbytes)).otherwise(be_hex(v, nbytes))
+
+    def entry(tag, val, count=1, inline=True):
+        head = F.concat(
+            xh(F.lit(tag), 2), xh(F.lit(3), 2), xh(F.lit(count), 4)
+        )
+        if inline:
+            return F.concat(head, xh(val, 2), F.lit("0000"))
+        return F.concat(head, xh(val, 4))
+
+    payload = F.unhex(
+        F.concat(
+            F.when(is_le, F.lit("4949")).otherwise(F.lit("4d4d")),  # II/MM
+            xh(F.lit(42), 2),
+            xh(F.lit(8), 4),          # IFD0 right after the header
+            xh(F.lit(5), 2),          # entry count
+            entry(256, w),
+            entry(257, h),
+            entry(258, F.lit(74), count=3, inline=False),  # by offset
+            entry(259, F.lit(1)),
+            entry(262, F.lit(1)),
+            xh(F.lit(0), 4),          # next-IFD pointer
+            xh(F.lit(8), 2), xh(F.lit(8), 2), xh(F.lit(8), 2),  # bps data
+        )
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return tiff_ifd_dims(assets)
+
+
+@query(
+    "mm16_avi_header_inventory",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST((doc_id % 40 + 10) * 1000 AS BIGINT) AS micro,
+             CAST(doc_id % 2000 + 1 AS BIGINT) AS frames,
+             CAST((doc_id % 8 + 1) * 160 AS BIGINT) AS w,
+             CAST((doc_id % 6 + 1) * 120 AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT asset_id,
+           frames AS total_frames,
+           w AS width,
+           h AS height,
+           round(1000000.0 / micro, 2) AS fps,
+           CAST(floor(frames * micro / 1000.0) AS BIGINT) AS duration_ms
+    FROM base
+    """,
+)
+def mm16_avi_header_inventory(spark, sf_dir):
+    """AVI container inventory — the VIDEO axis of the decode battery:
+    frame count, fps and duration from the mandatory LIST-hdrl/avih
+    main header, real RIFF bytes built per doc (frame interval 10-49 ms,
+    1-2000 frames, 160x120..1280x720). Oracle is ground truth from the
+    construction formulas; fps/duration are each one float expression
+    over exact integers on both sides."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        avi_header_inventory,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    micro = ((did % 40 + 10) * 1000).cast("long")
+    frames = (did % 2000 + 1).cast("long")
+    w = ((did % 8 + 1) * 160).cast("long")
+    h = ((did % 6 + 1) * 120).cast("long")
+    zero4 = _le_hex(F.lit(0), 4)
+    avih_hex = F.concat(
+        _le_hex(micro, 4), zero4, zero4, zero4,
+        _le_hex(frames, 4), zero4, _le_hex(F.lit(1), 4), zero4,
+        _le_hex(w, 4), _le_hex(h, 4),
+        F.lit("00" * 16),
+    )
+    # sizes: avih data 56; hdrl LIST payload 4 + 8 + 56 = 68; RIFF
+    # payload 4 ('AVI ') + 8 + 68 = 80
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"), _le_hex(F.lit(80), 4),   # 'RIFF' size
+            F.lit("41564920"),                          # 'AVI '
+            F.lit("4c495354"), _le_hex(F.lit(68), 4),   # 'LIST' size
+            F.lit("6864726c"),                          # 'hdrl'
+            F.lit("61766968"), _le_hex(F.lit(56), 4),   # 'avih' size
+            avih_hex,
+        )
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return avi_header_inventory(assets)

@@ -718,6 +718,88 @@ def test_gif_animation_inventory_real_bytes(spark):
         ), aid
 
 
+def test_tiff_ifd_dims_both_endiannesses(spark):
+    """tiff_ifd_dims inverts real TIFF bytes in BOTH byte orders: the
+    II/MM order mark parameterizes every integer read, inline SHORT
+    values are left-justified (an LE-only reader of the MM file would
+    return width*65536), non-dimension tags are skipped, and bad magic
+    / truncation / missing tags fail closed."""
+    import struct
+
+    def tiff(le, w, h, drop_tag=None, magic=None):
+        e = "<" if le else ">"
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, 1), (262, 3, 1, 1),
+        ]
+        if drop_tag:
+            entries = [x for x in entries if x[0] != drop_tag]
+        out = (b"II" if le else b"MM") + struct.pack(
+            e + "HI", magic if magic is not None else 42, 8
+        )
+        out += struct.pack(e + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            # inline SHORT: LEFT-justified in the 4-byte value field
+            out += struct.pack(e + "HHI", tag, typ, cnt)
+            out += struct.pack(e + "H", val) + b"\x00\x00"
+        return out + struct.pack(e + "I", 0)
+
+    rows_in = [
+        (1, tiff(True, 640, 480)),
+        (2, tiff(False, 640, 480)),      # same dims, big-endian
+        (3, tiff(False, 7, 9)),          # tiny values: MM inline hazard
+        (4, tiff(True, 1, 1, magic=43)),  # BigTIFF: unhandled, NULL
+        (5, b"II\x2a\x00 garbage"),       # truncated
+        (6, tiff(True, 10, 20, drop_tag=257)),  # no height tag
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {r.asset_id: r for r in multimodal.tiff_ifd_dims(df).collect()}
+    assert (got[1].byte_order, got[1].width, got[1].height, got[1].n_tags) == (
+        "II", 640, 480, 4,
+    )
+    assert (got[2].byte_order, got[2].width, got[2].height) == ("MM", 640, 480)
+    assert (got[3].width, got[3].height) == (7, 9)  # not 458752
+    for aid in (4, 5):
+        assert got[aid].byte_order is None and got[aid].width is None, aid
+    assert got[6].width == 10 and got[6].height is None
+
+
+def test_avi_header_inventory_real_bytes(spark):
+    """avi_header_inventory inverts real RIFF/AVI bytes: LE u32 fields
+    out of the mandatory first LIST-hdrl/avih chunk, fps + duration
+    derived; fails closed on wrong magics, short avih, and a zero
+    frame interval."""
+    import struct
+
+    def avi(micro, frames, w, h, riff_tag=b"RIFF", list_tag=b"hdrl",
+            avih_size=56):
+        avih = struct.pack(
+            "<IIIIIIII", micro, 0, 0, 0, frames, 0, 1, 0
+        ) + struct.pack("<II", w, h) + b"\x00" * 16
+        hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + list_tag
+        hdrl += b"avih" + struct.pack("<I", avih_size) + avih
+        body = b"AVI " + hdrl
+        return riff_tag + struct.pack("<I", len(body)) + body
+
+    rows_in = [
+        (1, avi(33333, 300, 640, 480)),
+        (2, avi(40000, 25, 320, 240)),
+        (3, avi(33333, 300, 640, 480, riff_tag=b"RIFX")),
+        (4, avi(33333, 300, 640, 480, list_tag=b"strl")),
+        (5, avi(0, 300, 640, 480)),          # zero frame interval
+        (6, avi(33333, 300, 640, 480, avih_size=16)),  # short avih
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r for r in multimodal.avi_header_inventory(df).collect()
+    }
+    assert (got[1].total_frames, got[1].width, got[1].height) == (300, 640, 480)
+    assert got[1].fps == 30.0 and got[1].duration_ms == 9999
+    assert got[2].fps == 25.0 and got[2].duration_ms == 1000
+    for aid in (3, 4, 5, 6):
+        r = got[aid]
+        assert r.total_frames is None and r.fps is None, aid
+
+
 def test_wav_pcm_stats_real_bytes_signed_and_fail_closed(spark):
     """wav_pcm_stats inverts real canonical WAV bytes: signed int16 LE
     (extremes included), exact energy + IEEE rms, and fail-closed on
