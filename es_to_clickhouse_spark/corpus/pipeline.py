@@ -1564,3 +1564,141 @@ def mm16_avi_header_inventory(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return avi_header_inventory(assets)
+
+
+@query(
+    "mm17_flac_streaminfo",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST([8000, 16000, 22050, 44100, 48000][doc_id % 5 + 1]
+                  AS BIGINT) AS sr,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END
+                  AS BIGINT) AS bps,
+             CAST((doc_id * 977) % 1000000 + 1000 AS BIGINT) AS total
+      FROM documents
+    )
+    SELECT asset_id,
+           sr AS sample_rate,
+           ch AS channels,
+           bps AS bits_per_sample,
+           total AS total_samples,
+           CAST(floor(total * 1000 / sr) AS BIGINT) AS duration_ms
+    FROM base
+    """,
+)
+def mm17_flac_streaminfo(spark, sf_dir):
+    """FLAC STREAMINFO decode — the battery's first BIT-packed format:
+    sample rate / channels / bit depth / total samples share one
+    big-endian 64-bit field at sub-byte offsets, extracted by exact
+    floor-div/pmod algebra (operators/multimodal.flac_streaminfo).
+    Fixture packs the four fields per doc (five real sample rates, 1-2
+    channels, 16/24-bit, up to 10^6 samples) with Spark long math; the
+    oracle is ground truth from the same formulas, so any off-by-one in
+    the bit offsets shears every column at once."""
+    from es_to_clickhouse_spark.operators.multimodal import flac_streaminfo
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    sr = F.element_at(
+        F.array(*[F.lit(v) for v in (8000, 16000, 22050, 44100, 48000)]),
+        (did % 5 + 1).cast("int"),
+    ).cast("long")
+    ch = (did % 2 + 1).cast("long")
+    bps = F.when(did % 3 == 0, F.lit(24)).otherwise(F.lit(16)).cast("long")
+    total = ((did * 977) % 1000000 + 1000).cast("long")
+    packed = (
+        sr * F.lit(2 ** 44)
+        + (ch - 1) * F.lit(2 ** 41)
+        + (bps - 1) * F.lit(2 ** 36)
+        + total
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("664c6143"),            # 'fLaC'
+            F.lit("80"),                  # last-block flag + type 0
+            F.lit("000022"),              # length 34
+            F.lit("10001000000000000000"),  # block sizes + frame sizes (10 B)
+            F.lpad(F.hex(packed), 16, "0"),
+            F.lit("00" * 16),             # md5
+        )
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return flac_streaminfo(assets)
+
+
+@query(
+    "mm18_mp3_frame_inventory",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST(doc_id % 8 + 1 AS BIGINT) AS nf,
+             CAST(doc_id % 3 AS INT) AS sidx
+      FROM documents
+    ), fr AS (
+      SELECT asset_id, nf, sidx, unnest(range(0, nf)) AS f
+      FROM base
+    ), d AS (
+      SELECT asset_id, nf, sidx,
+             [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+               [CAST((asset_id + f) % 14 + 1 AS INT)] AS kbps
+      FROM fr
+    )
+    SELECT asset_id,
+           nf AS frame_count,
+           CAST([44100,48000,32000][sidx + 1] AS BIGINT) AS sample_rate,
+           CAST(max(kbps) AS BIGINT) AS max_bitrate_kbps,
+           CAST(floor(nf * 1152 * 1000
+                      / [44100,48000,32000][sidx + 1]) AS BIGINT)
+             AS duration_ms
+    FROM d GROUP BY asset_id, nf, sidx
+    """,
+)
+def mm18_mp3_frame_inventory(spark, sf_dir):
+    """MP3 frame-walk inventory — frame count / sample rate / VBR max
+    bitrate / duration from header hops alone
+    (operators/multimodal.mp3_frame_inventory). Fixture builds REAL
+    variable-bitrate streams: 1-8 frames per doc, the bitrate index and
+    padding bit changing EVERY frame (so each frame's length differs —
+    any hop mistake desyncs the walk and fails the file), three sample
+    rates across docs. Oracle is ground truth from the construction
+    formulas."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        MP3_BITRATES_KBPS,
+        MP3_SAMPLE_RATES,
+        mp3_frame_inventory,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    n_frames = (did % 8 + 1).cast("int")
+    sr_idx = (did % 3).cast("long")
+    br_arr = F.array(*[F.lit(v) for v in MP3_BITRATES_KBPS])
+    sr_arr = F.array(*[F.lit(v) for v in MP3_SAMPLE_RATES])
+    srate = F.element_at(sr_arr, (sr_idx + 1).cast("int"))
+
+    def frame_piece(f):
+        br_idx = (did + f) % 14 + 1
+        pad = (did + f) % 2
+        kbps = F.element_at(br_arr, br_idx.cast("int"))
+        flen = F.floor(144000 * kbps / srate).cast("long") + pad
+        b2 = br_idx * 16 + sr_idx * 4 + pad * 2
+        return F.concat(
+            F.lit("fffb"),
+            F.lpad(F.hex(b2), 2, "0"),
+            F.lit("00"),
+            F.repeat(F.lit("aa"), (flen - 4).cast("int")),
+        )
+
+    payload = F.unhex(
+        F.concat_ws(
+            "", F.transform(F.sequence(F.lit(0), n_frames - 1), frame_piece)
+        )
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return mp3_frame_inventory(assets)

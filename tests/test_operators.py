@@ -800,6 +800,79 @@ def test_avi_header_inventory_real_bytes(spark):
         assert r.total_frames is None and r.fps is None, aid
 
 
+def test_mp3_frame_inventory_walk_and_vbr(spark):
+    """mp3_frame_inventory hops real MPEG-1 Layer III headers: frame
+    lengths derived per-header (bitrate/samplerate/padding), VBR max
+    bitrate folded, duration from the frame count — and fails closed on
+    garbage between frames, trailing partial frames, reserved indices,
+    and files with more frames than the walk bound."""
+
+    def frame(br_idx, sr_idx, pad):
+        kbps = multimodal.MP3_BITRATES_KBPS[br_idx - 1]
+        sr = multimodal.MP3_SAMPLE_RATES[sr_idx]
+        flen = 144000 * kbps // sr + pad
+        # FF FB = sync + MPEG-1 + Layer III + no CRC
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0])
+        return hdr + b"\xaa" * (flen - 4)
+
+    good = frame(9, 0, 0) + frame(14, 0, 1) + frame(1, 0, 0)  # VBR
+    rows_in = [
+        (1, good),
+        (2, frame(5, 1, 0)),                       # single frame, 48 kHz
+        (3, good + b"\x00\x01"),                   # trailing garbage
+        (4, good[:-10]),                           # truncated last frame
+        # reserved bitrate index 15: valid sync, invalid header field
+        (5, bytes([0xFF, 0xFB, 0xF0, 0]) + b"\xaa" * 100),
+        (6, b"".join(frame(1, 2, 0) for _ in range(70))),  # > max_frames
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r for r in multimodal.mp3_frame_inventory(df).collect()
+    }
+    r1 = got[1]
+    assert (r1.frame_count, r1.sample_rate, r1.max_bitrate_kbps) == (
+        3, 44100, 320,
+    )
+    assert r1.duration_ms == 3 * 1152 * 1000 // 44100
+    assert (got[2].frame_count, got[2].sample_rate) == (1, 48000)
+    for aid in (3, 4, 5, 6):
+        assert got[aid].frame_count is None, aid
+
+
+def test_flac_streaminfo_bit_packed_fields(spark):
+    """flac_streaminfo inverts real FLAC bytes: the 20/3/5/36-bit
+    packed field decodes exactly (including a >2^32 total-samples value
+    exercising the hi-4-bits split), and bad magic / non-STREAMINFO
+    first block / zero sample rate / truncation fail closed."""
+    import struct
+
+    def flac(sr, ch, bps, total, magic=b"fLaC", btype=0x80, blen=34):
+        packed = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        info = struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+        info += struct.pack(">Q", packed) + b"\x00" * 16
+        return magic + bytes([btype]) + struct.pack(">I", blen)[1:] + info
+
+    rows_in = [
+        (1, flac(44100, 2, 16, 1_000_000)),
+        (2, flac(8000, 1, 24, (7 << 32) + 123)),   # total > 2^32
+        (3, flac(44100, 2, 16, 100, magic=b"OggS")),
+        (4, flac(44100, 2, 16, 100, btype=0x84)),  # first block not STREAMINFO
+        (5, flac(0, 2, 16, 100)),                  # unknown sample rate
+        (6, flac(44100, 2, 16, 100)[:30]),         # truncated
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {r.asset_id: r for r in multimodal.flac_streaminfo(df).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.channels, r1.bits_per_sample) == (44100, 2, 16)
+    assert r1.total_samples == 1_000_000
+    assert r1.duration_ms == 1_000_000 * 1000 // 44100
+    r2 = got[2]
+    assert (r2.sample_rate, r2.channels, r2.bits_per_sample) == (8000, 1, 24)
+    assert r2.total_samples == (7 << 32) + 123
+    for aid in (3, 4, 5, 6):
+        assert got[aid].sample_rate is None and got[aid].duration_ms is None, aid
+
+
 def test_wav_pcm_stats_real_bytes_signed_and_fail_closed(spark):
     """wav_pcm_stats inverts real canonical WAV bytes: signed int16 LE
     (extremes included), exact energy + IEEE rms, and fail-closed on
