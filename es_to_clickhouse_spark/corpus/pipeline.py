@@ -1702,3 +1702,67 @@ def mm18_mp3_frame_inventory(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return mp3_frame_inventory(assets)
+
+
+@query(
+    "mm19_warc_inventory",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id, CAST(doc_id % 5 + 1 AS BIGINT) AS nr
+      FROM documents
+    ), r AS (
+      SELECT asset_id, nr, unnest(range(0, nr)) AS i FROM base
+    ), d AS (
+      SELECT asset_id, nr, (asset_id + i) % 3 AS tix,
+             CAST((asset_id * 7 + i * 13) % 90 + 5 AS BIGINT) AS clen
+      FROM r
+    )
+    SELECT asset_id,
+           nr AS n_records,
+           CAST(sum(CASE WHEN tix = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_response,
+           CAST(sum(CASE WHEN tix = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_request,
+           CAST(sum(clen) AS BIGINT) AS content_bytes
+    FROM d GROUP BY asset_id, nr
+    """,
+)
+def mm19_warc_inventory(spark, sf_dir):
+    """WARC archive inventory — the Common Crawl container, THE wire
+    format a 100 TB LLM-data pipeline ingests first
+    (operators/multimodal.warc_record_inventory): record / response /
+    request counts and total content bytes by Content-Length-driven
+    record hops. Fixture builds real multi-record archives (1-5 records
+    per doc, types cycling response/request/warcinfo, content lengths
+    varying per record so any hop error desyncs the walk); oracle is
+    ground truth from the construction formulas."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        warc_record_inventory,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    n_rec = (did % 5 + 1).cast("int")
+    types = F.array(F.lit("response"), F.lit("request"), F.lit("warcinfo"))
+
+    def record(i):
+        wtype = F.element_at(types, ((did + i) % 3 + 1).cast("int"))
+        clen = ((did * 7 + i * 13) % 90 + 5).cast("int")
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: "), wtype,
+            F.lit("\r\nWARC-Record-ID: <urn:uuid:r"), i.cast("string"),
+            F.lit(">\r\nContent-Length: "), clen.cast("string"),
+            F.lit("\r\n\r\n"), F.repeat(F.lit("x"), clen),
+            F.lit("\r\n\r\n"),
+        )
+
+    payload = F.encode(
+        F.concat_ws(
+            "", F.transform(F.sequence(F.lit(0), n_rec - 1), record)
+        ),
+        "UTF-8",  # ASCII fixture: identical bytes under ISO-8859-1
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return warc_record_inventory(assets)

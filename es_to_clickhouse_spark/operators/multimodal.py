@@ -1112,3 +1112,101 @@ def mp3_frame_inventory(
         .otherwise(none)
         .alias("duration_ms"),
     )
+
+
+def warc_record_inventory(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_records: int = 32,
+    max_header_bytes: int = 4096,
+) -> DataFrame:
+    """REAL WARC (ISO 28500, the Common Crawl wire format) record
+    inventory — record count, response/request counts and total content
+    bytes — by hopping record headers exactly as the MP3/JPEG walks hop
+    frames: each record declares its own ``Content-Length``, and
+    records are delimited by CRLFCRLF after both the header block and
+    the content block.
+
+    Binary-safe offset trick: Spark's ``locate`` counts CHARS, so the
+    payload is decoded as ISO-8859-1 — a bijective byte<->char map — so
+    every char offset IS the byte offset and arbitrary binary record
+    content (gzip, images) walks correctly. Header parsing per hop:
+
+    - version line must open ``WARC/1.`` (1.0 and 1.1 accepted);
+    - the header/content boundary is the first CRLFCRLF within a
+      ``max_header_bytes`` window (real WARC headers are far smaller);
+    - ``Content-Length`` and ``WARC-Type`` are extracted from the
+      header block alone (never from content, which may embed
+      lookalike lines);
+    - next record = boundary + content + the spec's trailing CRLFCRLF.
+
+    One bounded ``F.aggregate`` fold, struct accumulator; success ONLY
+    by landing exactly on end-of-payload, so truncated content, a
+    missing Content-Length, or a malformed version line fail closed
+    (all NULL) — the crawl-ingest contract where a half-read archive
+    must not report a confident record count."""
+    s = F.decode(F.col(payload_col), "ISO-8859-1")
+    end = F.length(s) + 1
+
+    FAIL = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("resp"),
+        F.lit(0).cast("long").alias("req"),
+        F.lit(0).cast("long").alias("bytes"),
+    )
+
+    def step(acc: Column, _i: Column) -> Column:
+        pos = acc["pos"]
+        window = F.substring(s, pos.cast("int"), max_header_bytes)
+        rel = F.locate("\r\n\r\n", window)  # 1-based, 0 = not found
+        header = F.substring(window, 1, rel + 1)  # incl. one CRLF
+        clen = F.nullif(
+            F.regexp_extract(header, r"\r\nContent-Length: (\d+)\r\n", 1),
+            F.lit(""),
+        ).cast("long")
+        wtype = F.regexp_extract(header, r"\r\nWARC-Type: ([a-z]+)\r\n", 1)
+        advanced = F.struct(
+            (pos + rel + 3 + clen + 4).alias("pos"),
+            (acc["n"] + 1).alias("n"),
+            (acc["resp"] + F.when(wtype == "response", 1).otherwise(0)).alias("resp"),
+            (acc["req"] + F.when(wtype == "request", 1).otherwise(0)).alias("req"),
+            (acc["bytes"] + clen).alias("bytes"),
+        )
+        nxt = (
+            F.when(pos <= 0, acc)
+            .when(pos == end, F.struct(
+                F.lit(-1).cast("long").alias("pos"),
+                acc["n"].alias("n"),
+                acc["resp"].alias("resp"),
+                acc["req"].alias("req"),
+                acc["bytes"].alias("bytes"),
+            ))
+            .when(
+                (F.substring(window, 1, 7) == "WARC/1.")
+                & (rel > 0)
+                & clen.isNotNull(),
+                advanced,
+            )
+            .otherwise(FAIL)
+        )
+        return F.when(nxt["pos"].isNull(), FAIL).otherwise(nxt)
+
+    zero = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("resp"),
+        F.lit(0).cast("long").alias("req"),
+        F.lit(0).cast("long").alias("bytes"),
+    )
+    st = F.aggregate(F.sequence(F.lit(0), F.lit(int(max_records))), zero, step)
+    ok = (st["pos"] == -1) & (st["n"] > 0)
+    none = F.lit(None).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.when(ok, st["n"]).otherwise(none).alias("n_records"),
+        F.when(ok, st["resp"]).otherwise(none).alias("n_response"),
+        F.when(ok, st["req"]).otherwise(none).alias("n_request"),
+        F.when(ok, st["bytes"]).otherwise(none).alias("content_bytes"),
+    )

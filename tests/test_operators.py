@@ -839,6 +839,50 @@ def test_mp3_frame_inventory_walk_and_vbr(spark):
         assert got[aid].frame_count is None, aid
 
 
+def test_warc_record_inventory_walk(spark):
+    """warc_record_inventory hops real WARC records: Content-Length
+    drives each hop (content may contain CRLFCRLF and even a fake
+    'WARC/1.0' header — only the declared length matters), arbitrary
+    non-ASCII bytes survive the ISO-8859-1 offset trick, and truncation
+    / missing Content-Length / bad version fail closed."""
+
+    def rec(wtype, content: bytes, version=b"WARC/1.0", clen=None):
+        n = len(content) if clen is None else clen
+        return (
+            version + b"\r\n"
+            + b"WARC-Type: " + wtype.encode() + b"\r\n"
+            + b"WARC-Record-ID: <urn:uuid:x>\r\n"
+            + b"Content-Length: " + str(n).encode() + b"\r\n\r\n"
+            + content + b"\r\n\r\n"
+        )
+
+    trap = b"abc\r\n\r\nWARC/1.0\r\nContent-Length: 9\r\n\r\n\xe9\xff"
+    good = (
+        rec("warcinfo", b"software: test")
+        + rec("response", trap)           # lookalike + binary content
+        + rec("request", b"GET / HTTP/1.1")
+        + rec("response", b"")            # empty content is legal
+    )
+    rows_in = [
+        (1, good),
+        (2, rec("response", b"hello")),
+        (3, good[:-9]),                              # truncated content
+        (4, rec("response", b"hello", version=b"HTTP/1.1")),
+        (5, rec("response", b"hello", clen=3)),      # wrong length: desync
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r
+        for r in multimodal.warc_record_inventory(df).collect()
+    }
+    r1 = got[1]
+    assert (r1.n_records, r1.n_response, r1.n_request) == (4, 2, 1)
+    assert r1.content_bytes == 14 + len(trap) + 14 + 0
+    assert (got[2].n_records, got[2].content_bytes) == (1, 5)
+    for aid in (3, 4, 5):
+        assert got[aid].n_records is None, aid
+
+
 def test_flac_streaminfo_bit_packed_fields(spark):
     """flac_streaminfo inverts real FLAC bytes: the 20/3/5/36-bit
     packed field decodes exactly (including a >2^32 total-samples value
