@@ -1766,3 +1766,84 @@ def mm19_warc_inventory(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return warc_record_inventory(assets)
+
+
+@query(
+    "mm20_gzip_member_inventory",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST(1600000000 + doc_id * 60 AS BIGINT) AS mtime,
+             CAST(doc_id % 3 AS BIGINT) AS os_byte,
+             CASE WHEN doc_id % 2 = 1
+                  THEN 'shard-' || lpad(CAST(doc_id AS VARCHAR), 5, '0')
+                       || '.jsonl' END AS fname,
+             CAST((doc_id * 11) % 200 + 10 AS BIGINT) AS deflate_bytes,
+             CAST((doc_id * 13) % 100000 AS BIGINT) AS isize,
+             CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS crc32
+      FROM documents
+    )
+    SELECT asset_id, mtime, os_byte, fname, deflate_bytes, isize, crc32
+    FROM base
+    """,
+)
+def mm20_gzip_member_inventory(spark, sf_dir):
+    """gzip member inventory — the compression wrapper on every crawl
+    shard (operators/multimodal.gzip_member_inventory). The fixture
+    varies the FLG-gated optional fields independently (FNAME on odd
+    docs, FEXTRA on doc%3==0, FCOMMENT on doc%7==0, FHCRC on doc%5==0),
+    so the data offset differs doc to doc and any fixed-offset shortcut
+    shears deflate_bytes; the trailer CRC32/ISIZE are formula-driven.
+    The deflate body is opaque to the inventory (junk bytes here; the
+    unit test pins real zlib members)."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        gzip_member_inventory,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    empty = F.lit(b"")
+    mtime = (F.lit(1600000000) + did * 60).cast("long")
+    os_b = (did % 3).cast("long")
+    has_fname, has_extra = did % 2 == 1, did % 3 == 0
+    has_comment, has_fhcrc = did % 7 == 0, did % 5 == 0
+    flg = (
+        F.when(has_fhcrc, 2).otherwise(0)
+        + F.when(has_extra, 4).otherwise(0)
+        + F.when(has_fname, 8).otherwise(0)
+        + F.when(has_comment, 16).otherwise(0)
+    )
+    body_len = ((did * 11) % 200 + 10).cast("int")
+    isize = ((did * 13) % 100000).cast("long")
+    crc = ((did * 2654435761) % 4294967296).cast("long")
+    fname_s = F.concat(
+        F.lit("shard-"),
+        F.lpad(did.cast("string"), 5, "0"),
+        F.lit(".jsonl"),
+    )
+    payload = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit("1f8b08"),
+                F.lpad(F.hex(flg), 2, "0"),
+                _le_hex(mtime, 4),
+                F.lit("00"),
+                F.lpad(F.hex(os_b), 2, "0"),
+            )
+        ),
+        F.when(has_extra, F.unhex(F.lit("040061626364"))).otherwise(empty),
+        F.when(
+            has_fname, F.concat(F.encode(fname_s, "UTF-8"), F.lit(b"\x00"))
+        ).otherwise(empty),
+        F.when(
+            has_comment,
+            F.concat(F.encode(F.lit("note"), "UTF-8"), F.lit(b"\x00")),
+        ).otherwise(empty),
+        F.when(has_fhcrc, F.unhex(F.lit("beef"))).otherwise(empty),
+        F.unhex(F.repeat(F.lit("aa"), body_len)),
+        F.unhex(F.concat(_le_hex(crc, 4), _le_hex(isize, 4))),
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return gzip_member_inventory(assets)

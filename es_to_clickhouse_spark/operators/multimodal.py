@@ -1210,3 +1210,80 @@ def warc_record_inventory(
         F.when(ok, st["req"]).otherwise(none).alias("n_request"),
         F.when(ok, st["bytes"]).otherwise(none).alias("content_bytes"),
     )
+
+
+def gzip_member_inventory(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_name_bytes: int = 256,
+) -> DataFrame:
+    """REAL gzip (RFC 1952) member decode — header fields and the
+    trailer, no inflate: the wrapper every ``.json.gz`` / ``.wet.gz``
+    shard of a crawl corpus wears. The header is a genuine variable-
+    length walk: after the fixed 10 bytes (magic 1f8b, CM=8, FLG,
+    MTIME u32le, XFL, OS), the FLG bits gate OPTIONAL fields in spec
+    order — FEXTRA (u16le length + data), FNAME and FCOMMENT
+    (NUL-terminated strings, located via the ISO-8859-1 byte<->char
+    device), FHCRC (u16) — so the data offset is computed, never
+    assumed. The trailer's last 8 bytes carry CRC32 and ISIZE
+    (uncompressed length mod 2^32, little-endian).
+
+    Returns mtime (epoch seconds), os byte, the FNAME (NULL when
+    absent), deflate_bytes (member length minus header minus trailer)
+    and isize. Fails closed on: bad magic, CM != 8, reserved FLG bits,
+    a FNAME/FCOMMENT terminator beyond ``max_name_bytes``, or a header
+    that overruns the payload (deflate_bytes would go negative)."""
+    p = F.col(payload_col)
+    s = F.decode(p, "ISO-8859-1")
+
+    def u8(pos) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("long")
+
+    cm = u8(3)
+    flg = u8(4)
+    bit = lambda n: F.floor(flg / (2 ** n)).cast("long") % 2  # noqa: E731
+    ftext, fhcrc, fextra, fname, fcomment = bit(0), bit(1), bit(2), bit(3), bit(4)
+    xlen = _le_u16(p, 11)
+    extra_end = F.when(fextra == 1, 12 + xlen).otherwise(F.lit(10)).cast("long")
+    # FNAME: NUL-terminated, search a bounded window after the extras
+    nm_rel = F.locate(
+        "\x00", F.substring(s, (extra_end + 1).cast("int"), max_name_bytes)
+    )
+    name_end = F.when(
+        fname == 1, F.when(nm_rel > 0, extra_end + nm_rel)
+    ).otherwise(extra_end)
+    cm_rel = F.locate(
+        "\x00", F.substring(s, (name_end + 1).cast("int"), max_name_bytes)
+    )
+    comment_end = F.when(
+        fcomment == 1, F.when(cm_rel > 0, name_end + cm_rel)
+    ).otherwise(name_end)
+    header_end = comment_end + F.when(fhcrc == 1, 2).otherwise(0)
+    deflate_bytes = F.length(p) - header_end - 8
+    ok = (
+        (F.hex(F.substring(p, 1, 2)) == "1F8B")
+        & (cm == 8)  # deflate is the only RFC 1952 method
+        & (F.floor(flg / 32) == 0)  # reserved bits 5-7 must be zero
+        & header_end.isNotNull()
+        & (deflate_bytes >= 0)
+        & (ftext <= 1)
+    )
+    mtime = _le_u32(p, 5)
+    os_byte = u8(10)
+    isize = _le_u32(p, (F.length(p) - 3).cast("int"))
+    crc = _le_u32(p, (F.length(p) - 7).cast("int"))
+    fname_str = F.when(
+        (fname == 1) & (nm_rel > 0),
+        F.substring(s, (extra_end + 1).cast("int"), nm_rel - 1),
+    )
+    none = F.lit(None).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.when(ok, mtime).otherwise(none).alias("mtime"),
+        F.when(ok, os_byte).otherwise(none).alias("os_byte"),
+        F.when(ok, fname_str).otherwise(F.lit(None).cast("string")).alias("fname"),
+        F.when(ok, deflate_bytes).otherwise(none).alias("deflate_bytes"),
+        F.when(ok, isize).otherwise(none).alias("isize"),
+        F.when(ok, crc).otherwise(none).alias("crc32"),
+    )

@@ -883,6 +883,71 @@ def test_warc_record_inventory_walk(spark):
         assert got[aid].n_records is None, aid
 
 
+def test_gzip_member_inventory_real_members(spark):
+    """gzip_member_inventory inverts REAL gzip members (raw-deflate
+    bodies via zlib; each fixture round-trips through the gzip module
+    first): optional FEXTRA/FNAME/FCOMMENT/FHCRC fields shift the data
+    offset per the FLG bits, trailer CRC32/ISIZE decode LE, and bad
+    magic / non-deflate CM / reserved FLG bits fail closed."""
+    import gzip as _gzip
+    import struct
+    import zlib
+
+    def member(data, fname=None, extra=None, comment=None, fhcrc=False,
+               mtime=1700000000, magic=b"\x1f\x8b", cm=8, flg_extra=0):
+        flg = (
+            (2 if fhcrc else 0) | (4 if extra else 0)
+            | (8 if fname else 0) | (16 if comment else 0) | flg_extra
+        )
+        hdr = magic + bytes([cm, flg]) + struct.pack("<I", mtime) + b"\x00\x03"
+        if extra:
+            hdr += struct.pack("<H", len(extra)) + extra
+        if fname:
+            hdr += fname + b"\x00"
+        if comment:
+            hdr += comment + b"\x00"
+        if fhcrc:
+            hdr += struct.pack("<H", zlib.crc32(hdr) & 0xFFFF)
+        body = zlib.compress(data, 9, -15)[0:]  # raw deflate
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        body = co.compress(data) + co.flush()
+        return (
+            hdr + body
+            + struct.pack("<II", zlib.crc32(data), len(data) % 2**32)
+        ), len(body)
+
+    plain, plain_n = member(b"hello world" * 10)
+    named, named_n = member(b"abc", fname=b"shard-0001.jsonl")
+    full, full_n = member(
+        b"x" * 1000, fname=b"a.txt", extra=b"\x41\x42\x02\x00xy",
+        comment=b"note", fhcrc=True,
+    )
+    # the simple members really are valid gzip (module ground truth)
+    assert _gzip.decompress(plain) == b"hello world" * 10
+    assert _gzip.decompress(named) == b"abc"
+    rows_in = [
+        (1, plain), (2, named), (3, full),
+        (4, member(b"x", magic=b"\x1f\x8c")[0]),
+        (5, member(b"x", cm=7)[0]),
+        (6, member(b"x", flg_extra=0x40)[0]),  # reserved FLG bit
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r
+        for r in multimodal.gzip_member_inventory(df).collect()
+    }
+    r1 = got[1]
+    assert (r1.mtime, r1.os_byte, r1.fname) == (1700000000, 3, None)
+    assert r1.isize == 110 and r1.deflate_bytes == plain_n
+    assert r1.crc32 == zlib.crc32(b"hello world" * 10)
+    assert got[2].fname == "shard-0001.jsonl"
+    assert got[2].deflate_bytes == named_n and got[2].isize == 3
+    assert got[3].fname == "a.txt" and got[3].deflate_bytes == full_n
+    assert got[3].isize == 1000
+    for aid in (4, 5, 6):
+        assert got[aid].mtime is None and got[aid].isize is None, aid
+
+
 def test_flac_streaminfo_bit_packed_fields(spark):
     """flac_streaminfo inverts real FLAC bytes: the 20/3/5/36-bit
     packed field decodes exactly (including a >2^32 total-samples value
