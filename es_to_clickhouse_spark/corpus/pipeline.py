@@ -1847,3 +1847,120 @@ def mm20_gzip_member_inventory(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return gzip_member_inventory(assets)
+
+
+@query(
+    "mm21_zstd_frame_inventory",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST(doc_id % 4 AS BIGINT) AS fcs_code,
+             doc_id % 5 = 0 AS single,
+             doc_id % 2 = 1 AS cksum,
+             CAST((doc_id * 3 + 1) % 4 AS BIGINT) AS did_code,
+             CAST(doc_id % 256 AS BIGINT) AS wd
+      FROM documents
+    ), d AS (
+      SELECT asset_id, fcs_code, single, cksum, did_code, wd,
+             [0, 1, 2, 4][CAST(did_code + 1 AS INT)] AS did_len,
+             CASE WHEN fcs_code = 0 THEN (CASE WHEN single THEN 1 ELSE 0 END)
+                  WHEN fcs_code = 1 THEN 2
+                  WHEN fcs_code = 2 THEN 4 ELSE 8 END AS fcs_len,
+             CASE did_code WHEN 0 THEN NULL
+                  WHEN 1 THEN (asset_id * 97) % 250 + 1
+                  WHEN 2 THEN (asset_id * 97) % 60000 + 1
+                  ELSE (asset_id * 97) % 4000000 + 1 END AS dict_id_v,
+             CASE WHEN fcs_code = 0 AND single THEN (asset_id * 3) % 200
+                  WHEN fcs_code = 1 THEN (asset_id * 7) % 60000 + 256
+                  WHEN fcs_code = 2 THEN (asset_id * 13) % 100000
+                  WHEN fcs_code = 3 THEN 8589934592 + asset_id * 1000
+                  END AS content_v
+      FROM base
+    )
+    SELECT asset_id,
+           CAST(dict_id_v AS BIGINT) AS dict_id,
+           CASE WHEN NOT single THEN
+             CAST(power(2, 10 + wd // 8) AS BIGINT)
+             + (wd % 8) * CAST(power(2, 7 + wd // 8) AS BIGINT)
+           END AS window_size,
+           CAST(content_v AS BIGINT) AS content_size,
+           cksum AS has_checksum,
+           CAST(5 + (CASE WHEN single THEN 0 ELSE 1 END)
+                + did_len + fcs_len AS BIGINT) AS header_bytes
+    FROM d
+    """,
+)
+def mm21_zstd_frame_inventory(spark, sf_dir):
+    """Zstandard frame-header inventory (RFC 8878) — descriptor-bit-
+    gated variable fields exercised independently per doc: FCS size
+    codes 0-3 (incl. the 2-byte +256 offset encoding and the
+    Single_Segment promotion of code 0), dictionary-id sizes 0/1/2/4,
+    window exponent+mantissa algebra, checksum flag. Oracle is ground
+    truth from the construction formulas; header_bytes pins the
+    computed total offset so any field-size mistake shears it."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        zstd_frame_inventory,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    did_ = F.col("doc_id")
+    fcs_code = (did_ % 4).cast("long")
+    single = did_ % 5 == 0
+    cksum = did_ % 2 == 1
+    did_code = ((did_ * 3 + 1) % 4).cast("long")
+    wd = (did_ % 256).cast("long")
+    did_len = F.element_at(
+        F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(4)),
+        (did_code + 1).cast("int"),
+    )
+    fcs_len = (
+        F.when(fcs_code == 0, F.when(single, 1).otherwise(0))
+        .when(fcs_code == 1, 2)
+        .when(fcs_code == 2, 4)
+        .otherwise(8)
+        .cast("long")
+    )
+    dict_id = (
+        F.when(did_code == 1, (did_ * 97) % 250 + 1)
+        .when(did_code == 2, (did_ * 97) % 60000 + 1)
+        .when(did_code == 3, (did_ * 97) % 4000000 + 1)
+        .cast("long")
+    )
+    content = (
+        F.when(single & (fcs_code == 0), (did_ * 3) % 200)
+        .when(fcs_code == 1, (did_ * 7) % 60000 + 256)
+        .when(fcs_code == 2, (did_ * 13) % 100000)
+        .when(fcs_code == 3, F.lit(8589934592) + did_ * 1000)
+        .cast("long")
+    )
+    desc = (
+        fcs_code * 64
+        + F.when(single, 32).otherwise(0)
+        + F.when(cksum, 4).otherwise(0)
+        + did_code
+    )
+    stored_fcs = F.when(fcs_len == 2, content - 256).otherwise(content)
+    payload = F.unhex(
+        F.concat(
+            F.lit("28b52ffd"),
+            F.lpad(F.hex(desc), 2, "0"),
+            F.when(single, F.lit("")).otherwise(F.lpad(F.hex(wd), 2, "0")),
+            # little-endian: the first N bytes of the 8-byte encoding
+            # ARE the N-byte encoding, so slice the fixed-width hex
+            F.when(
+                did_len > 0,
+                F.substring(_le_hex(dict_id, 4), 1, (did_len * 2).cast("int")),
+            ).otherwise(F.lit("")),
+            F.when(
+                fcs_len > 0,
+                F.substring(
+                    _le_hex(stored_fcs, 8), 1, (fcs_len * 2).cast("int")
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("aa" * 8),
+        )
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return zstd_frame_inventory(assets)

@@ -1287,3 +1287,99 @@ def gzip_member_inventory(
         F.when(ok, isize).otherwise(none).alias("isize"),
         F.when(ok, crc).otherwise(none).alias("crc32"),
     )
+
+
+def zstd_frame_inventory(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL Zstandard frame-header decode (RFC 8878, public wire
+    format) — the other compression wrapper modern crawl corpora ship
+    in. Like gzip's FLG walk, every field after the magic is gated by
+    descriptor BITS, so offsets are computed, never assumed:
+
+    - magic ``28 B5 2F FD`` (little-endian 0xFD2FB528);
+    - frame-header descriptor byte: bits 7-6 = Frame_Content_Size
+      field size code (0->0-or-1, 1->2, 2->4, 3->8 bytes), bit 5 =
+      Single_Segment (drops the window descriptor AND promotes size
+      code 0 to a 1-byte field), bit 3 reserved (must be 0), bit 2 =
+      Content_Checksum, bits 1-0 = Dictionary_ID size code (0/1/2/4);
+    - window descriptor (when present): window_size =
+      2^(10+exponent) + mantissa * 2^(10+exponent-3) — pure exponent
+      algebra, exact for every legal exponent;
+    - Frame_Content_Size: LE, and the 2-byte format stores
+      ``value - 256`` (the spec's offset encoding — a decoder that
+      skips the +256 is wrong for every small-but-not-tiny frame).
+
+    Returns dict_id (NULL when absent), window_size (NULL under
+    Single_Segment), content_size (NULL when not declared),
+    has_checksum, header_bytes. Fails closed on bad magic, the
+    reserved descriptor bit, or a header overrunning the payload."""
+    p = F.col(payload_col)
+
+    def u8(pos) -> Column:
+        h = F.hex(F.substring(p, pos, 1))
+        return F.when(h == "", F.lit(None)).otherwise(
+            F.conv(h, 16, 10).cast("long")
+        )
+
+    def le_n(pos: Column, nbytes: Column) -> Column:
+        """Little-endian unsigned int of 1/2/4/8 bytes at Column pos."""
+        return (
+            F.when(nbytes == 1, u8(pos))
+            .when(nbytes == 2, u8(pos) + u8(pos + 1) * 256)
+            .when(nbytes == 4, _le_u32(p, pos))
+            .when(
+                nbytes == 8,
+                _le_u32(p, pos) + _le_u32(p, pos + 4) * F.lit(4294967296),
+            )
+        )
+
+    desc = u8(5)
+    fcs_code = F.floor(desc / 64).cast("long")
+    single = (F.floor(desc / 32).cast("long") % 2) == 1
+    reserved = (F.floor(desc / 8).cast("long") % 2)
+    checksum = (F.floor(desc / 4).cast("long") % 2) == 1
+    did_code = desc % 4
+    did_len = F.when(did_code == 3, 4).otherwise(did_code).cast("long")
+    fcs_len = (
+        F.when(fcs_code == 0, F.when(single, 1).otherwise(0))
+        .when(fcs_code == 1, 2)
+        .when(fcs_code == 2, 4)
+        .otherwise(8)
+        .cast("long")
+    )
+    win_pos = F.lit(6).cast("long")
+    win_len = F.when(single, 0).otherwise(1).cast("long")
+    did_pos = win_pos + win_len
+    fcs_pos = did_pos + did_len
+    header_bytes = fcs_pos + fcs_len - 1  # total incl. 4-byte magic
+    wd = u8(win_pos)
+    wexp = F.floor(wd / 8).cast("long") + 10
+    wmant = wd % 8
+    window_size = (
+        F.pow(F.lit(2.0), wexp).cast("long")
+        + wmant * F.pow(F.lit(2.0), wexp - 3).cast("long")
+    )
+    raw_fcs = le_n(fcs_pos, fcs_len)
+    content_size = F.when(fcs_len == 0, F.lit(None).cast("long")).otherwise(
+        F.when(fcs_len == 2, raw_fcs + 256).otherwise(raw_fcs)
+    )
+    ok = (
+        (F.hex(F.substring(p, 1, 4)) == "28B52FFD")
+        & desc.isNotNull()
+        & (reserved == 0)
+        & (F.length(p) >= header_bytes)
+    )
+    none = F.lit(None).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.when(ok & (did_len > 0), le_n(did_pos, did_len))
+        .otherwise(none)
+        .alias("dict_id"),
+        F.when(ok & ~single, window_size).otherwise(none).alias("window_size"),
+        F.when(ok, content_size).otherwise(none).alias("content_size"),
+        F.when(ok, checksum).otherwise(F.lit(None).cast("boolean")).alias("has_checksum"),
+        F.when(ok, header_bytes).otherwise(none).alias("header_bytes"),
+    )

@@ -883,6 +883,65 @@ def test_warc_record_inventory_walk(spark):
         assert got[aid].n_records is None, aid
 
 
+def test_zstd_frame_inventory_descriptor_gated_fields(spark):
+    """zstd_frame_inventory decodes RFC 8878 frame headers built byte
+    by byte from the spec (no zstd lib in this env — header grammar is
+    fully specified): FCS size codes incl. the 2-byte +256 offset
+    encoding, Single_Segment dropping the window descriptor, dictionary
+    id sizes, window exponent/mantissa algebra, reserved-bit and
+    truncation fail-closed."""
+    import struct
+
+    MAGIC = b"\x28\xb5\x2f\xfd"
+
+    def frame(fcs_code, single, cksum, did_code, window=None, did=None,
+              fcs=None, reserved=False):
+        desc = (
+            (fcs_code << 6) | (32 if single else 0) | (8 if reserved else 0)
+            | (4 if cksum else 0) | did_code
+        )
+        out = MAGIC + bytes([desc])
+        if not single:
+            out += bytes([window if window is not None else 0])
+        if did_code:
+            n = {1: 1, 2: 2, 3: 4}[did_code]
+            out += did.to_bytes(n, "little")
+        n = {0: (1 if single else 0), 1: 2, 2: 4, 3: 8}[fcs_code]
+        if n:
+            raw = fcs - 256 if n == 2 else fcs
+            out += raw.to_bytes(n, "little")
+        return out + b"\xaa" * 8  # opaque block data
+
+    rows_in = [
+        # window exp 3 (2^13), mantissa 5: 8192 + 5*1024
+        (1, frame(1, False, True, 2, window=(3 << 3) | 5, did=777, fcs=1000)),
+        (2, frame(0, True, False, 0, fcs=42)),        # single-segment, 1-byte FCS
+        (3, frame(0, False, False, 0, window=0)),     # no FCS declared
+        (4, frame(3, False, False, 3, window=8, did=2**31, fcs=2**40)),
+        (5, frame(1, False, False, 0, window=0, fcs=300, reserved=True)),
+        (6, b"\x28\xb5\x2f\xfe\x00\x00"),             # wrong magic
+        (7, frame(3, False, False, 0, window=0, fcs=2**40)[:8]),  # truncated
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r
+        for r in multimodal.zstd_frame_inventory(df).collect()
+    }
+    r1 = got[1]
+    assert (r1.dict_id, r1.window_size, r1.content_size) == (
+        777, 8192 + 5 * 1024, 1000,
+    )
+    assert r1.has_checksum is True and r1.header_bytes == 4 + 1 + 1 + 2 + 2
+    r2 = got[2]
+    assert (r2.dict_id, r2.window_size, r2.content_size) == (None, None, 42)
+    assert got[3].content_size is None and got[3].window_size == 1024
+    r4 = got[4]
+    assert (r4.dict_id, r4.content_size) == (2**31, 2**40)
+    assert r4.window_size == 2048 + 0 * 256
+    for aid in (5, 6, 7):
+        assert got[aid].header_bytes is None, aid
+
+
 def test_gzip_member_inventory_real_members(spark):
     """gzip_member_inventory inverts REAL gzip members (raw-deflate
     bodies via zlib; each fixture round-trips through the gzip module
