@@ -1964,3 +1964,120 @@ def mm21_zstd_frame_inventory(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return zstd_frame_inventory(assets)
+
+
+@query(
+    "mm22_tar_inventory",
+    """
+    WITH base AS (
+      SELECT doc_id AS asset_id,
+             CAST(doc_id % 3 + 1 AS BIGINT) AS nf,
+             doc_id % 2 = 0 AS has_dir
+      FROM documents
+    ), f AS (
+      SELECT asset_id, nf, has_dir, unnest(range(0, nf)) AS i FROM base
+    ), d AS (
+      SELECT asset_id, nf, has_dir,
+             CAST((asset_id * 31 + i * 7) % 1200 AS BIGINT) AS fsize
+      FROM f
+    )
+    SELECT asset_id,
+           CAST(nf + CASE WHEN has_dir THEN 1 ELSE 0 END AS BIGINT)
+             AS n_entries,
+           nf AS n_files,
+           CAST(CASE WHEN has_dir THEN 1 ELSE 0 END AS BIGINT) AS n_dirs,
+           CAST(sum(fsize) AS BIGINT) AS total_file_bytes
+    FROM d GROUP BY asset_id, nf, has_dir
+    """,
+)
+def mm22_tar_inventory(spark, sf_dir):
+    """ustar tar inventory with VALIDATED header checksums
+    (operators/multimodal.tar_archive_inventory). The fixture builds
+    spec-complete 512-byte headers in Column algebra — including the
+    checksum, computed by a construction-side byte-sum fold over the
+    header with the checksum field as spaces, exactly the quantity the
+    DECODER must independently reproduce — so a decoder that skips or
+    mis-computes the checksum cannot pass by luck. 1-3 files per doc
+    (sizes 0-1199 bytes, spanning 0-3 data blocks), a leading directory
+    on even docs, two zero end blocks. Oracle is ground truth from the
+    construction formulas."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        tar_archive_inventory,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    n_files = (did % 3 + 1).cast("int")
+    has_dir = did % 2 == 0
+
+    def bytesum(hexcol, nbytes):
+        def _p(a, i):
+            return a + F.conv(F.substring(hexcol, i * 2 + 1, 2), 16, 10).cast(
+                "long"
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(nbytes - 1)),
+            F.lit(0).cast("long"),
+            _p,
+        )
+
+    MODE = "30303030363434" + "00"        # "0000644\\0"
+    SEVEN_ZEROS = "30303030303030" + "00"  # uid/gid "0000000\\0"
+    MTIME = "30" * 11 + "00"
+    MAGIC_VER = "757374617200" + "3030"    # "ustar\\0" + "00"
+
+    def header(name_col, size_col, type_hex):
+        name_hex = F.rpad(F.hex(F.encode(name_col, "UTF-8")), 200, "0")
+        size_hex = F.concat(
+            F.hex(F.encode(F.lpad(F.conv(size_col, 10, 8), 11, "0"), "UTF-8")),
+            F.lit("00"),
+        )
+        pre = F.concat(
+            name_hex, F.lit(MODE), F.lit(SEVEN_ZEROS), F.lit(SEVEN_ZEROS),
+            size_hex, F.lit(MTIME),
+        )  # 148 bytes
+        post = F.concat(
+            F.lit(type_hex),
+            F.lit("00" * 100),       # linkname
+            F.lit(MAGIC_VER),
+            F.lit("00" * 32), F.lit("00" * 32),   # uname/gname
+            F.lit("00" * 8), F.lit("00" * 8),     # dev major/minor
+            F.lit("00" * 155), F.lit("00" * 12),  # prefix + pad
+        )  # 356 bytes
+        chksum = bytesum(pre, 148) + bytesum(post, 356) + 8 * 0x20
+        chk_hex = F.concat(
+            F.hex(F.encode(F.lpad(F.conv(chksum, 10, 8), 6, "0"), "UTF-8")),
+            F.lit("0020"),  # NUL + space, the historical terminator
+        )
+        return F.concat(pre, chk_hex, post)
+
+    def file_entry(i):
+        size = ((did * 31 + i * 7) % 1200).cast("long")
+        pad = (512 - size % 512) % 512
+        return F.concat(
+            header(
+                F.concat(F.lit("f"), i.cast("string"), F.lit(".bin")),
+                size,
+                "30",
+            ),
+            F.repeat(F.lit("aa"), size.cast("int")),
+            F.repeat(F.lit("00"), pad.cast("int")),
+        )
+
+    dir_hex = F.when(
+        has_dir, header(F.lit("d/"), F.lit(0).cast("long"), "35")
+    ).otherwise(F.lit(""))
+    payload = F.unhex(
+        F.concat(
+            dir_hex,
+            F.concat_ws(
+                "", F.transform(F.sequence(F.lit(0), n_files - 1), file_entry)
+            ),
+            F.lit("00" * 1024),  # two zero end blocks
+        )
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return tar_archive_inventory(assets)

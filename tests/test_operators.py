@@ -883,6 +883,57 @@ def test_warc_record_inventory_walk(spark):
         assert got[aid].n_records is None, aid
 
 
+def test_tar_archive_inventory_real_archives(spark):
+    """tar_archive_inventory inverts REAL archives written by the
+    stdlib tarfile module (ustar format): entry/file/dir counts and
+    total bytes, header checksums actually validated (a single flipped
+    byte in a name field fails the archive), truncation and non-tar
+    payloads fail closed."""
+    import io
+    import tarfile
+
+    def tar(entries):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+            for name, data in entries:
+                if data is None:
+                    info = tarfile.TarInfo(name)
+                    info.type = tarfile.DIRTYPE
+                    t.addfile(info)
+                else:
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    t.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    good = tar([
+        ("docs/", None),
+        ("docs/a.txt", b"hello world"),
+        ("docs/b.bin", b"\x00\x01" * 700),  # spans 3 data blocks
+        ("c.txt", b""),
+    ])
+    corrupt = bytearray(tar([("x.txt", b"data")]))
+    corrupt[1] ^= 0xFF  # flip a name byte: stored checksum now wrong
+    rows_in = [
+        (1, good),
+        (2, tar([("one.txt", b"abc")])),
+        (3, bytes(corrupt)),
+        (4, good[:700]),          # truncated mid data block: no end marker
+        (5, b"not a tar archive" + b"\x00" * 600),
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    got = {
+        r.asset_id: r
+        for r in multimodal.tar_archive_inventory(df).collect()
+    }
+    r1 = got[1]
+    assert (r1.n_entries, r1.n_files, r1.n_dirs) == (4, 3, 1)
+    assert r1.total_file_bytes == 11 + 1400 + 0
+    assert (got[2].n_entries, got[2].total_file_bytes) == (1, 3)
+    for aid in (3, 4, 5):
+        assert got[aid].n_entries is None, aid
+
+
 def test_zstd_frame_inventory_descriptor_gated_fields(spark):
     """zstd_frame_inventory decodes RFC 8878 frame headers built byte
     by byte from the spec (no zstd lib in this env — header grammar is
