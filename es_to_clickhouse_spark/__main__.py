@@ -154,6 +154,14 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
     ch_http_mode = args.mode == "incremental" and args.ch_http_url
     if not args.source_dir and not ch_http_mode:
         parser.error("--source-dir is required (or set SOURCE_DIR)")
+    if ch_http_mode and not [
+        t for t in (args.tables or "").split(",") if t.strip()
+    ]:
+        # an empty pattern would loop zero tables and exit 0 — a silent
+        # green no-op (ADVICE r7); fail loudly like the catalog path
+        parser.error(
+            "--tables is required with --ch-http-url (or set INDEX_PATTERN)"
+        )
     spark = get_spark("es_to_clickhouse_spark.cli")
     spark.sparkContext.setLogLevel(env.log_level)
     target = WarehouseTarget(spark, args.warehouse)
@@ -173,21 +181,46 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
             host=args.ch_http_url, database=args.ch_database
         )
         state = StateStore(spark, args.warehouse)
-        for table in (args.tables or "").split(","):
-            table = table.strip()
-            if not table:
+        # expand globs against the live catalog and reject typo'd plain
+        # names up front — same contract as the parquet-catalog path
+        # (fnmatch glob semantics, clickhouse_to_bytehouse.py:83-98)
+        import fnmatch
+
+        available = src.list_tables()
+        tables: list[str] = []
+        failures = 0
+        for pat in (args.tables or "").split(","):
+            pat = pat.strip()
+            if not pat:
                 continue
-            n, cond, wm = sync_incremental_http(
-                spark, src, target, state, table,
-                time_column=args.time_column, start_date=args.start_date,
-            )
+            if any(ch in pat for ch in "*?["):
+                hits = [t for t in available if fnmatch.fnmatch(t, pat)]
+                if not hits:
+                    print(json.dumps({"pattern": pat, "error": "no match"}))
+                    failures += 1
+                tables.extend(hits)
+            elif pat not in available:
+                print(json.dumps({"table": pat, "error": "table not found"}))
+                failures += 1
+            else:
+                tables.append(pat)
+        for table in dict.fromkeys(tables):  # de-dup, keep order
+            try:
+                n, cond, wm = sync_incremental_http(
+                    spark, src, target, state, table,
+                    time_column=args.time_column, start_date=args.start_date,
+                )
+            except OSError as e:  # urllib errors are OSError subclasses
+                print(json.dumps({"table": table, "error": str(e)}))
+                failures += 1
+                continue
             print(
                 json.dumps(
                     {"table": table, "mode": "incremental_ch_http",
                      "rows": n, "condition": cond, "watermark": wm}
                 )
             )
-        return 0
+        return 1 if failures else 0
     engine = SyncEngine(
         spark=spark,
         catalog=ParquetCatalog(spark, args.source_dir),

@@ -200,6 +200,20 @@ class ClickHouseHttpSource:
         text = self.execute(f"{sql} FORMAT TabSeparated").strip()
         return text if text and text != "\\N" else None
 
+    def list_tables(self) -> list[str]:
+        """Source-side catalog (S8): table names in the configured
+        database via ``system.tables`` — the HTTP twin of the
+        reference's SHOW TABLES catalog scan
+        (clickhouse/clickhouse_to_bytehouse.py:83-98), used by the CLI
+        to expand glob patterns and reject typo'd names up front."""
+        return sorted(
+            r["name"]
+            for r in self.fetch_rows(
+                "SELECT name FROM system.tables "
+                f"WHERE database = '{self.database}'"
+            )
+        )
+
     def table_schema(self, table: str) -> T.StructType:
         return describe_to_schema(
             self.fetch_rows(f"DESCRIBE TABLE `{self.database}`.`{table}`")
@@ -239,18 +253,32 @@ class ClickHouseHttpSource:
         column, each fetched BY AN EXECUTOR as raw NDJSON and parsed
         JVM-side against the DESCRIBE-derived schema — one pass over the
         table, no jar, no driver bottleneck. Without a partition column,
-        a single range (still executor-side) — the small-table case."""
+        a single range (still executor-side) — the small-table case.
+
+        Range semantics match Spark's JDBC partitioned reads: ``bounds``
+        PLACE rows into partitions, they never FILTER them — the first
+        partition is unbounded below and also routes NULL partition
+        keys, the last is unbounded above, so rows outside stale bounds
+        (or with a NULL key) still arrive instead of being silently
+        dropped (ADVICE r7)."""
         schema = self.table_schema(table)
         base_where = f"({where})" if where else None
-        if partition_column and bounds:
+        col = partition_column
+        if col and bounds:
             lo, hi = bounds
             n = max(1, num_partitions)
             step = max(1, (hi - lo + n) // n)
             cuts = list(range(lo, hi + 1, step)) + [hi + 1]
-            preds = [
-                f"`{partition_column}` >= {a} AND `{partition_column}` < {b}"
-                for a, b in zip(cuts, cuts[1:])
-            ]
+            spans = list(zip(cuts, cuts[1:]))
+            preds = []
+            for i, (a, b) in enumerate(spans):
+                lo_p = None if i == 0 else f"`{col}` >= {a}"
+                hi_p = None if i == len(spans) - 1 else f"`{col}` < {b}"
+                parts = [p for p in (lo_p, hi_p) if p]
+                pred = " AND ".join(parts) if parts else None
+                if i == 0 and pred:
+                    pred = f"({pred} OR `{col}` IS NULL)"
+                preds.append(pred)
         else:
             preds = [None]
         sqls = []
@@ -335,15 +363,24 @@ def sync_incremental_http(
     1. condition = last-sync watermark from the StateStore, unless a
        start date is forced; neither -> the 1-day bootstrap (P6);
     2. the table reads DISTRIBUTED (``read_table`` with the condition
-       pushed into every range query, executor-side fetch);
+       pushed into every range query, executor-side fetch), then
+       ``localCheckpoint``s — ONE snapshot feeds the count, the append,
+       and the watermark (the source is not re-read, so the reported n
+       is exactly what was appended);
     3. rows append to the warehouse target (system columns + schema
        evolution handled by the sink);
-    4. the watermark advances to the source-side
-       ``max(time_column) WHERE condition`` — the reference's own
-       advance query (:475-477), so a row landing between the read and
-       the max query can only re-sync (at-least-once), never be missed.
+    4. the watermark advances to ``max(time_column)`` OVER THE APPENDED
+       SNAPSHOT — unlike the reference's source-side advance query
+       (:475-477), a row landing at the source after the snapshot can
+       never be swallowed by the watermark: its time exceeds the
+       snapshot max, so the next round picks it up. The one inherent
+       strict-greater-watermark gap remains (shared with the
+       reference): a late row carrying EXACTLY the snapshot-max
+       timestamp is excluded by ``>`` next round.
 
     Returns ``(rows_synced, condition, new_watermark)``."""
+    from pyspark.sql import functions as F
+
     from es_to_clickhouse_spark.state import SyncState
 
     st = state.get(table)
@@ -356,12 +393,14 @@ def sync_incremental_http(
         partition_column=partition_column,
         bounds=bounds,
         num_partitions=num_partitions,
-    )
+    ).localCheckpoint()  # one source pass; count/append/watermark share it
     n = df.count()
     if n == 0:
         return 0, cond, last
     target.append(table, df)
-    max_time = source.fetch_scalar(source.max_time_sql(table, time_column, cond))
+    max_time = df.agg(
+        F.max(F.col(time_column)).cast("string").alias("m")
+    ).collect()[0]["m"]
     new_wm = max_time or last
     state.commit(
         SyncState(

@@ -15,9 +15,17 @@ the scan stays restartable from the ``_id`` watermark.
 The BSON codec below is deliberately BOUNDED to the types the
 reference's rows can carry after its ``default=str`` serialization
 posture: string, int32/int64, double, bool, null, embedded document,
-array, UTC datetime, and ObjectId (decoded to the 24-hex string the
-reference's ``str(doc["_id"])`` produces). Unknown element types raise
-— failing closed beats silently mis-framing the stream.
+array, UTC datetime, and ObjectId. ObjectId decodes to a typed
+:class:`ObjectId` wrapper (NOT a hex string): MongoDB query
+comparisons are type-bracketed, so a keyset resume filter
+``{"_id": {"$gt": <24-hex str>}}`` would never match real ObjectId
+``_id`` values and the scan would silently stop after one page. The
+wrapper re-encodes as BSON type 0x07 on the way back out, exactly
+like the reference passing pymongo's raw ObjectId into the ``$gt``
+filter (mongodb/mongodb_to_bytehouse.py:524-531); row-facing values
+stringify to the 24-hex the reference's ``str(doc["_id"])`` produces.
+Unknown element types raise — failing closed beats silently
+mis-framing the stream.
 
 Scale note: like ``ch_http``, the session object is picklable, so a
 production read can fan pages out per executor with disjoint ``_id``
@@ -33,6 +41,37 @@ import struct
 from dataclasses import dataclass
 
 OP_MSG = 2013
+
+
+@dataclass(frozen=True, order=True)
+class ObjectId:
+    """A BSON ObjectId (type 0x07): 12 raw bytes. Ordering is bytewise,
+    which is exactly MongoDB's ObjectId sort order, so keyset pagination
+    (`sort {_id: 1}` + `$gt` watermark) composes with the same semantics
+    the server applies. ``str()`` yields the 24-hex form the reference's
+    ``str(doc["_id"])`` writes into rows."""
+
+    raw: bytes
+
+    def __post_init__(self):
+        if not isinstance(self.raw, bytes) or len(self.raw) != 12:
+            raise ValueError("ObjectId requires exactly 12 raw bytes")
+
+    def __str__(self) -> str:
+        return self.raw.hex()
+
+
+def _plainify(v):
+    """Row-facing view of a decoded BSON value: ObjectId → 24-hex string
+    (recursively), everything else unchanged. The wire watermark keeps
+    the TYPED ObjectId; only row columns get the string form."""
+    if isinstance(v, ObjectId):
+        return str(v)
+    if isinstance(v, dict):
+        return {k: _plainify(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_plainify(x) for x in v]
+    return v
 
 
 # ------------------------------------------------------------- BSON
@@ -61,7 +100,14 @@ def bson_encode(doc: dict) -> bytes:
             out += b"\x02" + key + struct.pack("<i", len(s)) + s
         elif v is None:
             out += b"\x0a" + key
+        elif isinstance(v, ObjectId):
+            out += b"\x07" + key + v.raw
         elif isinstance(v, _dt.datetime):
+            # BSON datetime is UTC milliseconds; a NAIVE datetime is
+            # treated as UTC explicitly (never the process-local zone —
+            # that would shift the round-trip by the host's UTC offset)
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
             ms = int(v.timestamp() * 1000)
             out += b"\x09" + key + struct.pack("<q", ms)
         elif isinstance(v, dict):
@@ -94,8 +140,8 @@ def _decode_elements(b: bytes, off: int, end: int) -> dict:
             inner = _decode_elements(b, off + 4, off + n - 1)
             doc[name] = list(inner.values()) if t == 0x04 else inner
             off += n
-        elif t == 0x07:  # ObjectId -> 24-hex string (reference str(_id))
-            doc[name] = b[off : off + 12].hex()
+        elif t == 0x07:  # ObjectId -> typed wrapper (re-encodable as 0x07)
+            doc[name] = ObjectId(b[off : off + 12])
             off += 12
         elif t == 0x08:
             doc[name] = b[off] == 1
@@ -190,7 +236,12 @@ class MongoWireSession:
     def find_command(self, collection: str, last_id=None) -> dict:
         """The find command document one keyset page puts on the wire
         (pymongo's find(query).sort('_id', 1).limit(n) compiles to
-        exactly this, mongodb/mongodb_to_bytehouse.py:524-531)."""
+        exactly this, mongodb/mongodb_to_bytehouse.py:524-531).
+        ``last_id`` keeps whatever type the server returned — an
+        :class:`ObjectId` watermark re-encodes as BSON type 0x07, so the
+        ``$gt`` filter type-matches real ObjectId ``_id`` values (a hex
+        STRING here would never match: Mongo comparisons are
+        type-bracketed and the scan would silently stop at page 1)."""
         q = {"_id": {"$gt": last_id}} if last_id is not None else {}
         return {
             "find": collection,
@@ -236,9 +287,15 @@ class MongoWireSession:
                                 doc, ensure_ascii=False, default=str
                             )
                         row.update(
-                            {k: v for k, v in doc.items() if k != "_id"}
+                            {
+                                k: _plainify(v)
+                                for k, v in doc.items()
+                                if k != "_id"
+                            }
                         )
                         rows.append(row)
+                        # watermark keeps the TYPED _id (ObjectId stays
+                        # ObjectId) so the next page's $gt type-matches
                         last_id = doc.get("_id")
         except (OSError, ValueError):
             pass  # partial rows + watermark kept

@@ -87,12 +87,34 @@ class _FakeCH:
                         rows = [r for r in rows if r["created_at"] > m.group(1)]
                     mx = max((r["created_at"] for r in rows), default=None)
                     return self._reply(f"{mx}\n" if mx else "\\N\n")
+                if sql.startswith("SELECT name FROM system.tables"):
+                    return self._reply('{"name": "t1"}\n{"name": "t2"}\n')
                 if sql.startswith("SELECT * FROM"):
                     rows = list(rows_ref)
-                    m = re.search(r"`(\w+)` >= (\d+) AND `\1` < (\d+)", sql)
+                    # JDBC-style range predicates: first partition is
+                    # `< hi OR IS NULL`, middles `>= lo AND < hi`,
+                    # last a bare `>= lo`
+                    m = re.search(r"\(`(\w+)` < (\d+) OR `\1` IS NULL\)", sql)
                     if m:
+                        col, hi = m.group(1), int(m.group(2))
+                        rows = [
+                            r for r in rows
+                            if r.get(col) is None or r[col] < hi
+                        ]
+                    elif re.search(r"`(\w+)` >= (\d+) AND `\1` < (\d+)", sql):
+                        m = re.search(r"`(\w+)` >= (\d+) AND `\1` < (\d+)", sql)
                         col, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
-                        rows = [r for r in rows if lo <= r[col] < hi]
+                        rows = [
+                            r for r in rows
+                            if r.get(col) is not None and lo <= r[col] < hi
+                        ]
+                    elif re.search(r"`(\w+)` >= (\d+)", sql):
+                        m = re.search(r"`(\w+)` >= (\d+)", sql)
+                        col, lo = m.group(1), int(m.group(2))
+                        rows = [
+                            r for r in rows
+                            if r.get(col) is not None and r[col] >= lo
+                        ]
                     m = re.search(r"`created_at` > '([^']+)'", sql)
                     if m:
                         rows = [r for r in rows if r["created_at"] > m.group(1)]
@@ -250,9 +272,45 @@ def test_read_table_distributed_typed(fake_ch, spark):
     assert [f.dataType.simpleString() for f in df.schema.fields] == [
         "bigint", "string", "timestamp", "double",
     ]
-    selects = [r["sql"] for r in log if "`id` >=" in r["sql"]]
-    assert len(selects) == 3  # one bounded scan per partition
+    selects = [
+        r["sql"] for r in log if r["sql"].startswith("SELECT * FROM")
+    ]
+    assert len(selects) == 3  # one range scan per partition
     assert all("FORMAT JSONEachRow" in s for s in selects)
+    # JDBC semantics: ends unbounded, NULL keys routed to partition 0
+    assert sum("IS NULL" in s for s in selects) == 1
+    assert sum(" AND " in s for s in selects) == 1  # only the middle
+
+
+def test_read_table_bounds_place_rows_never_filter(fake_ch, spark):
+    """ADVICE r7: stale bounds / NULL partition keys must not drop rows.
+    The source holds ids 0..9 plus a NULL-id row; bounds claim (2, 5) —
+    every row still arrives (first partition takes < and NULL, last
+    takes >=), matching Spark JDBC partitioned-read semantics."""
+    host, _, _ = fake_ch
+    rows = TABLE_ROWS + [
+        {"id": None, "name": "null-key",
+         "created_at": "2024-05-02 00:00:00", "score": 0.0}
+    ]
+    log2, ins2 = [], []
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _FakeCH.make(log2, ins2, rows_ref=rows)
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = ClickHouseHttpSource(
+            host=f"http://127.0.0.1:{srv.server_address[1]}",
+            database="src_db",
+        ).read_table(
+            spark, "t1", partition_column="id", bounds=(2, 5),
+            num_partitions=3,
+        )
+        got = df.collect()
+        assert len(got) == 11  # nothing silently dropped
+        assert sorted(r.id for r in got if r.id is not None) == list(range(10))
+        assert sum(1 for r in got if r.id is None) == 1
+    finally:
+        srv.shutdown()
 
 
 def test_read_table_where_composes_with_ranges(fake_ch, spark):
@@ -268,7 +326,10 @@ def test_read_table_where_composes_with_ranges(fake_ch, spark):
     ids = sorted(r.id for r in df.collect())
     assert ids == [4, 5, 6, 7, 8]  # watermark filter applied server-side
     sel = [r["sql"] for r in log if r["sql"].startswith("SELECT * FROM")]
-    assert all("`created_at` >" in s and "`id` >=" in s for s in sel)
+    assert all("`created_at` >" in s for s in sel)
+    # 2 partitions: first `< OR IS NULL`, last bare `>=` (JDBC shape)
+    assert sum("IS NULL" in s for s in sel) == 1
+    assert sum("`id` >=" in s for s in sel) == 1
 
 
 def test_sync_incremental_http_rounds(fake_ch, spark, tmp_path):
@@ -359,6 +420,66 @@ def test_cli_incremental_ch_http_mode(fake_ch, spark, tmp_path, capsys):
     ]
     assert out2[-1]["rows"] == 0
     assert out2[-1]["condition"] == "`created_at` > '2024-05-09 10:00:08'"
+
+
+def test_cli_ch_http_requires_tables(fake_ch, tmp_path):
+    """ADVICE r7: an empty --tables in ch-http mode must be a loud
+    parser error, not a zero-table loop exiting 0."""
+    from es_to_clickhouse_spark.__main__ import main
+
+    host, _, _ = fake_ch
+    env = {"CH_HTTP_URL": host, "WAREHOUSE_DIR": str(tmp_path / "wh")}
+    with pytest.raises(SystemExit) as e:
+        main(["--mode", "incremental"], environ=env)
+    assert e.value.code == 2  # argparse error exit
+
+
+def test_cli_ch_http_unknown_table_is_nonzero(fake_ch, tmp_path, capsys):
+    """A typo'd table name surfaces as a per-table error + exit 1, not
+    an unhandled urllib traceback mid-sync; globs expand against
+    system.tables like the catalog path."""
+    from es_to_clickhouse_spark.__main__ import main
+
+    host, _, _ = fake_ch
+    env = {
+        "CH_HTTP_URL": host,
+        "SOURCE_CH_DATABASE": "src_db",
+        "TIME_COLUMN": "created_at",
+        "WAREHOUSE_DIR": str(tmp_path / "wh"),
+        "INDEX_PATTERN": "nope,zz*",
+        "START_DATE": "2024-05-03 00:00:00",
+    }
+    assert main(["--mode", "incremental"], environ=env) == 1
+    out = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert {"table": "nope", "error": "table not found"} in out
+    assert {"pattern": "zz*", "error": "no match"} in out
+
+
+def test_cli_ch_http_glob_expansion(fake_ch, spark, tmp_path, capsys):
+    """'t*' expands against system.tables to t1+t2 — both sync."""
+    from es_to_clickhouse_spark.__main__ import main
+
+    host, _, _ = fake_ch
+    env = {
+        "CH_HTTP_URL": host,
+        "SOURCE_CH_DATABASE": "src_db",
+        "TIME_COLUMN": "created_at",
+        "WAREHOUSE_DIR": str(tmp_path / "wh"),
+        "INDEX_PATTERN": "t*",
+        "START_DATE": "2024-05-03 00:00:00",
+    }
+    assert main(["--mode", "incremental"], environ=env) == 0
+    out = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{") and "table" in ln
+    ]
+    assert [o["table"] for o in out] == ["t1", "t2"]
+    assert all(o["rows"] == 7 for o in out)
 
 
 def test_write_table_ndjson_batches(fake_ch, spark):

@@ -15,6 +15,7 @@ import pytest
 
 from es_to_clickhouse_spark.sources.mongo_wire import (
     MongoWireSession,
+    ObjectId,
     bson_decode,
     bson_encode,
     op_msg,
@@ -61,13 +62,33 @@ def test_bson_unknown_types_fail_closed():
         bson_decode(bytes(bad))
 
 
-def test_bson_objectid_decodes_to_hex_string():
+def test_bson_objectid_typed_roundtrip():
     # hand-built doc: {_id: ObjectId(0x0102...0c)} — type 0x07
     oid = bytes(range(1, 13))
     body = b"\x07_id\x00" + oid
     frame = struct.pack("<i", len(body) + 5) + body + b"\x00"
-    assert bson_decode(frame) == {"_id": oid.hex()}
-    assert len(oid.hex()) == 24  # the str(doc['_id']) shape
+    decoded = bson_decode(frame)
+    assert decoded == {"_id": ObjectId(oid)}
+    # re-encodes as type 0x07 (NOT a string) — the keyset $gt type-match
+    assert bson_encode(decoded) == frame
+    # row-facing form is the reference's str(doc['_id']) 24-hex
+    assert str(decoded["_id"]) == oid.hex() and len(oid.hex()) == 24
+    # bytewise ordering = MongoDB ObjectId sort order
+    assert ObjectId(b"\x00" * 12) < ObjectId(oid) < ObjectId(b"\xff" * 12)
+    with pytest.raises(ValueError):
+        ObjectId(b"short")
+
+
+def test_bson_naive_datetime_is_utc():
+    """BSON datetime is UTC ms: a naive datetime must encode as if UTC,
+    never the process-local zone (round-trip would shift otherwise)."""
+    import datetime as dt
+
+    naive = dt.datetime(2024, 5, 1, 10, 30, 0)
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    assert bson_encode({"t": naive}) == bson_encode({"t": aware})
+    back = bson_decode(bson_encode({"t": naive}))["t"]
+    assert back == aware
 
 
 def test_op_msg_frame_roundtrip_and_validation():
@@ -127,9 +148,9 @@ class _FakeMongod(socketserver.ThreadingTCPServer):
 
 @pytest.fixture()
 def fake_mongod():
-    def _start(fail_after=None):
+    def _start(fail_after=None, docs=None):
         log: list[dict] = []
-        srv = _FakeMongod(DOCS, log, fail_after)
+        srv = _FakeMongod(DOCS if docs is None else docs, log, fail_after)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         return srv, log
 
@@ -170,6 +191,27 @@ def test_drain_socket_full_keyset_scan(fake_mongod):
         and c["find"] == "users"
         for c in log
     )
+
+
+def test_drain_socket_objectid_keyset_resume(fake_mongod):
+    """The real-MongoDB shape ADVICE r7 flagged: ObjectId _ids. The
+    page-2 $gt watermark must go out as BSON type 0x07 (typed), not a
+    hex string — Mongo comparisons are type-bracketed, so a string $gt
+    against ObjectId values returns empty and the scan silently stops
+    after one page. Rows still expose the 24-hex str(_id) shape."""
+    oids = [ObjectId(bytes([i] * 12)) for i in range(1, 6)]
+    docs = [{"_id": o, "n": i, "ref": o} for i, o in enumerate(oids)]
+    port, log = fake_mongod(docs=docs)
+    s = MongoWireSession(port=port, database="app", batch_size=2)
+    rows, last_id = s.drain_socket("users")
+    # all 3 pages drained — a string $gt would have stopped at 2 rows
+    assert [r["_id"] for r in rows] == [str(o) for o in oids]
+    assert [r["ref"] for r in rows] == [str(o) for o in oids]  # plainified
+    assert last_id == oids[-1]  # typed watermark, restart-safe
+    # wire transcript: the resume filters carried TYPED ObjectIds
+    gts = [c["filter"]["_id"]["$gt"] for c in log if c.get("filter")]
+    assert gts == [oids[1], oids[3], oids[4]]
+    assert all(isinstance(g, ObjectId) for g in gts)
 
 
 def test_drain_socket_store_source(fake_mongod):
