@@ -74,6 +74,73 @@ def s3_sampled_scan(spark, sf_dir):
 
 
 @query(
+    "s22_sliced_scroll_scan",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def s22_sliced_scroll_scan(spark, sf_dir):
+    """Distributed jar-free ES read END-TO-END over a real socket: a
+    loopback ES fixture (sources/es_fixture.py) is seeded with a bounded
+    slice of the events table, then :func:`sources.es.read_index_http`
+    fans 4 slice drains out across the EXECUTORS (public sliced-scroll
+    API — the parallel form of the reference's serial scroll loop,
+    es/es_to_bytehouse.py:577-673) and the NDJSON rows parse JVM-side
+    into a typed schema. The result must reassemble exactly the oracle's
+    row set — S slices x P pages, no row lost or duplicated.
+
+    The eager localCheckpoint bounds the fixture's lifetime to this
+    call; Python appears only in the per-slice HTTP fetch (I/O), never
+    in the row-parse path."""
+    import threading  # noqa: F401  (fixture uses a daemon serve thread)
+
+    from pyspark.sql import types as T
+
+    from es_to_clickhouse_spark.sources.es import (
+        ScrollSession,
+        read_index_http,
+    )
+    from es_to_clickhouse_spark.sources.es_fixture import serve_index
+
+    seed = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 50 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ts_seconds(F.col("ts")).alias("ts_s"),
+            "value",
+        )
+        .collect()  # bounded: 1/50 sample of events (20 rows at sf0.001)
+    )
+    docs = [{"_id": str(r.event_id), **r.asDict()} for r in seed]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_s", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    srv, host = serve_index(docs)
+    try:
+        df = read_index_http(
+            spark,
+            ScrollSession(host=host, size=500),
+            "events",
+            slices=4,
+            schema=schema,
+        ).localCheckpoint()  # eager: drains the wire before teardown
+    finally:
+        srv.shutdown()
+    return df
+
+
+@query(
     "s6_paged_scan",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

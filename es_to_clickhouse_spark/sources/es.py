@@ -130,9 +130,24 @@ class ScrollSession:
     timeout: str = "5m"
 
     def initial_request(
-        self, index: str, query: dict | None = None, sort_field: str | None = None
+        self,
+        index: str,
+        query: dict | None = None,
+        sort_field: str | None = None,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
     ) -> dict:
         body = {"size": self.size, "query": query or {"match_all": {}}}
+        if slice_id is not None and slice_max is not None:
+            # public sliced-scroll API: N independent scroll contexts
+            # that partition the index — the executor-parallel form of
+            # the reference's serial scroll (es/es_to_bytehouse.py:577)
+            if not 0 <= slice_id < slice_max or slice_max < 2:
+                raise ValueError(
+                    f"slice id {slice_id} must be in [0, max) with max >= 2,"
+                    f" got max={slice_max}"
+                )
+            body["slice"] = {"id": slice_id, "max": slice_max}
         if sort_field:
             # the incremental scan sorts ascending on the (original) time
             # field so pages arrive in watermark order
@@ -214,6 +229,8 @@ class ScrollSession:
         query: dict | None = None,
         store_source: bool = False,
         max_pages: int = 10_000,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
     ) -> list[dict]:
         """The LIVE counterpart of :meth:`drain`: the same protocol fold,
         but each request actually goes over the wire (loopback
@@ -222,11 +239,18 @@ class ScrollSession:
         scroll context is DELETEd whenever an id exists — failure or not
         (finally semantics; the reference leaks the context on error,
         a deliberate divergence documented on the class). ``max_pages``
-        bounds a server that never returns an empty page."""
+        bounds a server that never returns an empty page.
+
+        ``slice_id``/``slice_max`` open ONE slice of a sliced scroll —
+        the unit :func:`read_index_http` fans out per executor."""
         rows: list[dict] = []
         scroll_id: str | None = None
         try:
-            page = self._send(self.initial_request(index, query))
+            page = self._send(
+                self.initial_request(
+                    index, query, slice_id=slice_id, slice_max=slice_max
+                )
+            )
             for _ in range(max_pages):
                 scroll_id = page.get("_scroll_id", scroll_id)
                 hits = page.get("hits", {}).get("hits", [])
@@ -256,6 +280,8 @@ class ScrollSession:
         mapping_response: dict | None = None,
         store_source: bool = False,
         max_pages: int = 10_000,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
     ) -> tuple[list[dict], str, str | None]:
         """The INCREMENTAL scroll session over a real socket — the live
         counterpart of the reference's ``scroll_es_incremental``
@@ -278,7 +304,13 @@ class ScrollSession:
         Returns ``(rows, max_time, max_update_time)``. The Spark
         production path computes the same watermarks as one distributed
         agg (:func:`incremental.batch_watermarks`); this driver-side fold
-        pins the wire-protocol contract on bounded test transcripts."""
+        pins the wire-protocol contract on bounded test transcripts.
+
+        With ``slice_id``/``slice_max`` the fold drains ONE slice of a
+        sliced scroll: each slice's running max is a partial watermark,
+        and the global max is the fold of the per-slice maxes (string
+        max is associative/commutative — the same partial-aggregation
+        argument that makes batch_watermarks one distributed agg)."""
         from es_to_clickhouse_spark.functions import sanitize_field_name
 
         original = original_time_field(time_field, mapping_response)
@@ -291,7 +323,13 @@ class ScrollSession:
         scroll_id: str | None = None
         try:
             page = self._send(
-                self.initial_request(index, query, sort_field=original)
+                self.initial_request(
+                    index,
+                    query,
+                    sort_field=original,
+                    slice_id=slice_id,
+                    slice_max=slice_max,
+                )
             )
             for _ in range(max_pages):
                 scroll_id = page.get("_scroll_id", scroll_id)
@@ -323,6 +361,65 @@ class ScrollSession:
                 except (OSError, ValueError):
                     pass
         return rows, max_time, max_update
+
+
+def read_index_http(
+    spark: SparkSession,
+    session: ScrollSession,
+    index: str,
+    query: dict | None = None,
+    slices: int = 8,
+    schema: T.StructType | None = None,
+    store_source: bool = False,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """Distributed jar-free ES read via SLICED scroll — the executor-
+    parallel form of the reference's serial scroll loop
+    (es/es_to_bytehouse.py:577-673) and the ES twin of
+    :meth:`sources.ch_http.ClickHouseHttpSource.read_table`:
+
+    - N slice ids fan out over ``sparkContext.parallelize`` — each
+      EXECUTOR opens its own scroll context with ``slice: {id, max}``
+      (public ES API, ES >= 5) and drains its disjoint share of the
+      index in pages of ``session.size``;
+    - rows travel as NDJSON strings and parse JVM-side via
+      ``spark.read.schema(...).json`` (pass the
+      :func:`mapping_to_spark_fields`-derived schema for typed columns;
+      without one Spark samples/infers);
+    - each slice keeps the drain failure contract (partial rows kept,
+      scroll context DELETEd best-effort), so a failed slice degrades
+      to partial data for THAT slice only — at-least-once per slice,
+      identical to the serial drain's contract.
+
+    ``slices=1`` degrades to a single unsliced scroll on one executor
+    (ES requires ``slice.max >= 2``). At 100 TB the slice count should
+    track the index's shard count — each slice is one scroll context
+    server-side, and ES caps open contexts."""
+    n = max(1, slices)
+    sess = session  # dataclass — pickles to executors
+
+    def _drain(i: int) -> list[str]:
+        rows = sess.drain_http(
+            index,
+            query=query,
+            store_source=store_source,
+            max_pages=max_pages,
+            slice_id=i if n > 1 else None,
+            slice_max=n if n > 1 else None,
+        )
+        return [json.dumps(r, ensure_ascii=False, default=str) for r in rows]
+
+    lines = spark.sparkContext.parallelize(range(n), n).flatMap(_drain)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # schemaless: Spark's JSON inference would compute the RDD once
+        # for the schema and AGAIN for the data — two full scrolls of
+        # the index. Cache so the wire is hit once (typed production
+        # reads should pass the mapping-derived schema instead).
+        lines = lines.cache()
+    return reader.json(lines)
 
 
 def original_time_field(

@@ -1,0 +1,162 @@
+"""Distributed jar-free ES read via sliced scroll against a FUNCTIONAL
+loopback ES fake (not scripted pages: the server actually partitions
+the index by slice, applies range queries, pages cursors, and handles
+DELETE cleanup). Closes the r7 asymmetry: ch_http.read_table fetched on
+executors while the ES loopback path folded on the driver only — now S
+slices x P pages reassemble the exact full-scan row set with per-slice
+watermarks folding to the same max (es/es_to_bytehouse.py:577-673,
+parallelized via the public slice API)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from es_to_clickhouse_spark.sources.es import (
+    ScrollSession,
+    read_index_http,
+)
+from es_to_clickhouse_spark.sources.es_fixture import serve_index
+
+DOCS = [
+    {
+        "_id": f"doc-{i:03d}",
+        "n": i,
+        "kind": ["a", "b", "c"][i % 3],
+        "ts": f"2024-01-{1 + i % 28:02d} 10:00:00",
+        "score": i / 8.0,
+    }
+    for i in range(103)
+]
+
+
+@pytest.fixture()
+def fake_es():
+    log: list[dict] = []
+    cleanups: list[str] = []
+    srv, host = serve_index(DOCS, log, cleanups)
+    try:
+        yield host, log, cleanups
+    finally:
+        srv.shutdown()
+
+
+def test_slice_request_shape_and_validation():
+    s = ScrollSession(size=500)
+    req = s.initial_request("idx", slice_id=2, slice_max=5)
+    assert req["body"]["slice"] == {"id": 2, "max": 5}
+    assert req["body"]["size"] == 500
+    # unsliced request carries NO slice clause (byte-parity with r7)
+    assert "slice" not in s.initial_request("idx")["body"]
+    with pytest.raises(ValueError):
+        s.initial_request("idx", slice_id=5, slice_max=5)
+    with pytest.raises(ValueError):
+        s.initial_request("idx", slice_id=0, slice_max=1)
+
+
+def test_sliced_drains_reassemble_full_scan(fake_es):
+    """S slices x P pages == the serial scroll's exact row set: slices
+    are disjoint, their union is complete, and every slice paginates
+    through its own scroll context with its own cleanup."""
+    host, log, cleanups = fake_es
+    s = ScrollSession(host=host, size=10)
+    full = s.drain_http("idx")
+    assert len(full) == 103
+    parts = [
+        s.drain_http("idx", slice_id=i, slice_max=4) for i in range(4)
+    ]
+    ids = [r["_id"] for p in parts for r in p]
+    assert sorted(ids) == sorted(r["_id"] for r in full)
+    assert len(ids) == len(set(ids))  # disjoint
+    assert all(p for p in parts)  # every slice got a share
+    inits = [r for r in log if r["path"] == "/idx/_search"]
+    assert [b["body"].get("slice") for b in inits] == [
+        None,
+        {"id": 0, "max": 4},
+        {"id": 1, "max": 4},
+        {"id": 2, "max": 4},
+        {"id": 3, "max": 4},
+    ]
+    assert len(cleanups) == 5  # one DELETE per scroll context
+
+
+def test_sliced_incremental_watermarks_fold_to_global_max(fake_es):
+    """Per-slice running-max watermarks fold (string max) to exactly the
+    unsliced drain's watermark — the associativity that lets the Spark
+    path compute watermarks as one distributed agg."""
+    host, _, _ = fake_es
+    s = ScrollSession(host=host, size=7)
+    since = "2024-01-10 00:00:00"
+    rows_u, max_u, _ = s.drain_http_incremental("idx", "ts", since)
+    assert rows_u and max_u == max(r["ts"] for r in rows_u)
+    sliced = [
+        s.drain_http_incremental(
+            "idx", "ts", since, slice_id=i, slice_max=3
+        )
+        for i in range(3)
+    ]
+    ids = sorted(r["_id"] for rows, _, _ in sliced for r in rows)
+    assert ids == sorted(r["_id"] for r in rows_u)
+    assert max(m for _, m, _ in sliced) == max_u
+
+
+def test_read_index_http_distributed_typed(fake_es, spark):
+    """The scale path end-to-end: executor-side sliced drains, NDJSON
+    rows parsed JVM-side into a typed schema."""
+    host, log, _ = fake_es
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = read_index_http(
+        spark, ScrollSession(host=host, size=16), "idx",
+        slices=4, schema=schema,
+    )
+    got = {r.n: r for r in df.collect()}
+    assert len(got) == 103
+    assert got[8].score == 1.0 and got[8].kind == "c"
+    assert df.schema["n"].dataType.simpleString() == "bigint"
+    inits = [r for r in log if r["path"] == "/idx/_search"]
+    assert sorted(
+        json.dumps(b["body"]["slice"]) for b in inits
+    ) == sorted(
+        json.dumps({"id": i, "max": 4}) for i in range(4)
+    )
+
+
+def test_read_index_http_single_slice_unsliced(fake_es, spark):
+    """slices=1 degrades to one plain scroll (ES rejects slice.max 1)."""
+    host, log, _ = fake_es
+    df = read_index_http(
+        spark, ScrollSession(host=host, size=50), "idx", slices=1,
+    )
+    assert df.count() == 103
+    inits = [r for r in log if r["path"] == "/idx/_search"]
+    assert len(inits) == 1 and "slice" not in inits[0]["body"]
+
+
+def test_read_index_http_query_pushdown(fake_es, spark):
+    """A range query rides inside EVERY slice's scroll context — the
+    watermark predicate is evaluated server-side, not post-filtered."""
+    from es_to_clickhouse_spark.sources.es import range_query
+
+    host, log, _ = fake_es
+    q = json.loads(range_query("ts", "2024-01-20 00:00:00"))["query"]
+    df = read_index_http(
+        spark, ScrollSession(host=host, size=10), "idx",
+        query=q, slices=3,
+    )
+    rows = df.collect()
+    expect = [d for d in DOCS if d["ts"] > "2024-01-20 00:00:00"]
+    assert sorted(r["_id"] for r in rows) == sorted(
+        d["_id"] for d in expect
+    )
+    inits = [r for r in log if r["path"] == "/idx/_search"]
+    assert all(b["body"]["query"] == q for b in inits)
