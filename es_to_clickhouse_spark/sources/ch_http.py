@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import re
+import urllib.error
 import urllib.parse
 import urllib.request
 from dataclasses import dataclass, field
@@ -168,10 +169,22 @@ class ClickHouseHttpSource:
             "FORMAT JSONEachRow"
         )
 
-    def request_for(self, sql: str, data: bytes | None = None) -> urllib.request.Request:
+    def request_for(
+        self,
+        sql: str,
+        data: bytes | None = None,
+        extra_settings: dict[str, str] | None = None,
+    ) -> urllib.request.Request:
         """One HTTP-interface request: query in the URL, payload (if
-        any) in the body, credentials in X-ClickHouse-* headers."""
-        params = {"query": sql, "database": self.database, **self.settings}
+        any) in the body, credentials in X-ClickHouse-* headers.
+        ``extra_settings`` ride as per-request query params (e.g.
+        ``insert_deduplication_token``)."""
+        params = {
+            "query": sql,
+            "database": self.database,
+            **self.settings,
+            **(extra_settings or {}),
+        }
         url = f"{self.host}/?" + urllib.parse.urlencode(params)
         return urllib.request.Request(
             url,
@@ -186,8 +199,16 @@ class ClickHouseHttpSource:
 
     # ------------------------------------------------------------- wire
 
-    def execute(self, sql: str, data: bytes | None = None, timeout: int = 60) -> str:
-        with urllib.request.urlopen(self.request_for(sql, data), timeout=timeout) as r:
+    def execute(
+        self,
+        sql: str,
+        data: bytes | None = None,
+        timeout: int = 60,
+        extra_settings: dict[str, str] | None = None,
+    ) -> str:
+        with urllib.request.urlopen(
+            self.request_for(sql, data, extra_settings), timeout=timeout
+        ) as r:
             return r.read().decode("utf-8")
 
     def fetch_rows(self, sql: str) -> list[dict]:
@@ -306,32 +327,114 @@ class ClickHouseHttpSource:
             .json(lines)
         )
 
+    def alter_statements(self, table: str, df: DataFrame) -> list[str]:
+        """Idempotent ``ALTER TABLE ADD COLUMN IF NOT EXISTS`` per df
+        column, typed from the Spark schema — the live-target form of
+        the reference's schema evolution
+        (es/es_to_bytehouse.py:1020-1041), safe to replay (IF NOT
+        EXISTS) so the reactive repair path can fire them wholesale."""
+        from es_to_clickhouse_spark.ddl import clickhouse_type, quote_ident
+
+        return [
+            f"ALTER TABLE {quote_ident(self.database)}.{quote_ident(table)} "
+            f"ADD COLUMN IF NOT EXISTS {quote_ident(f.name)} "
+            f"{clickhouse_type(f.dataType, True)}"
+            for f in df.schema.fields
+        ]
+
+    def ensure_columns(self, table: str, df: DataFrame) -> list[str]:
+        """Proactive diff-then-ALTER (the reference's check before each
+        round, es/es_to_bytehouse.py:1020-1041): DESCRIBE the live
+        table, ALTER only the df columns it lacks. Returns the added
+        column names."""
+        existing = {f.name for f in self.table_schema(table)}
+        stmts = self.alter_statements(table, df)
+        added = []
+        for f, stmt in zip(df.schema.fields, stmts):
+            if f.name not in existing:
+                self.execute(stmt)
+                added.append(f.name)
+        return added
+
     def write_table(
-        self, df: DataFrame, table: str, columns: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        columns: list[str] | None = None,
+        evolve_schema: bool = False,
+        dedup_epoch: str | None = None,
     ) -> None:
         """Batched INSERT sink over HTTP (S15): each partition posts
         NDJSON bodies of at most ``batch_size`` rows — executor-side,
         at-least-once per partition like the reference's per-batch
-        insert loop (:313-316)."""
+        insert loop (:313-316).
+
+        ``evolve_schema`` wires the warehouse sink's two-layer schema
+        evolution (sink.py:112,308) onto the LIVE target: a proactive
+        DESCRIBE-diff + ALTER on the driver before any post, plus a
+        reactive repair on the executors — a post failing with a
+        missing-column error replays the idempotent ALTER set and
+        re-posts once (the reference's insert_with_repair contract,
+        es/es_to_bytehouse.py:696-723, over the HTTP interface).
+
+        ``dedup_epoch`` upgrades delivery from at-least-once to
+        effectively-once per (epoch, partition, batch): every post
+        carries a DETERMINISTIC ``insert_deduplication_token`` (public
+        ClickHouse setting) built from (table, partition id, batch seq,
+        epoch), so a Spark task retry re-posting the same partition
+        replays the same tokens and the server drops the duplicate
+        blocks. Distinct epochs (e.g. one per sync round) keep separate
+        rounds from colliding."""
         cols = columns or df.columns
         sql = self.insert_sql(table, cols)
         src = self
         bsz = self.batch_size
+        repair_stmts = self.alter_statements(table, df) if evolve_schema else []
+        if evolve_schema:
+            self.ensure_columns(table, df)
 
-        def _post(it):
+        def _post(pid: int, it):
+            from es_to_clickhouse_spark.sink import is_missing_column_error
+
+            def _send(body: bytes, seq: int):
+                settings = None
+                if dedup_epoch is not None:
+                    settings = {
+                        "insert_deduplication_token": (
+                            f"{table}:{pid}:{seq}:{dedup_epoch}"
+                        )
+                    }
+                try:
+                    src.execute(sql, body, extra_settings=settings)
+                except urllib.error.HTTPError as e:
+                    detail = e.read().decode("utf-8", "replace")
+                    err = ValueError(f"HTTP {e.code}: {detail}")
+                    if not repair_stmts or not is_missing_column_error(err):
+                        raise err from e
+                    for stmt in repair_stmts:  # idempotent IF NOT EXISTS
+                        src.execute(stmt)
+                    src.execute(sql, body, extra_settings=settings)
+
             buf: list[str] = []
+            seq = 0
             for row in it:
                 d = row.asDict(recursive=True)
                 buf.append(
                     json.dumps({c: d.get(c) for c in cols}, default=str)
                 )
                 if len(buf) >= bsz:
-                    src.execute(sql, ("\n".join(buf) + "\n").encode("utf-8"))
+                    _send(("\n".join(buf) + "\n").encode("utf-8"), seq)
+                    seq += 1
                     buf = []
             if buf:
-                src.execute(sql, ("\n".join(buf) + "\n").encode("utf-8"))
+                _send(("\n".join(buf) + "\n").encode("utf-8"), seq)
+            return iter(())
 
-        df.select(*cols).foreachPartition(_post)
+        (
+            df.select(*cols)
+            .rdd.mapPartitionsWithIndex(_post, preservesPartitioning=True)
+            .count()
+        )
 
     def ping(self) -> bool:
         """GET /ping → ``Ok.`` (the HTTP interface's health check)."""

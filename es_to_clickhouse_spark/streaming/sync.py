@@ -13,6 +13,13 @@ Maps the reference's semantics onto Structured Streaming:
   aggs; upsert reconciliation happens at read time (sink.upsert_view).
 - T8 delivery: foreachBatch + idempotent-by-_id target = the same
   at-least-once + upsert contract as the reference.
+- T4 upgrade on the LIVE ClickHouse sink: ``ch_http.write_table``
+  with ``dedup_epoch=f"{table}:{batch_id}"`` carries a deterministic
+  ``insert_deduplication_token`` per (partition, batch), so a Spark
+  task retry re-posting a partition is dropped server-side —
+  effectively-once per epoch, strictly stronger than the reference's
+  bare at-least-once (duplicates possible on retry,
+  clickhouse/clickhouse_to_bytehouse.py:313-316 has no token).
 """
 
 from __future__ import annotations
