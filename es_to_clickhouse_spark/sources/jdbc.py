@@ -59,6 +59,36 @@ class JdbcSource:
             return f"(SELECT * FROM {table} WHERE {where}) AS src"
         return table
 
+    def read_options(
+        self,
+        table: str,
+        where: str | None = None,
+        partition_column: str | None = None,
+        bounds: tuple[int, int] | None = None,
+        num_partitions: int = 32,
+    ) -> dict[str, str]:
+        """The COMPLETE option dict read_table hands to the JDBC reader
+        — pure, so the skipped live round-trip's assembly stays
+        unit-asserted even while the wire test is environment-gated."""
+        opts = self.base_options()
+        opts["dbtable"] = self.pushdown_query(table, where)
+        if partition_column and bounds:
+            opts.update(
+                self.partition_options(
+                    partition_column, bounds[0], bounds[1], num_partitions
+                )
+            )
+        return opts
+
+    def write_options(self, table: str, batch_size: int = 10_000) -> dict[str, str]:
+        """The complete option dict write_table hands to the writer."""
+        return {
+            **self.base_options(),
+            "dbtable": table,
+            "batchsize": str(batch_size),
+            "isolationLevel": "NONE",
+        }
+
     def read_table(
         self,
         spark: SparkSession,
@@ -68,14 +98,9 @@ class JdbcSource:
         bounds: tuple[int, int] | None = None,
         num_partitions: int = 32,
     ) -> DataFrame:
-        opts = self.base_options()
-        opts["dbtable"] = self.pushdown_query(table, where)
-        if partition_column and bounds:
-            opts.update(
-                self.partition_options(
-                    partition_column, bounds[0], bounds[1], num_partitions
-                )
-            )
+        opts = self.read_options(
+            table, where, partition_column, bounds, num_partitions
+        )
         try:
             return spark.read.format("jdbc").options(**opts).load()
         except Exception as e:  # noqa: BLE001
@@ -93,10 +118,7 @@ class JdbcSource:
         try:
             (
                 df.write.format("jdbc")
-                .options(**self.base_options())
-                .option("dbtable", table)
-                .option("batchsize", str(batch_size))
-                .option("isolationLevel", "NONE")
+                .options(**self.write_options(table, batch_size))
                 .mode(mode)
                 .save()
             )
