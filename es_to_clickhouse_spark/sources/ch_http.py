@@ -96,6 +96,11 @@ def ch_type_to_spark(ch_type: str) -> T.DataType:
     return CH_SCALAR_TO_SPARK.get(s, T.StringType())
 
 
+#: HTTP statuses with no query semantics — safe to retry (see
+#: ClickHouseHttpSource.max_retries for why 500 is excluded)
+TRANSIENT_HTTP = (429, 502, 503, 504)
+
+
 def describe_to_schema(rows: list[dict]) -> T.StructType:
     """``DESCRIBE TABLE ... FORMAT JSONEachRow`` rows → Spark schema
     (the S9 schema fetch over the HTTP interface)."""
@@ -115,6 +120,16 @@ class ClickHouseHttpSource:
     password: str = ""
     batch_size: int = 10_000  # BATCH_SIZE (clickhouse/clickhouse_to_bytehouse.py:33)
     settings: dict[str, str] = field(default_factory=dict)
+    #: bounded transient-failure retry (executor-side too — the
+    #: dataclass ships into read/write closures): attempts beyond the
+    #: first, exponential backoff base. Retried: connection-level
+    #: URLError and HTTP 429/502/503/504 (server overloaded / proxy
+    #: hiccup — responses with no query semantics). NOT retried: other
+    #: HTTP codes, notably 500, which ClickHouse uses for real query
+    #: errors including the missing-column signal the reactive
+    #: schema-repair path must see immediately (write_table).
+    max_retries: int = 4
+    backoff_s: float = 0.2
 
     # ----------------------------------------------------- pure builders
 
@@ -206,10 +221,32 @@ class ClickHouseHttpSource:
         timeout: int = 60,
         extra_settings: dict[str, str] | None = None,
     ) -> str:
-        with urllib.request.urlopen(
-            self.request_for(sql, data, extra_settings), timeout=timeout
-        ) as r:
-            return r.read().decode("utf-8")
+        """POST one statement; transient failures (connection errors,
+        HTTP 429/502/503/504) are retried up to ``max_retries`` times
+        with exponential backoff. Retrying is safe by construction:
+        SELECT/DESCRIBE are idempotent, ALTER is IF NOT EXISTS, and
+        INSERT retries replay the same ``insert_deduplication_token``
+        when one is set (write_table), so the server drops the
+        duplicate block. The terminal exception is re-raised unchanged
+        (HTTPError stays HTTPError — callers inspect it)."""
+        import time as _time
+
+        attempt = 0
+        while True:
+            try:
+                with urllib.request.urlopen(
+                    self.request_for(sql, data, extra_settings), timeout=timeout
+                ) as r:
+                    return r.read().decode("utf-8")
+            except urllib.error.HTTPError as e:
+                if e.code not in TRANSIENT_HTTP or attempt >= self.max_retries:
+                    raise
+                e.read()  # drain so the connection can be reused
+            except urllib.error.URLError:
+                if attempt >= self.max_retries:
+                    raise
+            _time.sleep(self.backoff_s * (2 ** attempt))
+            attempt += 1
 
     def fetch_rows(self, sql: str) -> list[dict]:
         """SELECT → list of dicts via FORMAT JSONEachRow."""

@@ -10,6 +10,8 @@ from __future__ import annotations
 import json
 import re
 import threading
+import time
+import urllib.error
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -632,5 +634,114 @@ def test_write_table_dedup_token_replay_is_dropped(spark):
         assert len(inserted) == 5  # replayed tokens -> blocks dropped
         src.write_table(df, "t1", dedup_epoch="round-2")  # a new round
         assert len(inserted) == 10
+    finally:
+        srv.shutdown()
+
+
+# ------------------------------------------------- transient retries
+
+
+def _flaky_server(fail_first: int, code: int = 503):
+    """Server that answers `fail_first` requests with `code`, then
+    delegates to the normal fake. Returns (srv, host, log, counter)."""
+    log: list[dict] = []
+    inserted: list[dict] = []
+    inner = _FakeCH.make(log, inserted)
+    state = {"failures": 0}
+
+    def handler(*args, **kw):
+        class Flaky(inner):
+            def do_POST(self):
+                if state["failures"] < fail_first:
+                    state["failures"] += 1
+                    body = b"Code: 202. DB::Exception: Too many requests"
+                    self.send_response(code)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                inner.do_POST(self)
+
+        return Flaky(*args, **kw)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", log, state
+
+
+def test_execute_retries_transient_503_then_succeeds():
+    """A 503 (server overloaded) is retried with backoff and the call
+    succeeds once the server recovers — no caller-visible failure."""
+    srv, host, log, state = _flaky_server(fail_first=2)
+    try:
+        src = _src(host, backoff_s=0.01)
+        n = src.fetch_scalar("SELECT COUNT(*) FROM `src_db`.`t1`")
+        assert n is not None
+        assert state["failures"] == 2          # two 503s were eaten
+        assert len(log) == 1                   # then the real answer
+    finally:
+        srv.shutdown()
+
+
+def test_execute_does_not_retry_query_errors():
+    """HTTP 500 carries ClickHouse query semantics (including the
+    missing-column signal the schema-repair path inspects) — it must
+    surface IMMEDIATELY, not after a retry storm."""
+    srv, host, log, state = _flaky_server(fail_first=99, code=500)
+    try:
+        src = _src(host, backoff_s=0.01)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            src.execute("SELECT 1")
+        assert ei.value.code == 500
+        assert state["failures"] == 1          # exactly one attempt
+    finally:
+        srv.shutdown()
+
+
+def test_execute_retry_budget_exhausts_with_original_error():
+    """A persistently-503 server fails after max_retries+1 attempts,
+    re-raising the HTTPError unchanged (callers match on its type)."""
+    srv, host, log, state = _flaky_server(fail_first=99)
+    try:
+        src = _src(host, backoff_s=0.001, max_retries=2)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            src.execute("SELECT 1")
+        assert ei.value.code == 503
+        assert state["failures"] == 3          # 1 try + 2 retries
+    finally:
+        srv.shutdown()
+
+
+def test_execute_retries_connection_refused():
+    """Connection-level URLError (nothing listening) is retried and
+    the terminal error is the URLError itself."""
+    src = ClickHouseHttpSource(
+        host="http://127.0.0.1:9", backoff_s=0.001, max_retries=1
+    )
+    t0 = time.monotonic()
+    with pytest.raises(urllib.error.URLError):
+        src.execute("SELECT 1", timeout=1)
+    assert time.monotonic() - t0 < 30
+
+
+def test_write_table_rides_through_transient_503(spark):
+    """End-to-end: an INSERT partition that hits a transient 503 is
+    retried executor-side and every row still lands exactly once."""
+    srv, host, log, state = _flaky_server(fail_first=1)
+    try:
+        src = ClickHouseHttpSource(
+            host=host, database="src_db", batch_size=100, backoff_s=0.01
+        )
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(4)], "id long, name string"
+        ).coalesce(1)
+        src.write_table(df, "t1", dedup_epoch="e1")
+        inserts = [r for r in log if r["sql"].startswith("INSERT")]
+        assert len(inserts) == 1 and state["failures"] == 1
+        rows = [
+            json.loads(ln)
+            for r in inserts for ln in r["body"].splitlines() if ln.strip()
+        ]
+        assert len(rows) == 4
     finally:
         srv.shutdown()
