@@ -128,6 +128,19 @@ class ScrollSession:
     host: str = "http://localhost:9200"
     size: int = 1000
     timeout: str = "5m"
+    #: transient-retry budget for the live paths — applied ONLY to
+    #: idempotent requests (see _send): the init search (no scroll
+    #: context exists yet; a duplicate context from a lost response
+    #: expires server-side at `timeout`) and the DELETE cleanup.
+    #: A PAGE request is NEVER retried: each `/_search/scroll` call
+    #: advances the server-side cursor, so a request whose response
+    #: was lost in transit may have already consumed a page — retrying
+    #: would silently skip it while the running-max watermark advances
+    #: past its rows, which breaks at-least-once. A failed page keeps
+    #: partial rows and the watermark stops at what was actually seen,
+    #: so the next sync round re-fetches from there (the safe outcome).
+    max_retries: int = 3
+    backoff_s: float = 0.2
 
     def initial_request(
         self,
@@ -201,27 +214,48 @@ class ScrollSession:
             transcript.append(self.cleanup_request(scroll_id))
         return rows, transcript
 
-    def _send(self, request: dict) -> dict:
+    def _send(self, request: dict, idempotent: bool = False) -> dict:
         """Issue one protocol request dict (the exact shape the pure
         builders above produce) over a REAL socket with stdlib urllib —
         JSON body, query params, method override for DELETE — and parse
         the JSON response. No third-party HTTP client: the sandbox has
         no package egress, and the reference's requests.post/delete
-        calls (es/es_to_bytehouse.py:589,600,658) map 1:1."""
+        calls (es/es_to_bytehouse.py:589,600,658) map 1:1.
+
+        ``idempotent=True`` enables the bounded transient-retry loop
+        (transport OSError, garbled 200 body, HTTP 429/5xx) — callers
+        assert idempotency; scroll PAGE requests must pass False
+        because the server-side cursor advance makes a lost-response
+        retry skip data (see max_retries on the class)."""
+        import time as _time
         import urllib.parse
         import urllib.request
 
         url = request["url"]
         if request.get("params"):
             url += "?" + urllib.parse.urlencode(request["params"])
-        req = urllib.request.Request(
-            url,
-            data=json.dumps(request["body"]).encode("utf-8"),
-            headers={"Content-Type": "application/json"},
-            method=request["method"],
-        )
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+
+        def one() -> dict:
+            req = urllib.request.Request(
+                url,
+                data=json.dumps(request["body"]).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+                method=request["method"],
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+
+        if not idempotent:
+            return one()
+        attempt = 0
+        while True:
+            try:
+                return one()
+            except (OSError, ValueError):
+                if attempt >= self.max_retries:
+                    raise
+            _time.sleep(self.backoff_s * (2 ** attempt))
+            attempt += 1
 
     def drain_http(
         self,
@@ -249,7 +283,8 @@ class ScrollSession:
             page = self._send(
                 self.initial_request(
                     index, query, slice_id=slice_id, slice_max=slice_max
-                )
+                ),
+                idempotent=True,  # no scroll context exists yet
             )
             for _ in range(max_pages):
                 scroll_id = page.get("_scroll_id", scroll_id)
@@ -265,7 +300,9 @@ class ScrollSession:
         finally:
             if scroll_id:
                 try:
-                    self._send(self.cleanup_request(scroll_id))
+                    self._send(
+                        self.cleanup_request(scroll_id), idempotent=True
+                    )
                 except (OSError, ValueError):
                     pass  # cleanup is best-effort, like the reference
         return rows
@@ -329,7 +366,8 @@ class ScrollSession:
                     sort_field=original,
                     slice_id=slice_id,
                     slice_max=slice_max,
-                )
+                ),
+                idempotent=True,  # no scroll context exists yet
             )
             for _ in range(max_pages):
                 scroll_id = page.get("_scroll_id", scroll_id)
@@ -357,7 +395,9 @@ class ScrollSession:
         finally:
             if scroll_id:
                 try:
-                    self._send(self.cleanup_request(scroll_id))
+                    self._send(
+                        self.cleanup_request(scroll_id), idempotent=True
+                    )
                 except (OSError, ValueError):
                     pass
         return rows, max_time, max_update

@@ -1,0 +1,195 @@
+"""Binary-walker throughput bench (r7 VERDICT item 6): MB/s/core for
+the Column-fold media walkers on realistic 1-10 MB payloads.
+
+The mm14-mm22 inventories are interpreted ``F.aggregate`` folds —
+row-local and embarrassingly parallel, but CPU-heavy *per step*. The
+100 TB media claim needs a measured number, not a vibe: this bench
+generates REAL payloads (stdlib ``gzip`` members, stdlib ``tarfile``
+ustar archives, spec-built MPEG-1 Layer III frame chains — the same
+constructions the pytest fixtures validate against the walkers), runs
+each inventory over one payload per core, and reports aggregate MB/s
+and MB/s/core.
+
+What the numbers mean structurally:
+
+- ``gzip`` / ``tar``: the walk cost is O(members) / O(entries), NOT
+  O(bytes) — the fold hops over data regions by length arithmetic. A
+  10x bigger member costs the same walk, so MB/s/core *rises* ~10x
+  with payload size; these walkers are never the bottleneck on big
+  shards.
+- ``mp3``: cost IS O(frames) ~ O(bytes) (a frame is ~417 bytes at
+  128 kbps) — this is the one walker whose MB/s/core is a real
+  per-byte rate and the honest input to "when do we switch this to
+  mapInPandas": below the target scan rate, an Arrow-batched pandas
+  walker (or a real codec) takes over; the plumbing for that path
+  already exists (``sample_frames`` / ``extract_features``).
+
+Usage::
+
+    python tools/mm_throughput.py
+
+Writes MM_THROUGHPUT.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io
+import os
+import sys
+import tarfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+from es_to_clickhouse_spark.operators import multimodal  # noqa: E402
+from es_to_clickhouse_spark.session import DEFAULT_CPUS, get_spark  # noqa: E402
+
+MB = 1 << 20
+
+
+# ------------------------------------------------------------- payloads
+
+
+def mp3_payload(n_bytes: int) -> tuple[bytes, int]:
+    """CBR 128 kbps / 44.1 kHz MPEG-1 Layer III frame chain (the same
+    header construction tests/test_operators.py validates): 417-byte
+    frames, so frames ~ n_bytes / 417."""
+    kbps = multimodal.MP3_BITRATES_KBPS[8]  # 128
+    sr = multimodal.MP3_SAMPLE_RATES[0]  # 44100
+    flen = 144000 * kbps // sr  # 417, pad=0
+    hdr = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2) | 0, 0])
+    frame = hdr + b"\xaa" * (flen - 4)
+    n = max(1, n_bytes // flen)
+    return frame * n, n
+
+
+def gzip_payload(n_bytes: int) -> tuple[bytes, int]:
+    """One real gzip member wrapping n_bytes of mildly compressible
+    data (level 1 keeps generation fast and the member large)."""
+    body = bytes(range(256)) * (n_bytes // 256)
+    return _gzip.compress(body, compresslevel=1), 1
+
+
+def tar_payload(n_bytes: int, entries: int = 16) -> tuple[bytes, int]:
+    """Real ustar archive from the stdlib: `entries` files splitting
+    n_bytes evenly (the walker's per-entry 512-byte header checksum
+    fold is the cost center; data blocks are hopped by arithmetic)."""
+    per = max(512, n_bytes // entries)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        for i in range(entries):
+            info = tarfile.TarInfo(f"shard/part-{i:05d}.bin")
+            info.size = per
+            t.addfile(info, io.BytesIO(b"\x55" * per))
+    return buf.getvalue(), entries
+
+
+# -------------------------------------------------------------- harness
+
+
+def run_case(spark, name, payload, units, inventory_fn, copies, passes=3):
+    rows = [(i, payload) for i in range(copies)]
+    df = (
+        spark.createDataFrame(rows, "asset_id long, payload binary")
+        .repartition(copies)
+        .localCheckpoint(eager=True)  # exclude upload from the timing
+    )
+    out = inventory_fn(df)
+    ok = out.where(out.columns[1] + " is not null").count()
+    assert ok == copies, f"{name}: {ok}/{copies} payloads decoded"
+    best = None
+    for _ in range(passes):
+        t0 = time.monotonic()
+        inventory_fn(df).write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    total_mb = len(payload) * copies / MB
+    return {
+        "walker": name,
+        "payload_mb": round(len(payload) / MB, 2),
+        "units": units,
+        "copies": copies,
+        "sec": round(best, 3),
+        "agg_mb_s": round(total_mb / best, 1),
+        "mb_s_core": round(total_mb / best / copies, 2),
+    }
+
+
+def main() -> None:
+    spark = get_spark("mm_throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = min(DEFAULT_CPUS, 32)
+
+    cases = []
+    for size in (1 * MB, 4 * MB):
+        pl, n = mp3_payload(size)
+        cases.append(
+            run_case(
+                spark, "mp3_frame_inventory", pl, f"{n} frames",
+                lambda df, n=n: multimodal.mp3_frame_inventory(df, max_frames=n + 1),
+                copies,
+            )
+        )
+    for size in (1 * MB, 10 * MB):
+        pl, n = gzip_payload(size)
+        cases.append(
+            run_case(
+                spark, "gzip_member_inventory", pl, f"{n} member",
+                multimodal.gzip_member_inventory, copies,
+            )
+        )
+    for size in (1 * MB, 10 * MB):
+        pl, n = tar_payload(size)
+        cases.append(
+            run_case(
+                spark, "tar_archive_inventory", pl, f"{n} entries",
+                multimodal.tar_archive_inventory, copies,
+            )
+        )
+
+    lines = [
+        "# Binary-walker throughput — Column-fold inventories on 1-10 MB payloads",
+        "",
+        f"Generated by `python tools/mm_throughput.py` (local[{DEFAULT_CPUS}],",
+        f"{copies} payload copies = one per core, warm min of 3 through the",
+        "noop sink; every payload is asserted decoded before timing counts).",
+        "Payloads are real: stdlib gzip members, stdlib ustar archives,",
+        "spec-built 128 kbps MPEG-1 Layer III frame chains.",
+        "",
+        "| walker | payload | structure | sec | aggregate MB/s | MB/s/core |",
+        "|---|---|---|---|---|---|",
+    ]
+    for c in cases:
+        lines.append(
+            f"| {c['walker']} | {c['payload_mb']} MB | {c['units']} "
+            f"| {c['sec']} | {c['agg_mb_s']} | {c['mb_s_core']} |"
+        )
+    lines += [
+        "",
+        "## Reading the numbers",
+        "",
+        "- gzip/tar walk cost is O(members)/O(entries), not O(bytes): the",
+        "  fold hops data regions by length arithmetic, so MB/s/core rises",
+        "  roughly with payload size. These walkers are metadata extractors",
+        "  and never the scan bottleneck on crawl-scale shards.",
+        "- mp3 cost is O(frames) ~ O(bytes) (~417 bytes/frame at 128 kbps);",
+        "  its MB/s/core is a true per-byte rate. Use it to size media",
+        "  scans: a 100 TB audio corpus at R MB/s/core needs 100e6/R",
+        "  core-seconds for inventory alone. When that is too slow — or",
+        "  when actual sample decode is needed — switch the walker to the",
+        "  Arrow-batched mapInPandas path (`sample_frames` /",
+        "  `extract_features` show the plumbing) or a real codec via the",
+        "  env-gated `image_codec()` pattern.",
+        "",
+    ]
+    out = "\n".join(lines)
+    with open(os.path.join(ROOT, "MM_THROUGHPUT.md"), "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

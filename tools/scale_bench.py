@@ -1,0 +1,252 @@
+"""Scale-evidence bench (r7 VERDICT item 4): synthesize a 10x dataset
+from sf0.1 and measure how the heavy query set's wall time grows.
+
+The strongest answer available in a single-host sandbox to "would this
+survive a 100x scale-up" is a measured 10x: every heavy query (the
+corpus's top cost centers, including every quadratic-stage pipeline —
+d5/d9/d14/d17/fz1) is timed at sf0.1 and at a synthesized sf1, and the
+growth ratio is recorded. Near-linear (<= ~10-12x on 10x rows) means
+the plan's asymptotics hold; anything superlinear is flagged for a fix.
+
+Synthesis (all Spark-side — explode over a replica sequence, no driver
+loops, no randomness):
+
+- Every fact/key table is replicated ``factor`` times with key columns
+  offset by ``replica * STRIDE`` so referential joins stay 1:1 per
+  replica (orders.o_custkey moves with customer.c_custkey, lineitem's
+  three FKs move with their parents). ``region``/``nation`` stay
+  unreplicated — they are true fixed-cardinality dimensions (there are
+  only 25 nations at any scale; TPC-H itself does not scale them).
+- ``documents.text``: for replica r>0 every token gets a ``~r`` suffix.
+  A per-replica BIJECTIVE token rename preserves each replica's
+  internal near-dup structure EXACTLY (word-n-gram equality is
+  invariant under an injective token map, so every sf0.1 dup pair
+  exists in all 10 replicas) while cross-replica word-shingle Jaccard
+  drops to ~0 — the synthesized corpus has 10x the documents at the
+  same dup *rate*, which is what real 10x data looks like. Position-
+  based salting was rejected: an insertion edit shifts positions, so
+  position salts would misalign within-replica near-dup pairs and
+  silently DELETE the workload the dedup queries exist to find.
+- ``embeddings.embedding``: replica r rotates the vector by r
+  dimensions (norm-preserving, deterministic). Rotation decorrelates
+  cross-replica cosine for non-shift-invariant vectors, so the ANN /
+  embedding-near-dup workload grows 10x in rows without every vector
+  acquiring 9 artificial exact twins (which would inflate neighbor
+  lists ~10x and make quadratic stages look superlinear for reasons
+  that are synthesis artifacts, not plan flaws).
+
+Usage::
+
+    python tools/scale_bench.py                # synthesize + both runs
+    python tools/scale_bench.py --synth-only   # just build the dataset
+    python tools/scale_bench.py --run-only     # reuse existing dataset
+
+Writes SCALE_BENCH.md at the repo root and the dataset under
+``.scale_data/sf1`` (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from es_to_clickhouse_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get(
+    "SPARK_GRAFT_SCALE_DST", os.path.join(ROOT, ".scale_data", "sf1")
+)
+FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+#: key offset per replica — far above any key value at source scale
+STRIDE = 10_000_000
+
+#: key columns to offset per table (referentially consistent: the same
+#: stride applies to a key wherever it appears)
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: fixed-cardinality dimensions: copied through unchanged
+PASSTHROUGH = ["region", "nation"]
+
+#: bench.HEAVY (the measured top cost centers) + the one quadratic-stage
+#: query the heavy list doesn't already carry (r7 VERDICT names d5, d9,
+#: d14, d17, fz1 — the first four are HEAVY members)
+EXTRA = ["fz1_fuzzy_name_match"]
+
+WARM_PASSES = 2
+#: growth above this on a 10x replication is flagged as superlinear
+FLAG_RATIO = 12.0
+
+
+def _replicate(df: DataFrame, keys: list[str], factor: int) -> DataFrame:
+    rep = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+    for k in keys:
+        dt = dict(df.dtypes)[k]
+        rep = rep.withColumn(k, (F.col(k) + F.col("_r") * STRIDE).cast(dt))
+    return rep
+
+
+def _salt_documents(rep: DataFrame) -> DataFrame:
+    """Bijective per-replica token rename (see module docstring)."""
+    suffix = F.when(F.col("_r") == 0, F.lit("")).otherwise(
+        F.concat(F.lit("~"), F.col("_r").cast("string"))
+    )
+    toks = F.split(F.col("text"), " ")
+    salted = F.array_join(
+        F.transform(toks, lambda w: F.concat(w, suffix)), " "
+    )
+    return rep.withColumn("text", salted).withColumn(
+        "n_chars", F.length("text")
+    )
+
+
+def _rotate_embeddings(rep: DataFrame) -> DataFrame:
+    dim = F.size("embedding")
+    k = F.col("_r") % dim
+    rotated = F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), k + 1, dim),
+            F.slice(F.col("embedding"), F.lit(1), k),
+        )
+    )
+    return rep.withColumn("embedding", rotated)
+
+
+def synthesize(spark, src: str = SRC, dst: str = DST, factor: int = FACTOR) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in PASSTHROUGH:
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{t}.parquet")
+        )
+    for t, keys in KEY_COLS.items():
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        rep = _replicate(df, keys, factor)
+        if t == "documents":
+            rep = _salt_documents(rep)
+        elif t == "embeddings":
+            rep = _rotate_embeddings(rep)
+        out = rep.select(df.columns)  # drop _r, keep column order
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+        n0, n1 = df.count(), spark.read.parquet(
+            os.path.join(dst, f"{t}.parquet")
+        ).count()
+        assert n1 == n0 * factor, f"{t}: {n1} != {n0}*{factor}"
+        print(f"synth {t}: {n0:,} -> {n1:,}", flush=True)
+
+
+def _scale_set() -> list[str]:
+    import bench
+
+    return list(bench.HEAVY) + EXTRA
+
+
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
+    from es_to_clickhouse_spark.corpus import all_queries
+
+    qs = all_queries()
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.monotonic()
+        rows = fn(spark, sf_dir).count()
+        cold = time.monotonic() - t0
+        warms = []
+        for _ in range(WARM_PASSES):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warms.append(time.monotonic() - t0)
+        out[name] = {
+            "sec": round(min(warms), 3),
+            "cold": round(cold, 3),
+            "rows": rows,
+        }
+        print(f"  {name}: {out[name]}", flush=True)
+    return out
+
+
+def write_report(base: dict, scaled: dict, factor: int) -> None:
+    lines = [
+        "# Scale-evidence bench — heavy set at sf0.1 vs synthesized sf1",
+        "",
+        f"Generated by `python tools/scale_bench.py` ({factor}x replication of",
+        "sf0.1 with per-replica key strides, bijective token renames and",
+        "embedding rotation — see the module docstring for why that synthesis",
+        "keeps the dup *rate* constant instead of making every row a 10x",
+        "duplicate). Timings are warm min of "
+        f"{WARM_PASSES} through the noop sink on local[32]; `rows` is the",
+        "query's output cardinality at each scale (a scale run that returns",
+        "the same rows it returned at sf0.1 would be vacuous).",
+        "",
+        f"Flag threshold: ratio > {FLAG_RATIO}x on {factor}x rows.",
+        "",
+        "| query | sf0.1 s | sf1 s | ratio | rows sf0.1 | rows sf1 | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    flagged = []
+    for name in base:
+        b, s = base[name], scaled[name]
+        ratio = s["sec"] / b["sec"] if b["sec"] else float("inf")
+        verdict = "near-linear" if ratio <= FLAG_RATIO else "**SUPERLINEAR**"
+        if ratio > FLAG_RATIO:
+            flagged.append((name, ratio))
+        lines.append(
+            f"| {name} | {b['sec']} | {s['sec']} | {ratio:.1f}x "
+            f"| {b['rows']:,} | {s['rows']:,} | {verdict} |"
+        )
+    tot_b = sum(v["sec"] for v in base.values())
+    tot_s = sum(v["sec"] for v in scaled.values())
+    lines += [
+        f"| **total** | {tot_b:.1f} | {tot_s:.1f} | {tot_s / tot_b:.1f}x | | | |",
+        "",
+    ]
+    if flagged:
+        lines += ["## Flagged superlinear", ""]
+        lines += [f"- {n}: {r:.1f}x" for n, r in flagged]
+    else:
+        lines += [
+            "No query exceeded the flag threshold: the partition strategies,",
+            "bucketed quadratic stages and bounded-round iterative pipelines",
+            "scale as designed on 10x data.",
+        ]
+    lines.append("")
+    with open(os.path.join(ROOT, "SCALE_BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+def main() -> None:
+    spark = get_spark("scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    args = set(sys.argv[1:])
+    if "--run-only" not in args:
+        synthesize(spark)
+    if "--synth-only" in args:
+        return
+    names = _scale_set()
+    print("=== sf0.1 ===", flush=True)
+    base = time_queries(spark, SRC, names)
+    print("=== sf1 (synthesized) ===", flush=True)
+    scaled = time_queries(spark, DST, names)
+    write_report(base, scaled, FACTOR)
+    with open(os.path.join(ROOT, ".scale_data", "scale_bench.json"), "w") as f:
+        json.dump({"base": base, "scaled": scaled, "factor": FACTOR}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
