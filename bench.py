@@ -142,9 +142,41 @@ def _timing_maps(rec: dict) -> list[dict]:
     return maps
 
 
-def best_prior_per_query(here: str) -> dict[str, float]:
+def _noise_floor_median(rec: dict) -> float | None:
+    """Extract a round's recorded noise-floor median (the fixed noise
+    query's median, present since r6) from whatever shape the record
+    took — parsed, flat, or the truncated-tail salvage path."""
+    import re
+
+    flat = rec.get("parsed") or rec
+    nf = flat.get("noise_floor")
+    if isinstance(nf, dict) and isinstance(nf.get("median"), (int, float)):
+        return float(nf["median"]) or None
+    if isinstance(rec.get("tail"), str):
+        hit = re.search(
+            r'"noise_floor":\s*\{[^{}]*"median":\s*([0-9.]+)', rec["tail"]
+        )
+        if hit:
+            return float(hit.group(1)) or None
+    return None
+
+
+def best_prior_per_query(
+    here: str, current_floor: float | None = None
+) -> dict[str, float]:
     """Per-query best (lowest) recorded timing across all prior rounds'
-    BENCH_r*.json — the baseline a median must not exceed by >1.5x."""
+    BENCH_r*.json — the baseline a median must not exceed by >1.5x.
+
+    ``current_floor`` (this run's noise-floor median) enables MACHINE
+    NORMALIZATION (r8 VERDICT #5): each prior round's timings are
+    rescaled by current_floor / that_round's_floor before taking the
+    min, so the comparison happens in same-machine units. Without it a
+    1.5x-slower host day flagged 19 false regressions on an unchanged
+    hot path (r8): the code didn't get slower, the machine did, and the
+    noise query — identical code every round — says by exactly how
+    much. Rounds that predate the floor recording (r1-r5) contribute
+    unscaled, and a faster current machine scales priors DOWN (the
+    gate gets stricter on a quiet day — that's the point)."""
     best: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
@@ -152,10 +184,16 @@ def best_prior_per_query(here: str) -> dict[str, float]:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
+        floor = _noise_floor_median(rec)
+        scale = 1.0
+        if current_floor and floor:
+            scale = current_floor / floor
         for timing_map in _timing_maps(rec):
             for name, sec in timing_map.items():
                 if isinstance(sec, (int, float)) and sec > 0:
-                    best[name] = min(best.get(name, float("inf")), float(sec))
+                    best[name] = min(
+                        best.get(name, float("inf")), float(sec) * scale
+                    )
     return best
 
 
@@ -234,16 +272,27 @@ def main() -> None:
     }
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = best_prior_per_query(here)
+    # machine-normalized baseline (r8 VERDICT #5): priors are rescaled
+    # to THIS machine's speed via the noise-floor ratio before the 1.5x
+    # gate, so a slow host day can't manufacture false regressions (r8:
+    # 19 of them on an unchanged hot path). The raw best rides along in
+    # each regression record so a reader can see both frames.
+    prior = best_prior_per_query(here, current_floor=noise_med)
+    prior_raw = best_prior_per_query(here)
     regressions = {}
     for name, med in {**timings, **h_timings}.items():
         base = prior.get(name)
         if base and med > REGRESSION_FACTOR * base:
-            regressions[name] = {"median": med, "best_prior": base,
-                                 "ratio": round(med / base, 2)}
+            regressions[name] = {
+                "median": med,
+                "best_prior_normalized": round(base, 3),
+                "best_prior_raw": prior_raw.get(name),
+                "ratio": round(med / base, 2),
+            }
             print(
                 f"REGRESSION {name}: median {med}s > {REGRESSION_FACTOR}x "
-                f"best prior {base}s",
+                f"machine-normalized best prior {base:.3f}s "
+                f"(raw {prior_raw.get(name)}s)",
                 file=sys.stderr,
             )
 

@@ -652,61 +652,131 @@ def txt16_boilerplate_sentences(spark, sf_dir):
     "d12_minhash_estimate_error",
     """
     WITH tok AS (
-      SELECT doc_id, lang,
+      SELECT doc_id,
              list_distinct(list_filter(string_split(text, ' '), x -> x != ''))
                AS ts
       FROM documents
     ), sig AS (
-      SELECT doc_id, lang, ts,
+      SELECT doc_id, ts,
              [list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min'),
               list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min'),
               list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min'),
               list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min')]
                AS mh
       FROM tok
+    ), banded AS (
+      SELECT doc_id, gs.i - 1 AS band_id, mh[gs.i] AS band_key
+      FROM sig, generate_series(1, 4) AS gs(i)
+    ), kept AS (
+      SELECT doc_id, band_id, band_key,
+             count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE a.bsz <= 50 AND b.bsz <= 50 AND a.doc_id % 10 = 3
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             (CASE WHEN a.mh[1] = b.mh[1] THEN 1 ELSE 0 END
-            + CASE WHEN a.mh[2] = b.mh[2] THEN 1 ELSE 0 END
-            + CASE WHEN a.mh[3] = b.mh[3] THEN 1 ELSE 0 END
-            + CASE WHEN a.mh[4] = b.mh[4] THEN 1 ELSE 0 END) / 4.0 AS est,
-             round(len(list_intersect(a.ts, b.ts))
-                   / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+      SELECT c.id_a, c.id_b,
+             (CASE WHEN sa.mh[1] = sb.mh[1] THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh[2] = sb.mh[2] THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh[3] = sb.mh[3] THEN 1 ELSE 0 END
+            + CASE WHEN sa.mh[4] = sb.mh[4] THEN 1 ELSE 0 END) / 4.0 AS est,
+             round(len(list_intersect(sa.ts, sb.ts))
+                   / (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts))),
                    4) AS exact_j
-      FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
     )
     SELECT id_a, id_b, round(est, 4) AS est_jaccard, exact_j AS exact_jaccard,
            round(abs(est - exact_j), 4) AS abs_err
     FROM pairs
-    WHERE (exact_j >= 0.2 OR est >= 0.25) AND id_a % 10 = 3
+    WHERE exact_j >= 0.2 OR est >= 0.25
     """,
 )
 def d12_minhash_estimate_error(spark, sf_dir):
-    """MinHash estimator calibration: for every same-language candidate
-    pair, the k=4 signature-agreement estimate of Jaccard vs the exact
-    token-set Jaccard, with absolute error — the query you run BEFORE
-    trusting LSH thresholds at scale (it tells you what k buys). Blocked
-    self-join (lang here; LSH bands at 100 TB) keeps the pair space
-    linear-ish; signatures and token sets come from ONE tokenize pass
-    shared by both measures. The md5 minhash is engine-stable, so
-    estimate AND exact match the oracle bit-for-bit."""
+    """MinHash estimator calibration: for every LSH candidate pair in a
+    deterministic 10% sample, the k=4 signature-agreement estimate of
+    Jaccard vs the exact token-set Jaccard, with absolute error — the
+    query you run FIRST, on the full corpus, before trusting any LSH
+    threshold (it tells you what k buys on the population LSH will
+    actually surface).
+
+    r8 SCALE_BENCH measured the previous shape — lang-blocked self-join
+    with the 10% sample applied AFTER the join — at 28.6x on 10x data:
+    lang blocks grow with the corpus (quadratic pairs), and every pair
+    paid the token-set intersect before the sample discarded 90% of
+    them. Two changes, each mirrored in the oracle:
+
+    - Block on LSH band keys (one band per minhash value, r=1 b=4 — the
+      high-recall banding: P(candidate | J=0.7) ~ 0.99) with d8's
+      max_bucket=50 degenerate-bucket guard, so candidate pairs are
+      bounded per bucket and grow with bucket COUNT, not corpus size.
+    - Apply the `doc_id % 10 = 3` calibration sample to the LEFT side
+      BEFORE the pair join (pairs-whose-smaller-id-is-sampled is the
+      same population the old post-join filter kept), so 90% of the
+      candidate generation never happens.
+
+    The bucket-size window runs over FULL buckets (guard before sample)
+    so the kept/dropped bucket set is sample-independent. With r=1
+    banding every candidate has est >= 0.25, so the trailing filter is
+    population documentation, not pruning. The md5 minhash is
+    engine-stable and jaccard needs only set cardinalities (tokens
+    xxhash64-hashed Spark-side, plain strings in DuckDB — same counts),
+    so estimate AND exact match the oracle bit-for-bit."""
     from es_to_clickhouse_spark.operators.dedup import jaccard, minhash_signature
     from es_to_clickhouse_spark.operators.text import tokens
 
     d = t(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(tokens(F.col("text"))).alias("ts"),
-        F.array(*minhash_signature(F.col("text"), k=4)).alias("mh"),
+    par = spark.sparkContext.defaultParallelism
+    # one tokenize+signature pass shared by banding and both verify
+    # sides; repartition first so the HOF projections use all cores
+    # (single-file source = one scan partition), checkpoint so the
+    # three consumers read one materialization
+    sig = (
+        d.repartition(par)
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(tokens(F.col("text"))), lambda s: F.xxhash64(s)
+            ).alias("ts"),
+            F.array(*minhash_signature(F.col("text"), k=4)).alias("mh"),
+        )
+        .localCheckpoint(eager=False)
     )
-    a = sig.select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
-        F.col("ts").alias("ts_a"), F.col("mh").alias("mh_a"),
+    bands = sig.select("doc_id", F.posexplode("mh").alias("band_id", "band_key"))
+    w = Window.partitionBy("band_id", "band_key")
+    kept = (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= 50)
+        .drop("_bsz")
     )
-    b = sig.select(
-        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
-        F.col("ts").alias("ts_b"), F.col("mh").alias("mh_b"),
+    a = kept.where(F.col("doc_id") % 10 == 3).select(
+        "band_id", "band_key", F.col("doc_id").alias("id_a")
+    )
+    b = kept.select("band_id", "band_key", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several bands — score once
+    )
+    j = cand.join(
+        sig.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("ts").alias("ts_a"),
+            F.col("mh").alias("mh_a"),
+        ),
+        "id_a",
+    ).join(
+        sig.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("ts").alias("ts_b"),
+            F.col("mh").alias("mh_b"),
+        ),
+        "id_b",
     )
     est = None
     for i in range(1, 5):
@@ -716,29 +786,13 @@ def d12_minhash_estimate_error(spark, sf_dir):
         est = term if est is None else est + term
     est = est / 4.0
     exact = F.round(jaccard(F.col("ts_a"), F.col("ts_b")), 4)
-    return (
-        # pinned repartition: a single-file source scans as ONE partition
-        # and the broadcast pair join would run the whole quadratic
-        # verify in that task (d5's lesson); round-robin spread is
-        # enough because the small side broadcasts
-        a.repartition(spark.sparkContext.defaultParallelism)
-        .join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(est, 4).alias("est_jaccard"),
-            exact.alias("exact_jaccard"),
-            F.round(F.abs(est - exact), 4).alias("abs_err"),
-        )
-        # deterministic 10% calibration sample on the left id: the
-        # estimator's error distribution needs a sample, not every pair
-        # (3.2M rows at sf0.1 without it); modulo keeps both engines'
-        # samples identical
-        .where(
-            ((F.col("exact_jaccard") >= 0.2) | (F.col("est_jaccard") >= 0.25))
-            & (F.col("id_a") % 10 == 3)
-        )
-    )
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(est, 4).alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 4).alias("abs_err"),
+    ).where((F.col("exact_jaccard") >= 0.2) | (F.col("est_jaccard") >= 0.25))
 
 
 @query(
@@ -1045,12 +1099,24 @@ def dq6_json_key_profile(spark, sf_dir):
     honest contract for mixed-type JSON), and distinct users — the
     query that tells you what schema is hiding inside a schemaless
     column before you promote keys to real columns (the reference's
-    detect_new_fields does this row-by-row in Python; here it's one
-    explode + one aggregate, JVM-side json_object_keys /
-    get_json_object)."""
+    detect_new_fields, es/es_to_bytehouse.py:1043-1051, does this
+    row-by-row in Python; here it's one explode + TWO-LEVEL aggregates,
+    JVM-side json_object_keys / get_json_object).
+
+    Why two-level: a schemaless column routinely carries FEW distinct
+    keys over MANY rows (here: one), so a single
+    groupBy(k).agg(countDistinct(...)) funnels the whole corpus through
+    one reducer group — measured 12.3x at 10x data (SCALE_BENCH r8).
+    Pre-grouping by (k, val) / (k, user_id) makes the distinct work a
+    partial-aggregable count over high-cardinality keys that spreads
+    across the cluster regardless of how few JSON keys exist; the
+    second level then sees one row per distinct value, so
+    count(val) == countDistinct(val) and sum of the group counts
+    reconstructs count(*) exactly (NULL vals form their own group,
+    counted in n_rows, excluded from n_vals — matching SQL count
+    semantics bit-for-bit)."""
     e = t(spark, sf_dir, "events").where(F.col("props").isNotNull())
     kv = e.select(
-        "event_id",
         "user_id",
         "props",
         F.explode(F.json_object_keys("props")).alias("k"),
@@ -1060,12 +1126,25 @@ def dq6_json_key_profile(spark, sf_dir):
         "k",
         F.expr("get_json_object(props, concat('$.', k))").alias("val"),
     )
-    return v.groupBy("k").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("val").alias("n_vals"),
-        F.min("val").alias("min_val"),
-        F.max("val").alias("max_val"),
-        F.countDistinct("user_id").alias("n_users"),
+    vals = (
+        v.groupBy("k", "val")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("k")
+        .agg(
+            F.sum("_c").alias("n_rows"),
+            F.count("val").alias("n_vals"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
+    users = (
+        v.groupBy("k", "user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("k")
+        .agg(F.count("user_id").alias("n_users"))
+    )
+    return vals.join(users, "k").select(
+        "k", "n_rows", "n_vals", "min_val", "max_val", "n_users"
     )
 
 

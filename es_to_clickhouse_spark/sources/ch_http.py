@@ -223,12 +223,19 @@ class ClickHouseHttpSource:
     ) -> str:
         """POST one statement; transient failures (connection errors,
         HTTP 429/502/503/504) are retried up to ``max_retries`` times
-        with exponential backoff. Retrying is safe by construction:
-        SELECT/DESCRIBE are idempotent, ALTER is IF NOT EXISTS, and
-        INSERT retries replay the same ``insert_deduplication_token``
-        when one is set (write_table), so the server drops the
-        duplicate block. The terminal exception is re-raised unchanged
-        (HTTPError stays HTTPError — callers inspect it)."""
+        with exponential backoff. Retry safety: SELECT/DESCRIBE are
+        idempotent and ALTER is IF NOT EXISTS. For INSERT bodies the
+        retry is duplicate-free ONLY when a deduplication token rides
+        along (write_table sets one per (table, partition, batch,
+        epoch)) AND the target table honors it (ReplicatedMergeTree, or
+        plain MergeTree with ``non_replicated_deduplication_window`` >
+        0 — the setting defaults to 0, where tokens are ignored): a
+        502/504 that arrives AFTER the server committed the block is
+        replayed, and without an honored token that replay lands twice.
+        The overall sink contract stays at-least-once (README); callers
+        needing effectively-once must pass ``dedup_epoch`` and
+        configure the window. The terminal exception is re-raised
+        unchanged (HTTPError stays HTTPError — callers inspect it)."""
         import time as _time
 
         attempt = 0
@@ -241,7 +248,10 @@ class ClickHouseHttpSource:
             except urllib.error.HTTPError as e:
                 if e.code not in TRANSIENT_HTTP or attempt >= self.max_retries:
                     raise
-                e.read()  # drain so the connection can be reused
+                # no drain: urllib opens a fresh connection per request
+                # (no pooling), and e.read() on a broken connection can
+                # itself raise (IncompleteRead/socket timeout), which
+                # would escape this loop as the wrong exception type
             except urllib.error.URLError:
                 if attempt >= self.max_retries:
                     raise
@@ -444,7 +454,13 @@ class ClickHouseHttpSource:
                 try:
                     src.execute(sql, body, extra_settings=settings)
                 except urllib.error.HTTPError as e:
-                    detail = e.read().decode("utf-8", "replace")
+                    try:
+                        detail = e.read().decode("utf-8", "replace")
+                    except OSError:
+                        # reading the error body off a broken connection
+                        # can itself fail — the status code alone still
+                        # routes the repair-vs-raise decision
+                        detail = "<error body unavailable>"
                     err = ValueError(f"HTTP {e.code}: {detail}")
                     if not repair_stmts or not is_missing_column_error(err):
                         raise err from e

@@ -223,13 +223,17 @@ class ScrollSession:
         calls (es/es_to_bytehouse.py:589,600,658) map 1:1.
 
         ``idempotent=True`` enables the bounded transient-retry loop
-        (transport OSError, garbled 200 body, HTTP 429/5xx) — callers
+        (transport OSError, garbled 200 body, HTTP 429/502/503/504 — a
+        definite status like 400/404/500 re-raises immediately) — callers
         assert idempotency; scroll PAGE requests must pass False
         because the server-side cursor advance makes a lost-response
         retry skip data (see max_retries on the class)."""
         import time as _time
+        import urllib.error
         import urllib.parse
         import urllib.request
+
+        from es_to_clickhouse_spark.sources.ch_http import TRANSIENT_HTTP
 
         url = request["url"]
         if request.get("params"):
@@ -251,6 +255,15 @@ class ScrollSession:
         while True:
             try:
                 return one()
+            except urllib.error.HTTPError as e:
+                # HTTPError subclasses OSError, so it must be caught FIRST:
+                # only transient statuses (429/5xx gateway) are retried —
+                # a 400 (bad query DSL) or 404 (missing index) fails the
+                # same way every time, and retrying it 3x with backoff
+                # just delays the real error (mirrors ch_http.execute's
+                # TRANSIENT_HTTP filter).
+                if e.code not in TRANSIENT_HTTP or attempt >= self.max_retries:
+                    raise
             except (OSError, ValueError):
                 if attempt >= self.max_retries:
                     raise

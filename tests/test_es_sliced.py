@@ -160,3 +160,82 @@ def test_read_index_http_query_pushdown(fake_es, spark):
     )
     inits = [r for r in log if r["path"] == "/idx/_search"]
     assert all(b["body"]["query"] == q for b in inits)
+
+
+def _serve_statuses(statuses, hits=0):
+    """Loopback server replaying a fixed status sequence; 200 responses
+    carry a minimal valid scroll page. Returns (server, host, seen)."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    import threading
+
+    seen: list[int] = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            code = statuses[min(len(seen), len(statuses) - 1)]
+            seen.append(code)
+            if code == 200:
+                body = json.dumps(
+                    {"_scroll_id": "s1", "hits": {"hits": []}}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(code, "nope")
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", seen
+
+
+def test_send_definite_http_error_not_retried():
+    """A 400 (bad query DSL) fails the same way every time: the
+    idempotent retry loop must re-raise it on the FIRST attempt —
+    retrying only delays the real error (ADVICE r8: es.py previously
+    caught bare OSError, and HTTPError subclasses OSError)."""
+    import urllib.error
+
+    srv, host, seen = _serve_statuses([400])
+    try:
+        s = ScrollSession(host=host, backoff_s=0.01)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            s._send(s.initial_request("idx"), idempotent=True)
+        assert ei.value.code == 400
+        assert len(seen) == 1  # no retry
+    finally:
+        srv.shutdown()
+
+
+def test_send_transient_http_error_retried():
+    """503 then 200: the transient set (TRANSIENT_HTTP, shared with
+    ch_http) rides through with backoff on idempotent requests."""
+    srv, host, seen = _serve_statuses([503, 200])
+    try:
+        s = ScrollSession(host=host, backoff_s=0.01)
+        page = s._send(s.initial_request("idx"), idempotent=True)
+        assert page["_scroll_id"] == "s1"
+        assert seen == [503, 200]
+    finally:
+        srv.shutdown()
+
+
+def test_send_non_idempotent_never_retries_transient():
+    """A PAGE request (idempotent=False) must re-raise even a 503:
+    the server-side cursor may have advanced, so a retry skips data."""
+    import urllib.error
+
+    srv, host, seen = _serve_statuses([503, 200])
+    try:
+        s = ScrollSession(host=host, backoff_s=0.01)
+        with pytest.raises(urllib.error.HTTPError):
+            s._send(s.page_request("s1"))
+        assert len(seen) == 1
+    finally:
+        srv.shutdown()

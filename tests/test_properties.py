@@ -356,3 +356,48 @@ def test_doc_counts_match_corpus():
     assert f"**{n} pass, 0 fail, 0 rows-only**" in readme
     coverage = open("/root/repo/COVERAGE.md").read()
     assert re.search(rf"— {n} queries,", coverage)
+
+
+def test_bench_noise_floor_normalization():
+    """r8 VERDICT #5: a 1.5x-slower host day produced 19 false
+    regressions because cross-round comparison ignored the recorded
+    noise floor. best_prior_per_query(current_floor=...) must rescale
+    each round's timings by current_floor/round_floor; rounds without
+    a floor contribute unscaled; the floor parses from parsed, flat,
+    and truncated-tail record shapes."""
+    import bench
+
+    # floor extraction across record shapes
+    assert bench._noise_floor_median({"noise_floor": {"median": 0.3}}) == 0.3
+    assert (
+        bench._noise_floor_median({"parsed": {"noise_floor": {"median": 0.4}}})
+        == 0.4
+    )
+    assert (
+        bench._noise_floor_median(
+            {"parsed": None, "tail": '"noise_floor": {"query": "w1", "median": 0.302, "stddev": 0.04}'}
+        )
+        == 0.302
+    )
+    assert bench._noise_floor_median({"queries": {"a": 1.0}}) is None
+
+    # normalization math against a synthetic BENCH history
+    import json as _json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/BENCH_r01.json", "w") as f:
+            _json.dump({"queries": {"qa": 2.0}}, f)  # pre-floor round
+        with open(f"{d}/BENCH_r02.json", "w") as f:
+            _json.dump(
+                {"queries": {"qa": 1.0}, "noise_floor": {"median": 0.3}}, f
+            )
+        raw = bench.best_prior_per_query(d)
+        assert raw["qa"] == 1.0
+        # current machine 1.5x slower (floor 0.45): r02's 1.0s becomes
+        # 1.5s equivalent; r01's floorless 2.0 stays — best is 1.5
+        norm = bench.best_prior_per_query(d, current_floor=0.45)
+        assert abs(norm["qa"] - 1.5) < 1e-9
+        # faster machine scales priors DOWN (stricter gate)
+        norm_fast = bench.best_prior_per_query(d, current_floor=0.15)
+        assert abs(norm_fast["qa"] - 0.5) < 1e-9
