@@ -144,7 +144,66 @@ def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
         help="incremental watermark column for the ch-http source "
         "(reference --time-column) [env: TIME_COLUMN]",
     )
+    p.add_argument(
+        "--es-http-url",
+        default=env.es_http_url,
+        help="Elasticsearch HTTP URL (e.g. http://es:9200) — switches "
+        "--mode incremental to the jar-free live SLICED-SCROLL source "
+        "(sources/es.py sync_incremental_es_http): full-bootstrap for "
+        "unseen indices, watermark ranges after [env: ES_HTTP_URL]",
+    )
+    p.add_argument(
+        "--slices",
+        type=int,
+        default=env.slices,
+        help="sliced-scroll fan-out for the live ES source — one scroll "
+        "context per executor slice; track the index's shard count at "
+        "scale [env: ES_SLICES]",
+    )
+    p.add_argument(
+        "--ch-sink-url",
+        default=env.ch_sink_url,
+        help="ClickHouse HTTP-interface URL for the TARGET — synced "
+        "rows land on the live server (CREATE/ALTER DDL + token-deduped "
+        "INSERT, sources/ch_http.py ClickHouseHttpTarget) instead of "
+        "the parquet warehouse; --warehouse still hosts sync state "
+        "[env: CH_SINK_URL / TARGET_CH_HTTP_URL]",
+    )
+    p.add_argument(
+        "--ch-sink-database",
+        default=env.ch_sink_database,
+        help="target ClickHouse database (reference TARGET_DATABASE, "
+        "es/es_to_bytehouse.py:151) [env: TARGET_DATABASE]",
+    )
     return p
+
+
+def _expand_patterns(patterns: str, available: list[str]) -> tuple[list[str], int]:
+    """Expand comma-separated glob patterns against a LIVE catalog and
+    reject typo'd plain names up front — the same contract as the
+    parquet-catalog path (fnmatch glob semantics,
+    clickhouse_to_bytehouse.py:83-98). Prints one JSON error line per
+    failure; returns (tables deduped in order, failure count)."""
+    import fnmatch
+
+    tables: list[str] = []
+    failures = 0
+    for pat in (patterns or "").split(","):
+        pat = pat.strip()
+        if not pat:
+            continue
+        if any(ch in pat for ch in "*?["):
+            hits = [t for t in available if fnmatch.fnmatch(t, pat)]
+            if not hits:
+                print(json.dumps({"pattern": pat, "error": "no match"}))
+                failures += 1
+            tables.extend(hits)
+        elif pat not in available:
+            print(json.dumps({"table": pat, "error": "table not found"}))
+            failures += 1
+        else:
+            tables.append(pat)
+    return list(dict.fromkeys(tables)), failures
 
 
 def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
@@ -152,21 +211,43 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
     parser = build_parser(env)
     args = parser.parse_args(argv)
     ch_http_mode = args.mode == "incremental" and args.ch_http_url
-    if not args.source_dir and not ch_http_mode:
+    es_http_mode = args.mode == "incremental" and args.es_http_url
+    if ch_http_mode and es_http_mode:
+        parser.error("--ch-http-url and --es-http-url are mutually exclusive")
+    if not args.source_dir and not (ch_http_mode or es_http_mode):
         parser.error("--source-dir is required (or set SOURCE_DIR)")
-    if ch_http_mode and not [
+    if (ch_http_mode or es_http_mode) and not [
         t for t in (args.tables or "").split(",") if t.strip()
     ]:
         # an empty pattern would loop zero tables and exit 0 — a silent
         # green no-op (ADVICE r7); fail loudly like the catalog path
         parser.error(
-            "--tables is required with --ch-http-url (or set INDEX_PATTERN)"
+            "--tables is required with --ch-http-url/--es-http-url "
+            "(or set INDEX_PATTERN)"
         )
     spark = get_spark("es_to_clickhouse_spark.cli")
     spark.sparkContext.setLogLevel(env.log_level)
-    target = WarehouseTarget(spark, args.warehouse)
+    if args.ch_sink_url:
+        # synced rows land on a LIVE ClickHouse over HTTP (the
+        # reference's actual data flow: everything writes to the
+        # CH/ByteHouse target, clickhouse_to_bytehouse.py:311-316);
+        # --warehouse remains the home of sync state
+        from es_to_clickhouse_spark.sources.ch_http import (
+            ClickHouseHttpSource,
+            ClickHouseHttpTarget,
+        )
+
+        target = ClickHouseHttpTarget(
+            ClickHouseHttpSource(
+                host=args.ch_sink_url, database=args.ch_sink_database
+            )
+        )
+    else:
+        target = WarehouseTarget(spark, args.warehouse)
     if args.batch_size:
         target.max_records_per_file = args.batch_size
+        if args.ch_sink_url:
+            target.source.batch_size = args.batch_size
     if ch_http_mode:
         # live ClickHouse source over the HTTP interface — the
         # reference clickhouse daemon's incremental mode
@@ -181,30 +262,8 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
             host=args.ch_http_url, database=args.ch_database
         )
         state = StateStore(spark, args.warehouse)
-        # expand globs against the live catalog and reject typo'd plain
-        # names up front — same contract as the parquet-catalog path
-        # (fnmatch glob semantics, clickhouse_to_bytehouse.py:83-98)
-        import fnmatch
-
-        available = src.list_tables()
-        tables: list[str] = []
-        failures = 0
-        for pat in (args.tables or "").split(","):
-            pat = pat.strip()
-            if not pat:
-                continue
-            if any(ch in pat for ch in "*?["):
-                hits = [t for t in available if fnmatch.fnmatch(t, pat)]
-                if not hits:
-                    print(json.dumps({"pattern": pat, "error": "no match"}))
-                    failures += 1
-                tables.extend(hits)
-            elif pat not in available:
-                print(json.dumps({"table": pat, "error": "table not found"}))
-                failures += 1
-            else:
-                tables.append(pat)
-        for table in dict.fromkeys(tables):  # de-dup, keep order
+        tables, failures = _expand_patterns(args.tables, src.list_tables())
+        for table in tables:
             try:
                 n, cond, wm = sync_incremental_http(
                     spark, src, target, state, table,
@@ -218,6 +277,47 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
                 json.dumps(
                     {"table": table, "mode": "incremental_ch_http",
                      "rows": n, "condition": cond, "watermark": wm}
+                )
+            )
+        return 1 if failures else 0
+    if es_http_mode:
+        # live Elasticsearch source over the jar-free sliced-scroll
+        # path — the reference ES daemon's incremental loop
+        # (es/es_to_bytehouse.py:963-1006) with full-bootstrap for
+        # unseen indices; composes with --ch-sink-url into the
+        # reference's exact ES→ClickHouse pipeline, end-to-end jar-free
+        from es_to_clickhouse_spark.functions import is_system_name
+        from es_to_clickhouse_spark.sources.es import (
+            ScrollSession,
+            list_indices,
+            sync_incremental_es_http,
+        )
+
+        sess = ScrollSession(host=args.es_http_url)
+        state = StateStore(spark, args.warehouse)
+        try:
+            available = [
+                n for n in list_indices(sess) if not is_system_name(n, "es")
+            ]
+        except OSError as e:
+            print(json.dumps({"error": f"catalog: {e}"}))
+            return 1
+        tables, failures = _expand_patterns(args.tables, available)
+        for index in tables:
+            try:
+                mode, n, wm = sync_incremental_es_http(
+                    spark, sess, target, state, index,
+                    start_date=args.start_date, slices=args.slices,
+                    store_source=args.store_source,
+                )
+            except OSError as e:  # urllib errors are OSError subclasses
+                print(json.dumps({"table": index, "error": str(e)}))
+                failures += 1
+                continue
+            print(
+                json.dumps(
+                    {"table": index, "mode": f"{mode}_es_http",
+                     "rows": n, "watermark": wm}
                 )
             )
         return 1 if failures else 0

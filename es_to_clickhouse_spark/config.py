@@ -71,6 +71,16 @@ class EnvConfig:
     ch_http_url: str | None = None
     ch_database: str = "default"
     time_column: str = "created_at"
+    # live ClickHouse HTTP-interface SINK — the reference's target side
+    # (TARGET_BH_HOST/TARGET_BH_DATABASE, clickhouse_to_bytehouse.py:71-75;
+    # TARGET_DATABASE, es/es_to_bytehouse.py:151) as one URL + database
+    ch_sink_url: str | None = None
+    ch_sink_database: str = "default"
+    # live Elasticsearch HTTP source (sources/es.py sliced scroll) —
+    # the reference's ES_HOST/ES_PORT (es/es_to_bytehouse.py:145-147)
+    # collapsed to one URL; slices = executor fan-out per index
+    es_http_url: str | None = None
+    slices: int = 8
 
     @classmethod
     def from_env(cls, environ: dict | None = None) -> "EnvConfig":
@@ -93,4 +103,10 @@ class EnvConfig:
             ch_http_url=env_first(e, ["CH_HTTP_URL"]),
             ch_database=env_first(e, ["SOURCE_CH_DATABASE"], "default"),
             time_column=env_first(e, ["TIME_COLUMN"], "created_at"),
+            ch_sink_url=env_first(e, ["CH_SINK_URL", "TARGET_CH_HTTP_URL"]),
+            ch_sink_database=env_first(
+                e, ["TARGET_DATABASE", "TARGET_BH_DATABASE"], "default"
+            ),
+            es_http_url=env_first(e, ["ES_HTTP_URL"]),
+            slices=int(env_first(e, ["ES_SLICES"], 8)),
         )

@@ -431,7 +431,19 @@ class ClickHouseHttpSource:
         epoch), so a Spark task retry re-posting the same partition
         replays the same tokens and the server drops the duplicate
         blocks. Distinct epochs (e.g. one per sync round) keep separate
-        rounds from colliding."""
+        rounds from colliding.
+
+        Execution shape: rows serialize to NDJSON JVM-SIDE
+        (``to_json(struct(...))`` inside whole-stage codegen — explicit
+        nulls, millisecond timestamps matching the DateTime64(3) DDL);
+        Python executors receive opaque line strings in Arrow batches
+        (``mapInPandas``) and only POST them. The job materializes
+        through the ``noop`` DataFrame writer, a real DataFrame command
+        — so ``Observation`` metrics riding the input df (SyncEngine's
+        one-pass count/watermark pattern) are reported, which an RDD
+        action would silently never do."""
+        from pyspark.sql import functions as F
+
         cols = columns or df.columns
         sql = self.insert_sql(table, cols)
         src = self
@@ -440,8 +452,23 @@ class ClickHouseHttpSource:
         if evolve_schema:
             self.ensure_columns(table, df)
 
-        def _post(pid: int, it):
+        lines = df.select(
+            F.to_json(
+                F.struct(*[F.col(c) for c in cols]),
+                {
+                    "ignoreNullFields": "false",
+                    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSS",
+                },
+            ).alias("_line")
+        )
+
+        def _post_batches(it):
+            import pandas as pd
+            from pyspark import TaskContext
+
             from es_to_clickhouse_spark.sink import is_missing_column_error
+
+            pid = TaskContext.get().partitionId()
 
             def _send(body: bytes, seq: int):
                 settings = None
@@ -470,23 +497,24 @@ class ClickHouseHttpSource:
 
             buf: list[str] = []
             seq = 0
-            for row in it:
-                d = row.asDict(recursive=True)
-                buf.append(
-                    json.dumps({c: d.get(c) for c in cols}, default=str)
-                )
-                if len(buf) >= bsz:
-                    _send(("\n".join(buf) + "\n").encode("utf-8"), seq)
-                    seq += 1
-                    buf = []
+            posted = 0
+            for pdf in it:
+                for line in pdf["_line"]:
+                    buf.append(line)
+                    posted += 1
+                    if len(buf) >= bsz:
+                        _send(("\n".join(buf) + "\n").encode("utf-8"), seq)
+                        seq += 1
+                        buf = []
             if buf:
                 _send(("\n".join(buf) + "\n").encode("utf-8"), seq)
-            return iter(())
+            yield pd.DataFrame({"posted": [posted]})
 
         (
-            df.select(*cols)
-            .rdd.mapPartitionsWithIndex(_post, preservesPartitioning=True)
-            .count()
+            lines.mapInPandas(_post_batches, "posted long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
         )
 
     def ping(self) -> bool:
@@ -497,6 +525,100 @@ class ClickHouseHttpSource:
                 return r.read().decode("utf-8").strip() == "Ok."
         except OSError:
             return False
+
+
+@dataclass
+class ClickHouseHttpTarget:
+    """Live ClickHouse SINK over the HTTP interface — the write
+    direction of what ``--ch-http-url`` already does for reads, and the
+    reference's primary data flow: everything lands in a ClickHouse/
+    ByteHouse target (clickhouse/clickhouse_to_bytehouse.py:311-316,
+    es/es_to_bytehouse.py:577-673). Presents the ``WarehouseTarget``
+    append surface (``append`` / ``table_exists`` / ``compact`` /
+    ``max_records_per_file``) so ``SyncEngine`` and ``StreamingSync``
+    can point at a real server unchanged — jar-free, loopback-testable.
+
+    DDL: the first touch of a table issues ``CREATE DATABASE IF NOT
+    EXISTS`` + typed ``CREATE TABLE IF NOT EXISTS`` (ddl.py S16/S17,
+    the passthrough shape of clickhouse_to_bytehouse.py:240-262); later
+    schema drift rides ``write_table(evolve_schema=True)``'s proactive
+    DESCRIBE-diff ALTER + reactive executor-side repair (S18).
+
+    Delivery: every append carries a deterministic
+    ``insert_deduplication_token`` epoch —
+
+    - engine path (no explicit epoch): ``{applicationId}:{table}:{seq}``
+      with a per-table in-process round counter. A Spark TASK retry
+      inside a round replays identical tokens and the server drops the
+      duplicate blocks (effectively-once per round); a process restart
+      mints fresh epochs, so cross-restart delivery stays at-least-once
+      — the same contract as the reference daemon, which has no token
+      at all (:313-316).
+    - streaming path: ``StreamingSync`` passes
+      ``epoch=f"{table}:{batch_id}"`` where ``batch_id`` comes from the
+      Structured Streaming CHECKPOINT — durable across restarts, so the
+      foreachBatch replay after a crash also dedups: effectively-once
+      end-to-end (streaming/sync.py T4).
+    """
+
+    source: ClickHouseHttpSource
+    engine: str = "MergeTree"
+    #: interface parity with WarehouseTarget (the CLI sets it from
+    #: --batch-size); the INSERT-chunk analog is source.batch_size
+    max_records_per_file: int = 0
+    _ensured: set = field(default_factory=set)
+    _seq: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.max_records_per_file:
+            self.source.batch_size = self.max_records_per_file
+
+    def table_exists(self, table: str) -> bool:
+        """EXISTS TABLE over the HTTP interface (cheap server-side
+        probe; 1/0 TabSeparated)."""
+        val = self.source.fetch_scalar(
+            f"EXISTS TABLE `{self.source.database}`.`{table}`"
+        )
+        return val == "1"
+
+    def ensure_table(self, table: str, df: DataFrame) -> None:
+        """Idempotent first-touch DDL: database + typed table from the
+        batch schema. IF NOT EXISTS makes replay safe; done once per
+        (process, table) — the reference re-issues it per run
+        (es/es_to_bytehouse.py:401-410)."""
+        if table in self._ensured:
+            return
+        from es_to_clickhouse_spark.ddl import (
+            create_database_sql,
+            create_typed_table_sql,
+        )
+
+        self.source.execute(create_database_sql(self.source.database))
+        self.source.execute(
+            create_typed_table_sql(
+                self.source.database, table, df.schema, engine=self.engine
+            )
+        )
+        self._ensured.add(table)
+
+    def append(self, table: str, df: DataFrame, epoch: str | None = None) -> None:
+        """One batch → the live table: ensure DDL, then
+        ``write_table(evolve_schema=True, dedup_epoch=...)`` — schema
+        evolution and token-deduped delivery on every path."""
+        self.ensure_table(table, df)
+        if epoch is None:
+            seq = self._seq.get(table, 0)
+            self._seq[table] = seq + 1
+            run_id = df.sparkSession.sparkContext.applicationId
+            epoch = f"{run_id}:{table}:{seq}"
+        self.source.write_table(df, table, evolve_schema=True, dedup_epoch=epoch)
+
+    def compact(self, table: str) -> tuple[int, int]:
+        """Part compaction is the SERVER's job on a MergeTree target
+        (background merges replace the warehouse sink's parquet-part
+        rewrite) — report a no-op so sync_continuous(compact_every=N)
+        stays valid against either target."""
+        return (0, 0)
 
 
 def sync_incremental_http(

@@ -80,6 +80,40 @@ def mapping_to_spark_fields(properties: dict) -> dict[str, T.DataType]:
     }
 
 
+def mapping_to_struct(
+    properties: dict, date_as_string: bool = False
+) -> T.StructType:
+    """Mapping → nested Spark schema with ORIGINAL field names (the
+    shape ``_source`` documents actually arrive in on the wire, before
+    the flatten sanitizes names) plus the ``_id`` scroll_docs merges in.
+    Feeding this to :func:`read_index_http` gives a typed JVM-side parse
+    AND a stable schema on an empty result (schemaless inference cannot
+    infer from zero rows).
+
+    ``date_as_string`` keeps ES ``date`` fields as strings — the
+    reference's watermark arithmetic is string comparison over the wire
+    format (es/es_to_bytehouse.py:909-919), and parsing them would tie
+    correctness to the cluster's date-format setting."""
+    def _walk(props: dict) -> T.StructType:
+        fields = []
+        for name, cfg in props.items():
+            if "properties" in cfg:
+                fields.append(
+                    T.StructField(name, _walk(cfg["properties"]), True)
+                )
+            elif "type" in cfg:
+                dt = ES_TYPE_TO_SPARK.get(cfg["type"], T.StringType())
+                if date_as_string and cfg["type"] == "date":
+                    dt = T.StringType()
+                fields.append(T.StructField(name, dt, True))
+        return T.StructType(fields)
+
+    inner = _walk(properties)
+    return T.StructType(
+        [T.StructField("_id", T.StringType(), True)] + inner.fields
+    )
+
+
 def scroll_docs(scroll_response: dict, store_source: bool = False) -> list[dict]:
     """Rows from a recorded ``_search?scroll`` response page: one dict per
     hit with ``_id`` merged in (and the raw document as a ``_source`` JSON
@@ -473,6 +507,162 @@ def read_index_http(
         # reads should pass the mapping-derived schema instead).
         lines = lines.cache()
     return reader.json(lines)
+
+
+def get_json(session: ScrollSession, path: str):
+    """One idempotent GET against the live cluster (catalog + mapping
+    fetches: the reference's requests.get calls,
+    es/es_to_bytehouse.py:239-273) with the session's transient-retry
+    contract — GETs have no server-side cursor, so retry is always
+    safe."""
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    from es_to_clickhouse_spark.sources.ch_http import TRANSIENT_HTTP
+
+    attempt = 0
+    while True:
+        try:
+            req = urllib.request.Request(
+                f"{session.host}{path}", method="GET"
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code not in TRANSIENT_HTTP or attempt >= session.max_retries:
+                raise
+        except (OSError, ValueError):
+            if attempt >= session.max_retries:
+                raise
+        _time.sleep(session.backoff_s * (2 ** attempt))
+        attempt += 1
+
+
+def list_indices(session: ScrollSession) -> list[str]:
+    """Live index catalog: ``GET /_cat/indices?format=json`` → names
+    (the reference's index listing, es/es_to_bytehouse.py:239-258; the
+    system-index filter is applied by the caller like every other
+    catalog, functions.is_system_name)."""
+    return sorted(r["index"] for r in get_json(session, "/_cat/indices?format=json"))
+
+
+def fetch_mapping(session: ScrollSession, index: str) -> dict:
+    """Live ``GET /{index}/_mapping`` (S5 over the wire — the recorded-
+    response form feeds mapping_properties/mapping_to_spark_fields)."""
+    return get_json(session, f"/{index}/_mapping")
+
+
+def sync_incremental_es_http(
+    spark: SparkSession,
+    session: ScrollSession,
+    target,
+    state,
+    index: str,
+    start_date: str | None = None,
+    slices: int = 8,
+    store_source: bool = False,
+):
+    """One live-ES sync round over the jar-free sliced-scroll path — the
+    reference daemon's loop body (es/es_to_bytehouse.py:963-1006) on the
+    engine's warehouse/state machinery, the ES twin of
+    :func:`sources.ch_http.sync_incremental_http`:
+
+    1. mode: state exists → incremental with the P5 predicate
+       (:func:`range_query` on the watermark, OR-of-ranges when an
+       update field rides along, ``@timestamp`` rebound to the original
+       name via the live mapping — P13); no state + ``start_date`` →
+       incremental bootstrap from that date (the Mongo daemon's
+       ``--start-date``); neither → FULL match_all scan seeding state
+       (auto semantics — the reference ES daemon instead refuses,
+       es/es_to_bytehouse.py:968-971; the full-bootstrap divergence
+       matches our CLI's auto mode);
+    2. the index reads DISTRIBUTED (:func:`read_index_http`: N sliced
+       scroll contexts drained ON THE EXECUTORS, NDJSON parsed
+       JVM-side), then ``localCheckpoint``s — ONE wire drain feeds the
+       count, the append, and the watermark;
+    3. rows flatten/sanitize (``flatten_es``: ``@timestamp`` →
+       ``timestamp`` value-side, P13) and append to the target;
+    4. the watermark advances to ``max(time_field)`` over the appended
+       snapshot as ONE distributed agg — the per-slice running maxes of
+       the serial fold (drain_http_incremental) collapse into the same
+       associative max, computed where the rows already live.
+
+    Returns ``(mode, rows, new_watermark)``."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.flatten import flatten_es
+    from es_to_clickhouse_spark.incremental import (
+        detect_time_field,
+        detect_update_time_field,
+    )
+    from es_to_clickhouse_spark.state import SyncState
+
+    st = state.get(index)
+    mapping = fetch_mapping(session, index)
+    props = mapping_properties(mapping)
+    sanitized_fields = list(mapping_to_spark_fields(props))
+    time_field = st.time_field if st else detect_time_field(sanitized_fields)
+    since = st.last_sync_time if st else start_date
+    mode = "incremental" if since and time_field else "full"
+    if mode == "incremental":
+        original = original_time_field(time_field, mapping)
+        update_field = st.update_time_field if st else None
+        since_update = st.last_update_time if st else None
+        query = json.loads(
+            range_query(original, since, update_field, since_update)
+        )["query"]
+    else:
+        query = None
+    # mapping-derived schema, ORIGINAL names, dates-as-strings: typed
+    # one-pass parse, stable on an idle (zero-row) round, watermark
+    # strings compared like the reference's in-flight max
+    schema = mapping_to_struct(props, date_as_string=True)
+    if store_source:
+        schema = T.StructType(
+            [T.StructField("_source", T.StringType(), True)] + schema.fields
+        )
+    df = read_index_http(
+        spark,
+        session,
+        index,
+        query=query,
+        slices=slices,
+        schema=schema,
+        store_source=store_source,
+    ).localCheckpoint()  # one wire drain; count/append/watermark share it
+    out = flatten_es(df, stringify=False)
+    n = out.count()
+    if n == 0:
+        return mode, 0, since
+    cols = out.columns
+    time_field = time_field if time_field in cols else detect_time_field(cols)
+    update_field = detect_update_time_field(cols)
+    target.append(index, out)
+    aggs = [F.max(F.col(time_field)).cast("string").alias("max_t")] if time_field else []
+    if update_field:
+        aggs.append(F.max(F.col(update_field)).cast("string").alias("max_u"))
+    row = out.agg(*aggs).collect()[0] if aggs else None
+    max_t = row["max_t"] if row is not None and time_field else None
+    max_u = row["max_u"] if row is not None and update_field else None
+    # monotone merge (engine._mono_time contract): a late-update batch's
+    # maxima can sit below the stored marks
+    last = st.last_sync_time if st else since
+    new_wm = max_t if max_t and (not last or max_t > last) else last
+    last_u = st.last_update_time if st else None
+    new_u = max_u if max_u and (not last_u or max_u > last_u) else last_u
+    state.commit(
+        SyncState(
+            table_name=index,
+            source_name=f"es_http:{index}",
+            time_field=time_field,
+            update_time_field=update_field,
+            last_sync_time=new_wm,
+            last_update_time=new_u,
+            last_sync_count=n,
+        )
+    )
+    return mode, n, new_wm
 
 
 def original_time_field(

@@ -57,10 +57,12 @@ def matches(query: dict, doc: dict) -> bool:
     raise ValueError(f"es_fixture: unsupported query {query}")
 
 
-def make_handler(docs, log=None, cleanups=None):
+def make_handler(docs, log=None, cleanups=None, index="events", mapping=None):
     """Build the request handler class over an in-memory doc list.
     ``log``/``cleanups`` (optional lists) record the wire transcript for
-    golden assertions."""
+    golden assertions. ``index``/``mapping`` back the catalog/mapping
+    GETs (``/_cat/indices``, ``/{index}/_mapping``) the live sync mode
+    issues; ``mapping`` is the ``properties`` dict (field → {type})."""
     cursors: dict[str, list[dict]] = {}
     page_size: dict[str, int] = {}
     counter = itertools.count()
@@ -87,6 +89,24 @@ def make_handler(docs, log=None, cleanups=None):
                 size = page_size.get(sid, 10)
                 page, cursors[sid] = pending[:size], pending[size:]
             return {"_scroll_id": sid, "hits": {"hits": page}}
+
+        def do_GET(self):
+            path = urllib.parse.urlsplit(self.path).path
+            if log is not None:
+                log.append({"path": path, "method": "GET"})
+            if path.startswith("/_cat/indices"):
+                # GET /_cat/indices?format=json (es_to_bytehouse.py:239-258)
+                return self._reply([{"index": index}])
+            if path == f"/{index}/_mapping":
+                props = mapping or {}
+                return self._reply(
+                    {index: {"mappings": {"properties": props}}}
+                )
+            data = b'{"error": "not found"}'
+            self.send_response(404)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
 
         def do_POST(self):
             path = urllib.parse.urlsplit(self.path).path
@@ -130,11 +150,11 @@ def make_handler(docs, log=None, cleanups=None):
     return Handler
 
 
-def serve_index(docs, log=None, cleanups=None):
+def serve_index(docs, log=None, cleanups=None, index="events", mapping=None):
     """Start a loopback fixture serving ``docs``. Returns
     ``(server, host_url)`` — caller shuts the server down."""
     srv = ThreadingHTTPServer(
-        ("127.0.0.1", 0), make_handler(docs, log, cleanups)
+        ("127.0.0.1", 0), make_handler(docs, log, cleanups, index, mapping)
     )
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, f"http://127.0.0.1:{srv.server_address[1]}"

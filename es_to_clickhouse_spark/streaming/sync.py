@@ -41,6 +41,13 @@ class StreamingSync:
     target: WarehouseTarget
     state: StateStore
     id_field: str | None = None
+    #: optional LIVE ClickHouse sink (sources/ch_http.ClickHouseHttpTarget):
+    #: when set, each micro-batch ALSO lands on the real server with
+    #: ``epoch=f"{table}:{batch_id}"`` — batch_id is durable in the
+    #: streaming checkpoint, so a post-crash foreachBatch replay posts
+    #: the SAME dedup tokens and the server drops the duplicate blocks:
+    #: effectively-once end-to-end (T4 upgrade, see module docstring)
+    ch_target: object | None = None
 
     def _handle_batch(self, table: str, source_name: str, batch: DataFrame, batch_id: int) -> None:
         """One micro-batch: flatten → append → state commit (the streaming
@@ -53,6 +60,9 @@ class StreamingSync:
         if wm.rows == 0:
             return
         self.target.append(table, out)
+        if self.ch_target is not None:
+            # checkpoint-durable epoch: replayed batch → replayed tokens
+            self.ch_target.append(table, out, epoch=f"{table}:{batch_id}")
         self.state.commit(
             SyncState(
                 table_name=table,

@@ -46,11 +46,13 @@ class _FakeCH:
 
     @staticmethod
     def make(log, inserted, rows_ref=None, strict_columns=False,
-             seen_tokens=None):
+             seen_tokens=None, start_empty=False):
         rows_ref = TABLE_ROWS if rows_ref is None else rows_ref
         # mutable live schema: ALTER ADD COLUMN grows it (strict mode
-        # rejects INSERT rows carrying unknown columns like a real CH)
-        known = [dict(r) for r in TABLE_SCHEMA]
+        # rejects INSERT rows carrying unknown columns like a real CH);
+        # start_empty = sink mode: no table until CREATE TABLE arrives
+        known = [] if start_empty else [dict(r) for r in TABLE_SCHEMA]
+        created = {"flag": not start_empty}
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):
@@ -76,6 +78,28 @@ class _FakeCH:
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n).decode("utf-8") if n else ""
                 log.append({"sql": sql, "body": body, "params": params})
+                if sql.startswith("CREATE DATABASE"):
+                    return self._reply("")
+                if sql.startswith("CREATE TABLE"):
+                    # IF NOT EXISTS: only the first CREATE defines the
+                    # schema (ddl.create_typed_table_sql's one-col-per-
+                    # line shape)
+                    if not created["flag"]:
+                        body_part = sql.split("(\n", 1)[1].split("\n)", 1)[0]
+                        for line in body_part.splitlines():
+                            m = re.search(r"`(\w+)` (.+?),?$", line.strip())
+                            if m:
+                                known.append(
+                                    {"name": m.group(1), "type": m.group(2)}
+                                )
+                        created["flag"] = True
+                    return self._reply("")
+                if sql.startswith("EXISTS TABLE"):
+                    return self._reply("1\n" if created["flag"] else "0\n")
+                if not created["flag"]:
+                    return self._reply(
+                        "Code: 60. DB::Exception: Unknown table", code=500
+                    )
                 if sql.startswith("ALTER TABLE"):
                     m = re.search(
                         r"ADD COLUMN IF NOT EXISTS `(\w+)` (.+)$", sql
@@ -722,6 +746,217 @@ def test_execute_retries_connection_refused():
     with pytest.raises(urllib.error.URLError):
         src.execute("SELECT 1", timeout=1)
     assert time.monotonic() - t0 < 30
+
+
+def _sink_server():
+    """Strict fake in SINK mode: no table exists until CREATE TABLE
+    arrives, unknown INSERT columns are rejected (code 500), dedup
+    tokens are honored."""
+    log, inserted, tokens = [], [], set()
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        _FakeCH.make(log, inserted, strict_columns=True, seen_tokens=tokens,
+                     start_empty=True),
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", log, inserted
+
+
+def _sink_target(host, **kw):
+    from es_to_clickhouse_spark.sources.ch_http import ClickHouseHttpTarget
+
+    return ClickHouseHttpTarget(
+        ClickHouseHttpSource(host=host, database="tgt_db", **kw)
+    )
+
+
+def test_ch_target_engine_sync_rounds_e2e(spark, tmp_path):
+    """VERDICT r8 item 6: SyncEngine pointed at a LIVE ClickHouse target
+    over HTTP (reference flow: clickhouse_to_bytehouse.py:311-316).
+    Round 1 creates the database+table and lands rows with dedup
+    tokens; the source then grows a column; round 2's transcript shows
+    ALTER-then-INSERT and only the new rows move."""
+    from es_to_clickhouse_spark.catalog import ParquetCatalog
+    from es_to_clickhouse_spark.engine import SyncEngine
+    from es_to_clickhouse_spark.state import StateStore
+
+    srv, host, log, inserted = _sink_server()
+    try:
+        src_dir, wh = str(tmp_path / "src"), str(tmp_path / "wh")
+        spark.createDataFrame(
+            [(1, "a", "2024-05-01 10:00:00"), (2, "b", "2024-05-02 10:00:00")],
+            "id long, name string, created_at string",
+        ).selectExpr(
+            "id", "name", "cast(created_at as timestamp) created_at"
+        ).coalesce(1).write.parquet(f"{src_dir}/ev.parquet")
+        engine = SyncEngine(
+            spark=spark,
+            catalog=ParquetCatalog(spark, src_dir),
+            target=_sink_target(host),
+            state=StateStore(spark, wh),
+            dialect="ch",
+        )
+        reports = engine.sync_auto("ev")
+        assert [(r.mode, r.rows) for r in reports] == [("full", 2), ("incremental", 0)]
+        kinds = [
+            r["sql"].split(" ")[0] for r in log
+            if r["sql"].startswith(("CREATE", "ALTER", "INSERT"))
+        ]
+        assert kinds[:2] == ["CREATE", "CREATE"]  # database then table
+        assert "INSERT" in kinds and "ALTER" not in kinds
+        assert sorted(r["id"] for r in inserted) == [1, 2]
+        round1_tokens = {
+            r["params"]["insert_deduplication_token"]
+            for r in log if r["sql"].startswith("INSERT")
+        }
+        assert round1_tokens  # every post carried a token
+
+        # round 2: the source grows a `region` column + one newer row
+        spark.createDataFrame(
+            [(3, "c", "2024-05-03 10:00:00", "eu")],
+            "id long, name string, created_at string, region string",
+        ).selectExpr(
+            "id", "name", "cast(created_at as timestamp) created_at", "region"
+        ).coalesce(1).write.mode("append").parquet(f"{src_dir}/ev.parquet")
+        del log[:]
+        reports = engine.sync_incremental_once("ev")
+        assert [(r.mode, r.rows) for r in reports] == [("incremental", 1)]
+        stmts = [
+            r["sql"] for r in log if r["sql"].startswith(("ALTER", "INSERT"))
+        ]
+        # proactive DESCRIBE-diff fired the ALTER before the INSERT
+        assert stmts[0].startswith("ALTER TABLE `tgt_db`.`ev` ADD COLUMN")
+        assert "`region`" in stmts[0]
+        assert stmts[1].startswith("INSERT INTO")
+        assert sorted(r["id"] for r in inserted) == [1, 2, 3]
+        assert [r["region"] for r in inserted if r["id"] == 3] == ["eu"]
+        round2_tokens = {
+            r["params"]["insert_deduplication_token"]
+            for r in log if r["sql"].startswith("INSERT")
+        }
+        # distinct epochs: separate rounds never collide
+        assert not round1_tokens & round2_tokens
+    finally:
+        srv.shutdown()
+
+
+def test_ch_target_epoch_replay_no_duplicates(spark):
+    """A replay of the SAME epoch (task-retry / foreachBatch replay
+    after a crash) posts identical tokens and the server drops the
+    duplicate blocks; a fresh epoch lands rows again."""
+    srv, host, log, inserted = _sink_server()
+    try:
+        target = _sink_target(host)
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(4)], "id long, name string"
+        ).coalesce(1)
+        target.append("ev", df, epoch="ev:7")
+        assert len(inserted) == 4
+        target.append("ev", df, epoch="ev:7")  # the replay
+        assert len(inserted) == 4  # tokens repeated -> dropped
+        target.append("ev", df, epoch="ev:8")  # next batch epoch
+        assert len(inserted) == 8
+        # auto-epoch path: two appends mint distinct run-scoped epochs
+        target.append("ev", df)
+        target.append("ev", df)
+        assert len(inserted) == 16
+        toks = [
+            r["params"]["insert_deduplication_token"]
+            for r in log if r["sql"].startswith("INSERT")
+        ]
+        # the two ev:7 posts carried IDENTICAL tokens (that's the dedup)
+        assert len([t for t in toks if t.endswith(":ev:7")]) == 2
+        assert len({t for t in toks if t.endswith(":ev:7")}) == 1
+        app_id = spark.sparkContext.applicationId
+        auto = {t for t in toks if app_id in t}
+        assert len(auto) == 2  # auto-minted epochs are run-scoped + distinct
+    finally:
+        srv.shutdown()
+
+
+def test_streaming_sync_ch_target_checkpoint_replay(spark, tmp_path):
+    """StreamingSync with a live CH sink: the micro-batch lands with
+    epoch f\"{table}:{batch_id}\"; re-running the stream from a FRESH
+    checkpoint replays batch 0 with the same epoch — the server drops
+    every block, proving the post-crash foreachBatch replay is
+    duplicate-free (T4 effectively-once)."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.state import StateStore
+    from es_to_clickhouse_spark.streaming.sync import StreamingSync
+
+    srv, host, log, inserted = _sink_server()
+    try:
+        src_dir = str(tmp_path / "stream_src")
+        df = spark.createDataFrame(
+            [(1, "a", "2024-05-01 10:00:00")],
+            "id long, name string, created_at string",
+        ).selectExpr("id", "name", "cast(created_at as timestamp) created_at")
+        df.coalesce(1).write.parquet(src_dir)
+        sync = StreamingSync(
+            spark=spark,
+            target=WarehouseTarget(spark, str(tmp_path / "wh")),
+            state=StateStore(spark, str(tmp_path / "wh")),
+            ch_target=_sink_target(host),
+        )
+        q = sync.file_stream(
+            src_dir, "ev", df.schema, str(tmp_path / "ckpt1"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(60)
+        assert [r["id"] for r in inserted] == [1]
+        toks1 = [
+            r["params"]["insert_deduplication_token"]
+            for r in log if r["sql"].startswith("INSERT")
+        ]
+        assert all(t.startswith("ev:0:") and t.endswith(":ev:0") for t in toks1)
+        # crash-replay: fresh checkpoint re-reads the file as batch 0
+        q2 = sync.file_stream(
+            src_dir, "ev", df.schema, str(tmp_path / "ckpt2"),
+            trigger={"availableNow": True},
+        )
+        q2.awaitTermination(60)
+        assert [r["id"] for r in inserted] == [1]  # replay fully deduped
+    finally:
+        srv.shutdown()
+
+
+def test_cli_ch_sink_mode(spark, tmp_path, capsys):
+    """`--ch-sink-url` end-to-end through the CLI: synced rows land on
+    the live fake (CREATE DDL + token-carrying INSERT), sync state
+    lives in --warehouse, exit code 0."""
+    from es_to_clickhouse_spark.__main__ import main
+
+    srv, host, log, inserted = _sink_server()
+    try:
+        src_dir, wh = str(tmp_path / "src"), str(tmp_path / "wh")
+        spark.createDataFrame(
+            [(i, f"n{i}", "2024-05-01 10:00:00") for i in range(5)],
+            "id long, name string, created_at string",
+        ).selectExpr(
+            "id", "name", "cast(created_at as timestamp) created_at"
+        ).coalesce(1).write.parquet(f"{src_dir}/ev.parquet")
+        rc = main(
+            [
+                "--mode", "auto", "--source-dir", src_dir, "--warehouse", wh,
+                "--tables", "ev", "--dialect", "ch",
+                "--ch-sink-url", host, "--ch-sink-database", "tgt_db",
+            ],
+            environ={},
+        )
+        assert rc == 0
+        assert sorted(r["id"] for r in inserted) == list(range(5))
+        assert any(r["sql"].startswith("CREATE TABLE") for r in log)
+        assert all(
+            "insert_deduplication_token" in r["params"]
+            for r in log if r["sql"].startswith("INSERT")
+        )
+        out = [
+            json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        assert any(o["table"] == "ev" and o["rows"] == 5 for o in out)
+    finally:
+        srv.shutdown()
 
 
 def test_write_table_rides_through_transient_503(spark):

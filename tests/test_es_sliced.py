@@ -239,3 +239,207 @@ def test_send_non_idempotent_never_retries_transient():
         assert len(seen) == 1
     finally:
         srv.shutdown()
+
+
+# ------------------------------------------- live incremental sync mode
+
+
+EV_MAPPING = {
+    "id": {"type": "long"},
+    "name": {"type": "keyword"},
+    "created_at": {"type": "date"},
+}
+
+
+def _es_sync_parts(tmp_path, docs, mapping=EV_MAPPING, index="ev"):
+    from es_to_clickhouse_spark.sources.es_fixture import serve_index
+
+    log: list[dict] = []
+    srv, host = serve_index(docs, log, index=index, mapping=mapping)
+    return srv, host, log
+
+
+def test_sync_incremental_es_http_rounds(spark, tmp_path):
+    """VERDICT r8 item 8: the live-ES sync loop end-to-end over the
+    sliced-scroll wire path — full bootstrap for an unseen index, then
+    watermark-ranged incremental rounds, then an idle no-op; rows land
+    in the warehouse and state commits the distributed max
+    (es/es_to_bytehouse.py:963-1006)."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.es import (
+        ScrollSession,
+        sync_incremental_es_http,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    docs = [
+        {"_id": "1", "id": 1, "name": "a", "created_at": "2024-05-01 10:00:00"},
+        {"_id": "2", "id": 2, "name": "b", "created_at": "2024-05-02 10:00:00"},
+    ]
+    srv, host, log = _es_sync_parts(tmp_path, docs)
+    try:
+        sess = ScrollSession(host=host, size=500)
+        target = WarehouseTarget(spark, str(tmp_path / "wh"))
+        state = StateStore(spark, str(tmp_path / "wh"))
+        # round 1: unseen index -> full bootstrap
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("full", 2, "2024-05-02 10:00:00")
+        st = state.get("ev")
+        assert st.time_field == "created_at"
+        assert st.last_sync_time == "2024-05-02 10:00:00"
+        # round 2: one newer doc arrives -> incremental, ranged query
+        docs.append(
+            {"_id": "3", "id": 3, "name": "c",
+             "created_at": "2024-05-03 10:00:00"}
+        )
+        del log[:]
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("incremental", 1, "2024-05-03 10:00:00")
+        inits = [
+            r for r in log
+            if r.get("path") == "/ev/_search" and "query" in r.get("body", {})
+        ]
+        assert inits, "no initial search recorded"
+        q = inits[0]["body"]["query"]
+        assert q["bool"]["filter"][0]["range"]["created_at"]["gt"] == (
+            "2024-05-01 10:00:00"
+        ) or q["bool"]["filter"][0]["range"]["created_at"]["gt"] == (
+            "2024-05-02 10:00:00"
+        )
+        # round 3: idle -> zero rows, watermark unchanged
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("incremental", 0, "2024-05-03 10:00:00")
+        wh = spark.read.parquet(str(tmp_path / "wh" / "ev"))
+        assert sorted(r["id"] for r in wh.select("id").collect()) == [1, 2, 3]
+    finally:
+        srv.shutdown()
+
+
+def test_sync_es_http_timestamp_rebind(spark, tmp_path):
+    """P13 on the live path: the index stores ``@timestamp``; the range
+    query must use the ORIGINAL name while the engine's state and the
+    warehouse columns carry the sanitized ``timestamp``."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.es import (
+        ScrollSession,
+        sync_incremental_es_http,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    mapping = {"id": {"type": "long"}, "@timestamp": {"type": "date"}}
+    docs = [
+        {"_id": "1", "id": 1, "@timestamp": "2024-05-01 10:00:00"},
+        {"_id": "2", "id": 2, "@timestamp": "2024-05-02 10:00:00"},
+    ]
+    srv, host, log = _es_sync_parts(tmp_path, docs, mapping=mapping)
+    try:
+        sess = ScrollSession(host=host, size=500)
+        target = WarehouseTarget(spark, str(tmp_path / "wh"))
+        state = StateStore(spark, str(tmp_path / "wh"))
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n) == ("full", 2)
+        st = state.get("ev")
+        assert st.time_field == "timestamp"  # sanitized, engine-side
+        assert st.last_sync_time == "2024-05-02 10:00:00"
+        docs.append({"_id": "3", "id": 3, "@timestamp": "2024-05-03 10:00:00"})
+        del log[:]
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("incremental", 1, "2024-05-03 10:00:00")
+        inits = [
+            r for r in log
+            if r.get("path") == "/ev/_search" and "query" in r.get("body", {})
+        ]
+        q = inits[0]["body"]["query"]
+        # the DSL uses the ORIGINAL @timestamp name
+        assert "@timestamp" in q["bool"]["filter"][0]["range"]
+        wh = spark.read.parquet(str(tmp_path / "wh" / "ev"))
+        assert "timestamp" in wh.columns and "@timestamp" not in wh.columns
+    finally:
+        srv.shutdown()
+
+
+def test_cli_es_http_mode(spark, tmp_path, capsys):
+    """`--es-http-url` through the CLI: glob expansion against the live
+    catalog, full-then-incremental across two invocations, exit codes."""
+    from es_to_clickhouse_spark.__main__ import main
+
+    docs = [
+        {"_id": str(i), "id": i, "name": f"n{i}",
+         "created_at": f"2024-05-0{1 + i} 10:00:00"}
+        for i in range(3)
+    ]
+    srv, host, log = _es_sync_parts(tmp_path, docs)
+    try:
+        wh = str(tmp_path / "wh")
+        base = ["--mode", "incremental", "--warehouse", wh,
+                "--es-http-url", host]
+        rc = main(base + ["--tables", "e*"], environ={})
+        assert rc == 0
+        out = [
+            json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        assert out == [
+            {"table": "ev", "mode": "full_es_http", "rows": 3,
+             "watermark": "2024-05-03 10:00:00"}
+        ]
+        # second invocation: state carries over -> incremental, idle
+        rc = main(base + ["--tables", "ev"], environ={})
+        assert rc == 0
+        out = [
+            json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        assert out[0]["mode"] == "incremental_es_http"
+        assert out[0]["rows"] == 0
+        # a typo'd index fails loudly with a non-zero exit
+        rc = main(base + ["--tables", "nope"], environ={})
+        assert rc == 1
+    finally:
+        srv.shutdown()
+
+
+def test_cli_es_to_ch_pipeline(spark, tmp_path, capsys):
+    """The reference's EXACT pipeline shape, end-to-end jar-free:
+    --es-http-url (sliced-scroll source) composed with --ch-sink-url
+    (token-deduped live INSERT target) — ES docs land on the ClickHouse
+    fake with CREATE DDL and dedup tokens, state in --warehouse
+    (es/es_to_bytehouse.py: the whole daemon, on Spark)."""
+    from tests.test_ch_http import _sink_server
+
+    from es_to_clickhouse_spark.__main__ import main
+
+    docs = [
+        {"_id": str(i), "id": i, "name": f"n{i}",
+         "created_at": f"2024-05-0{1 + i} 10:00:00"}
+        for i in range(4)
+    ]
+    es_srv, es_host, _ = _es_sync_parts(tmp_path, docs)
+    ch_srv, ch_host, ch_log, inserted = _sink_server()
+    try:
+        rc = main(
+            ["--mode", "incremental", "--warehouse", str(tmp_path / "wh"),
+             "--es-http-url", es_host, "--tables", "ev",
+             "--ch-sink-url", ch_host, "--ch-sink-database", "tgt_db"],
+            environ={},
+        )
+        assert rc == 0
+        assert sorted(r["id"] for r in inserted) == [0, 1, 2, 3]
+        assert any(r["sql"].startswith("CREATE TABLE") for r in ch_log)
+        assert all(
+            "insert_deduplication_token" in r["params"]
+            for r in ch_log if r["sql"].startswith("INSERT")
+        )
+    finally:
+        es_srv.shutdown()
+        ch_srv.shutdown()

@@ -882,6 +882,49 @@ def test_mp3_frame_inventory_walk_and_vbr(spark):
         assert got[aid].frame_count is None, aid
 
 
+def test_mp3_pandas_walker_matches_column_fold(spark):
+    """The Arrow-batched scale path (mp3_frame_inventory_pandas) must
+    agree with the Column fold ROW FOR ROW across the whole fixture
+    battery — valid VBR chains, truncation, garbage, reserved indices,
+    over-the-cap files — so switching paths at the measured payload
+    threshold (MM_THROUGHPUT.md) never changes results."""
+
+    def frame(br_idx, sr_idx, pad):
+        kbps = multimodal.MP3_BITRATES_KBPS[br_idx - 1]
+        sr = multimodal.MP3_SAMPLE_RATES[sr_idx]
+        flen = 144000 * kbps // sr + pad
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0])
+        return hdr + b"\xaa" * (flen - 4)
+
+    good = frame(9, 0, 0) + frame(14, 0, 1) + frame(1, 0, 0)
+    rows_in = [
+        (1, good),
+        (2, frame(5, 1, 0)),
+        (3, good + b"\x00\x01"),
+        (4, good[:-10]),
+        (5, bytes([0xFF, 0xFB, 0xF0, 0]) + b"\xaa" * 100),
+        (6, b"".join(frame(1, 2, 0) for _ in range(70))),  # > cap at 64
+        (7, b"".join(frame(2, 0, i % 2) for i in range(64))),  # == cap
+        (8, None),                                 # NULL payload
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    fold = {
+        r.asset_id: r
+        for r in multimodal.mp3_frame_inventory(df, max_frames=64).collect()
+    }
+    arrow = {
+        r.asset_id: r
+        for r in multimodal.mp3_frame_inventory_pandas(
+            df, max_frames=64
+        ).collect()
+    }
+    assert set(fold) == set(arrow) == {1, 2, 3, 4, 5, 6, 7, 8}
+    for aid in fold:
+        assert fold[aid].asDict() == arrow[aid].asDict(), aid
+    assert arrow[7].frame_count == 64  # at-cap file succeeds on both
+    assert arrow[6].frame_count is None
+
+
 def test_warc_record_inventory_walk(spark):
     """warc_record_inventory hops real WARC records: Content-Length
     drives each hop (content may contain CRLFCRLF and even a fake

@@ -17,12 +17,15 @@ What the numbers mean structurally:
   10x bigger member costs the same walk, so MB/s/core *rises* ~10x
   with payload size; these walkers are never the bottleneck on big
   shards.
-- ``mp3``: cost IS O(frames) ~ O(bytes) (a frame is ~417 bytes at
-  128 kbps) — this is the one walker whose MB/s/core is a real
-  per-byte rate and the honest input to "when do we switch this to
-  mapInPandas": below the target scan rate, an Arrow-batched pandas
-  walker (or a real codec) takes over; the plumbing for that path
-  already exists (``sample_frames`` / ``extract_features``).
+- ``mp3``: frame count IS O(bytes) (a frame is ~417 bytes at
+  128 kbps), and the Column fold pays MORE than O(bytes): every fold
+  step re-materializes the binary field from the row, so the fold is
+  effectively O(frames x payload) — it falls off a cliff on multi-MB
+  audio. The bench therefore measures BOTH paths: the fold at small
+  payloads (its home turf) and the Arrow-batched
+  ``mp3_frame_inventory_pandas`` walker (O(frames), payload held once)
+  at every size — the measured crossover IS the mapInPandas
+  switchover threshold.
 
 Usage::
 
@@ -124,12 +127,25 @@ def main() -> None:
     copies = min(DEFAULT_CPUS, 32)
 
     cases = []
-    for size in (1 * MB, 4 * MB):
+    # Column fold: home turf only — its cost is O(frames x payload)
+    # (each fold step re-reads the binary field), so multi-MB payloads
+    # are deliberately NOT measured here; that's the pandas walker's job
+    for size in (MB // 4, 1 * MB):
         pl, n = mp3_payload(size)
         cases.append(
             run_case(
-                spark, "mp3_frame_inventory", pl, f"{n} frames",
+                spark, "mp3_fold", pl, f"{n} frames",
                 lambda df, n=n: multimodal.mp3_frame_inventory(df, max_frames=n + 1),
+                copies,
+            )
+        )
+    # Arrow-batched walker: O(frames), payload held once — the scale path
+    for size in (MB // 4, 1 * MB, 4 * MB, 10 * MB):
+        pl, n = mp3_payload(size)
+        cases.append(
+            run_case(
+                spark, "mp3_pandas", pl, f"{n} frames",
+                lambda df: multimodal.mp3_frame_inventory_pandas(df),
                 copies,
             )
         )
@@ -167,6 +183,19 @@ def main() -> None:
             f"| {c['walker']} | {c['payload_mb']} MB | {c['units']} "
             f"| {c['sec']} | {c['agg_mb_s']} | {c['mb_s_core']} |"
         )
+    fold_1mb = next(
+        (c for c in cases if c["walker"] == "mp3_fold" and c["payload_mb"] >= 1),
+        None,
+    )
+    pandas_1mb = next(
+        (c for c in cases if c["walker"] == "mp3_pandas" and c["payload_mb"] >= 1),
+        None,
+    )
+    ratio = (
+        round(pandas_1mb["agg_mb_s"] / fold_1mb["agg_mb_s"], 1)
+        if fold_1mb and pandas_1mb and fold_1mb["agg_mb_s"]
+        else None
+    )
     lines += [
         "",
         "## Reading the numbers",
@@ -175,14 +204,29 @@ def main() -> None:
         "  fold hops data regions by length arithmetic, so MB/s/core rises",
         "  roughly with payload size. These walkers are metadata extractors",
         "  and never the scan bottleneck on crawl-scale shards.",
-        "- mp3 cost is O(frames) ~ O(bytes) (~417 bytes/frame at 128 kbps);",
-        "  its MB/s/core is a true per-byte rate. Use it to size media",
-        "  scans: a 100 TB audio corpus at R MB/s/core needs 100e6/R",
-        "  core-seconds for inventory alone. When that is too slow — or",
-        "  when actual sample decode is needed — switch the walker to the",
-        "  Arrow-batched mapInPandas path (`sample_frames` /",
-        "  `extract_features` show the plumbing) or a real codec via the",
-        "  env-gated `image_codec()` pattern.",
+        "- mp3_fold (Column fold) pays O(frames x payload): each fold step",
+        "  re-materializes the binary field from the row, so its MB/s/core",
+        "  FALLS as payloads grow — right for fixture-scale assets, wrong",
+        "  beyond ~1 MB (a 4 MB payload was measured at >15 min per pass",
+        "  before this bench bounded the fold's cases).",
+        "- mp3_pandas (`mp3_frame_inventory_pandas`, Arrow-batched",
+        "  mapInPandas, semantics pinned equal by",
+        "  tests/test_operators.py::test_mp3_pandas_walker_matches_column_fold)",
+        "  holds the payload once and walks in O(frames): MB/s/core is",
+        "  flat-to-rising with size — the scale path."
+        + (
+            f" At 1 MB it is already {ratio}x the fold's aggregate rate."
+            if ratio
+            else ""
+        ),
+        "",
+        "**Switchover rule**: use the Column fold for small-payload columns",
+        "(<= ~1 MB per asset) where staying JVM-side avoids Python startup",
+        "entirely; use the mapInPandas walker beyond that — its rate is the",
+        "honest input to sizing: a 100 TB audio corpus at R MB/s/core needs",
+        "100e6/R core-seconds for inventory alone. When actual sample",
+        "decode is needed, the same Arrow batches feed a real codec via the",
+        "env-gated `image_codec()` pattern.",
         "",
     ]
     out = "\n".join(lines)
