@@ -10,13 +10,17 @@ constructions the pytest fixtures validate against the walkers), runs
 each inventory over one payload per core, and reports aggregate MB/s
 and MB/s/core.
 
-What the numbers mean structurally:
+What the numbers mean structurally (r9 measured finding): a Column
+fold's real cost is (byte-extraction steps) x O(payload), NOT just
+O(steps) — every ``substring(payload, ...)`` inside the fold
+re-materializes the whole binary field from the row. So:
 
-- ``gzip`` / ``tar``: the walk cost is O(members) / O(entries), NOT
-  O(bytes) — the fold hops over data regions by length arithmetic. A
-  10x bigger member costs the same walk, so MB/s/core *rises* ~10x
-  with payload size; these walkers are never the bottleneck on big
-  shards.
+- ``gzip``: few extraction steps per member and compressed payloads
+  are small — the fold stays cheap.
+- ``tar``: the per-entry 512-byte header checksum is ~8k extraction
+  steps for 16 entries; at 1 MB payloads that is already ~8 GB of
+  field re-reads per asset (measured ~21 s/pass at 1 MB x 32) — the
+  walk is "O(entries)" only in steps, not in cost.
 - ``mp3``: frame count IS O(bytes) (a frame is ~417 bytes at
   128 kbps), and the Column fold pays MORE than O(bytes): every fold
   step re-materializes the binary field from the row, so the fold is
@@ -94,6 +98,10 @@ def tar_payload(n_bytes: int, entries: int = 16) -> tuple[bytes, int]:
 
 
 def run_case(spark, name, payload, units, inventory_fn, copies, passes=3):
+    print(
+        f"[mm] {name} {len(payload) / MB:.2f} MB x {copies} ...",
+        flush=True,
+    )
     rows = [(i, payload) for i in range(copies)]
     df = (
         spark.createDataFrame(rows, "asset_id long, payload binary")
@@ -110,6 +118,7 @@ def run_case(spark, name, payload, units, inventory_fn, copies, passes=3):
         dt = time.monotonic() - t0
         best = dt if best is None else min(best, dt)
     total_mb = len(payload) * copies / MB
+    print(f"[mm] {name} done: best {best:.3f}s", flush=True)
     return {
         "walker": name,
         "payload_mb": round(len(payload) / MB, 2),
@@ -128,9 +137,10 @@ def main() -> None:
 
     cases = []
     # Column fold: home turf only — its cost is O(frames x payload)
-    # (each fold step re-reads the binary field), so multi-MB payloads
-    # are deliberately NOT measured here; that's the pandas walker's job
-    for size in (MB // 4, 1 * MB):
+    # (each fold step re-reads the binary field), so payloads >= 1 MB
+    # are deliberately NOT measured here (a 1 MB fold case alone ran
+    # past 9 minutes; 4 MB past 15); that's the pandas walker's job
+    for size in (MB // 4, MB // 2):
         pl, n = mp3_payload(size)
         cases.append(
             run_case(
@@ -157,7 +167,11 @@ def main() -> None:
                 multimodal.gzip_member_inventory, copies,
             )
         )
-    for size in (1 * MB, 10 * MB):
+    # tar's ~8k checksum extraction steps x O(payload) field re-reads
+    # make >= 1 MB archives fold-hostile (measured ~21 s/pass at 1 MB,
+    # projected minutes at 10 MB) — bound to the fold's home turf and
+    # let the table show the slope
+    for size in (MB // 4, 1 * MB):
         pl, n = tar_payload(size)
         cases.append(
             run_case(
@@ -167,7 +181,7 @@ def main() -> None:
         )
 
     lines = [
-        "# Binary-walker throughput — Column-fold inventories on 1-10 MB payloads",
+        "# Binary-walker throughput — Column folds vs the Arrow walker",
         "",
         f"Generated by `python tools/mm_throughput.py` (local[{DEFAULT_CPUS}],",
         f"{copies} payload copies = one per core, warm min of 3 through the",
@@ -183,50 +197,59 @@ def main() -> None:
             f"| {c['walker']} | {c['payload_mb']} MB | {c['units']} "
             f"| {c['sec']} | {c['agg_mb_s']} | {c['mb_s_core']} |"
         )
-    fold_1mb = next(
-        (c for c in cases if c["walker"] == "mp3_fold" and c["payload_mb"] >= 1),
-        None,
-    )
-    pandas_1mb = next(
-        (c for c in cases if c["walker"] == "mp3_pandas" and c["payload_mb"] >= 1),
+    fold_q = next((c for c in cases if c["walker"] == "mp3_fold"), None)
+    pandas_q = next(
+        (
+            c for c in cases
+            if c["walker"] == "mp3_pandas"
+            and fold_q and c["payload_mb"] == fold_q["payload_mb"]
+        ),
         None,
     )
     ratio = (
-        round(pandas_1mb["agg_mb_s"] / fold_1mb["agg_mb_s"], 1)
-        if fold_1mb and pandas_1mb and fold_1mb["agg_mb_s"]
+        round(pandas_q["agg_mb_s"] / fold_q["agg_mb_s"], 1)
+        if fold_q and pandas_q and fold_q["agg_mb_s"]
         else None
     )
     lines += [
         "",
         "## Reading the numbers",
         "",
-        "- gzip/tar walk cost is O(members)/O(entries), not O(bytes): the",
-        "  fold hops data regions by length arithmetic, so MB/s/core rises",
-        "  roughly with payload size. These walkers are metadata extractors",
-        "  and never the scan bottleneck on crawl-scale shards.",
-        "- mp3_fold (Column fold) pays O(frames x payload): each fold step",
-        "  re-materializes the binary field from the row, so its MB/s/core",
-        "  FALLS as payloads grow — right for fixture-scale assets, wrong",
-        "  beyond ~1 MB (a 4 MB payload was measured at >15 min per pass",
-        "  before this bench bounded the fold's cases).",
+        "- The measured law for EVERY Column-fold walker: cost ≈",
+        "  (byte-extraction steps) x O(payload), because each",
+        "  `substring(payload, ...)` in the fold re-materializes the whole",
+        "  binary field from the row. Step counts differ per format —",
+        "  gzip: a handful per member (cheap everywhere measured);",
+        "  tar: ~512 per entry for the header checksum (~21 s/pass at",
+        "  1 MB x 32 — 'O(entries)' in steps only);",
+        "  mp3: one per ~417-byte frame (a 1 MB fold pass ran past",
+        "  9 minutes unbounded at 4 MB; bounded here to <= 0.5 MB).",
+        "- mp3_fold's MB/s/core therefore FALLS as payloads grow — right",
+        "  for fixture-scale assets, wrong beyond ~0.5 MB.",
         "- mp3_pandas (`mp3_frame_inventory_pandas`, Arrow-batched",
         "  mapInPandas, semantics pinned equal by",
         "  tests/test_operators.py::test_mp3_pandas_walker_matches_column_fold)",
         "  holds the payload once and walks in O(frames): MB/s/core is",
         "  flat-to-rising with size — the scale path."
         + (
-            f" At 1 MB it is already {ratio}x the fold's aggregate rate."
+            f" At {fold_q['payload_mb']} MB it is already {ratio}x the"
+            " fold's aggregate rate, and the gap grows with the square"
+            " of the payload."
             if ratio
             else ""
         ),
         "",
-        "**Switchover rule**: use the Column fold for small-payload columns",
-        "(<= ~1 MB per asset) where staying JVM-side avoids Python startup",
-        "entirely; use the mapInPandas walker beyond that — its rate is the",
-        "honest input to sizing: a 100 TB audio corpus at R MB/s/core needs",
-        "100e6/R core-seconds for inventory alone. When actual sample",
-        "decode is needed, the same Arrow batches feed a real codec via the",
-        "env-gated `image_codec()` pattern.",
+        "**Switchover rule (measured)**: the Arrow walker wins at every",
+        "size this bench can even run the fold at — the fold's remaining",
+        "home turf is KB-scale payloads (the corpus mm tables carry <10 KB",
+        "assets) where one fused JVM projection beats paying Python worker",
+        "+ Arrow transfer at all, and plans that must stay whole-stage",
+        "(no Python runtime available). For anything at media scale",
+        "(>= ~100 KB per asset), use mapInPandas — its MB/s/core is the",
+        "honest input to sizing: a 100 TB audio corpus at R MB/s/core",
+        "needs 100e6/R core-seconds for inventory alone. When actual",
+        "sample decode is needed, the same Arrow batches feed a real",
+        "codec via the env-gated `image_codec()` pattern.",
         "",
     ]
     out = "\n".join(lines)
