@@ -174,10 +174,15 @@ def best_prior_per_query(
     1.5x-slower host day flagged 19 false regressions on an unchanged
     hot path (r8): the code didn't get slower, the machine did, and the
     noise query — identical code every round — says by exactly how
-    much. Rounds that predate the floor recording (r1-r5) contribute
-    unscaled, and a faster current machine scales priors DOWN (the
-    gate gets stricter on a quiet day — that's the point)."""
-    best: dict[str, float] = {}
+    much. Rounds that predate the floor recording (r1-r5) are scaled by
+    current_floor / the SMALLEST recorded floor across rounds (r9 fix:
+    leaving them unscaled let their fast-day minima win the baseline
+    min and re-manufacture every false regression the normalization
+    was built to kill — observed as normalized == raw on 27 entries).
+    A faster current machine scales priors DOWN (the gate gets stricter
+    on a quiet day — that's the point)."""
+    recs = []
+    floors = []
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -185,9 +190,15 @@ def best_prior_per_query(
         except (OSError, ValueError):
             continue
         floor = _noise_floor_median(rec)
+        recs.append((rec, floor))
+        if floor:
+            floors.append(floor)
+    fallback_floor = min(floors) if floors else None
+    best: dict[str, float] = {}
+    for rec, floor in recs:
         scale = 1.0
-        if current_floor and floor:
-            scale = current_floor / floor
+        if current_floor and (floor or fallback_floor):
+            scale = current_floor / (floor or fallback_floor)
         for timing_map in _timing_maps(rec):
             for name, sec in timing_map.items():
                 if isinstance(sec, (int, float)) and sec > 0:
@@ -279,20 +290,33 @@ def main() -> None:
     # each regression record so a reader can see both frames.
     prior = best_prior_per_query(here, current_floor=noise_med)
     prior_raw = best_prior_per_query(here)
+    # The gate compares this run's MIN, not its median: on a shared
+    # bursty host (r9: load ~5 from outside the container with zero
+    # local JVMs) the median measures the neighbors while the min —
+    # the least-contended pass — measures the code. A real code
+    # regression raises the min too; a noisy-neighbor burst does not.
+    all_mins = {**mins, **h_mins}
+    # A floor whose relative stddev exceeds 0.5 means the host was
+    # BURSTY across the bench window (r9: rel 0.855 while external load
+    # sat at ~5 with zero local JVMs) — the machine-speed estimate
+    # itself is then unreliable, so flags are recorded but marked.
+    floor_stable = (noise_floor.get("rel") or 0) <= 0.5
     regressions = {}
     for name, med in {**timings, **h_timings}.items():
         base = prior.get(name)
-        if base and med > REGRESSION_FACTOR * base:
+        mn = all_mins.get(name, med)
+        if base and mn > REGRESSION_FACTOR * base:
             regressions[name] = {
                 "median": med,
+                "min": mn,
                 "best_prior_normalized": round(base, 3),
                 "best_prior_raw": prior_raw.get(name),
-                "ratio": round(med / base, 2),
+                "ratio": round(mn / base, 2),
             }
             print(
-                f"REGRESSION {name}: median {med}s > {REGRESSION_FACTOR}x "
+                f"REGRESSION {name}: min {mn}s > {REGRESSION_FACTOR}x "
                 f"machine-normalized best prior {base:.3f}s "
-                f"(raw {prior_raw.get(name)}s)",
+                f"(raw {prior_raw.get(name)}s, median {med}s)",
                 file=sys.stderr,
             )
 
@@ -322,6 +346,10 @@ def main() -> None:
                 "heavy_warm_passes": HEAVY_WARM_PASSES,
                 "cpus": DEFAULT_CPUS,
                 "regressions": regressions,
+                # False = the floor was bursty across the window; treat
+                # any flags above as host noise until a stable-floor
+                # run reproduces them
+                "floor_stable": floor_stable,
                 "noise_floor": noise_floor,
                 "sf": sf_num,
             }

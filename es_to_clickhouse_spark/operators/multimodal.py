@@ -1617,3 +1617,85 @@ def tar_archive_inventory(
         F.when(ok, st["dirs"]).otherwise(none).alias("n_dirs"),
         F.when(ok, st["bytes"]).otherwise(none).alias("total_file_bytes"),
     )
+
+
+def tar_archive_inventory_pandas(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_entries: int = 100_000,
+) -> DataFrame:
+    """The SCALE path for the tar inventory — same contract and output
+    schema as :func:`tar_archive_inventory`, as an Arrow-batched
+    ``mapInPandas`` walker.
+
+    Why: the fold's per-header 512-byte checksum is ~512 byte-extraction
+    steps per entry, and every step re-materializes the whole binary
+    field (measured ~21 s/pass at 1 MB x 32 copies, MM_THROUGHPUT.md).
+    This walker holds the payload once: the checksum is one ``sum()``
+    over a 512-byte slice, the walk O(entries). Semantics pinned equal
+    to the fold by tests: ustar magic, validated checksum (checksum
+    field read as eight spaces), octal size/typeflag parsing, NUL
+    end-of-archive block, fail-closed on truncation / mismatch /
+    > ``max_entries``."""
+    import re as _re
+
+    schema = (
+        f"{id_col} long, n_entries long, n_files long, n_dirs long, "
+        "total_file_bytes long"
+    )
+
+    def _octal(field: bytes):
+        m = _re.search(rb"[0-7]+", field)
+        return int(m.group(), 8) if m else None
+
+    def _walk(b: bytes):
+        pos, n, files, dirs, total = 0, 0, 0, 0, 0
+        size_len = len(b)
+        while True:
+            if pos >= size_len:
+                return None  # ran off the end without a zero block
+            if b[pos] == 0:  # end-of-archive marker
+                return (n, files, dirs, total) if n > 0 else None
+            if n >= max_entries or pos + 512 > size_len:
+                return None
+            block = b[pos : pos + 512]
+            if block[257:262] != b"ustar":
+                return None
+            size = _octal(block[124:136])
+            stored = _octal(block[148:156])
+            if size is None or stored is None:
+                return None
+            if stored != sum(block) - sum(block[148:156]) + 8 * 0x20:
+                return None
+            tf = block[156]
+            if tf in (0x30, 0x00):
+                files += 1
+                total += size
+            elif tf == 0x35:
+                dirs += 1
+            n += 1
+            pos += 512 + ((size + 511) // 512) * 512
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                id_col: [], "n_entries": [], "n_files": [], "n_dirs": [],
+                "total_file_bytes": [],
+            }
+            for asset_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                res = _walk(bytes(payload)) if payload is not None else None
+                rows[id_col].append(int(asset_id))
+                if res is None:
+                    for k in ("n_entries", "n_files", "n_dirs",
+                              "total_file_bytes"):
+                        rows[k].append(None)
+                else:
+                    n, files, dirs, total = res
+                    rows["n_entries"].append(n)
+                    rows["n_files"].append(files)
+                    rows["n_dirs"].append(dirs)
+                    rows["total_file_bytes"].append(total)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema)

@@ -363,8 +363,10 @@ def test_bench_noise_floor_normalization():
     regressions because cross-round comparison ignored the recorded
     noise floor. best_prior_per_query(current_floor=...) must rescale
     each round's timings by current_floor/round_floor; rounds without
-    a floor contribute unscaled; the floor parses from parsed, flat,
-    and truncated-tail record shapes."""
+    a floor scale by the smallest recorded floor (r9 fix — unscaled
+    fast-day minima from pre-floor rounds won the baseline min and
+    re-manufactured the false regressions); the floor parses from
+    parsed, flat, and truncated-tail record shapes."""
     import bench
 
     # floor extraction across record shapes
@@ -395,9 +397,25 @@ def test_bench_noise_floor_normalization():
         raw = bench.best_prior_per_query(d)
         assert raw["qa"] == 1.0
         # current machine 1.5x slower (floor 0.45): r02's 1.0s becomes
-        # 1.5s equivalent; r01's floorless 2.0 stays — best is 1.5
+        # 1.5s equivalent; r01's floorless 2.0 scales by the smallest
+        # known floor (0.3) to 3.0 — best is 1.5
         norm = bench.best_prior_per_query(d, current_floor=0.45)
         assert abs(norm["qa"] - 1.5) < 1e-9
         # faster machine scales priors DOWN (stricter gate)
         norm_fast = bench.best_prior_per_query(d, current_floor=0.15)
         assert abs(norm_fast["qa"] - 0.5) < 1e-9
+
+    # r9 fix pinned: a floorless round's FAST-day minimum must not win
+    # the baseline unscaled on a slow day (that defeated the whole
+    # normalization — observed as normalized == raw on 27 entries)
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/BENCH_r01.json", "w") as f:
+            _json.dump({"queries": {"qa": 1.0}}, f)  # fast day, no floor
+        with open(f"{d}/BENCH_r02.json", "w") as f:
+            _json.dump(
+                {"queries": {"qa": 1.2}, "noise_floor": {"median": 0.3}}, f
+            )
+        norm_slow = bench.best_prior_per_query(d, current_floor=0.6)
+        # r01: 1.0 * (0.6/0.3) = 2.0; r02: 1.2 * 2 = 2.4 -> best 2.0,
+        # NOT the unscaled 1.0 that would flag a 1.9s median falsely
+        assert abs(norm_slow["qa"] - 2.0) < 1e-9
