@@ -141,6 +141,101 @@ def s22_sliced_scroll_scan(spark, sf_dir):
 
 
 @query(
+    "s23_es_to_ch_pipeline",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at, value
+    FROM events WHERE event_id % 50 = 7
+    """,
+)
+def s23_es_to_ch_pipeline(spark, sf_dir):
+    """The reference's WHOLE pipeline (es/es_to_bytehouse.py: the
+    daemon end to end), oracle-checked over TWO real sockets:
+
+    1. a loopback ES fixture (sources/es_fixture.py) is seeded with a
+       bounded events sample and serves `_cat/indices` + `_mapping` +
+       sliced scroll;
+    2. :func:`sources.es.sync_incremental_es_http` drains it with
+       executor-parallel sliced scroll (4 slices), flattens, and LANDS
+       the rows on a loopback ClickHouse through the LIVE sink
+       (ClickHouseHttpTarget: CREATE DATABASE/TABLE DDL, token-deduped
+       NDJSON INSERT from the executors) while committing sync state;
+    3. the returned DataFrame is the ClickHouse side read BACK with the
+       distributed range read (read_table: executor-side range fetch,
+       DESCRIBE-typed JVM-side parse).
+
+    A row must survive scroll JSON → flatten → INSERT NDJSON → DESCRIBE
+    typing → range-partitioned re-read byte-for-byte to match the
+    oracle. The 1/50 sample keeps the fixture bounded (s22's contract);
+    both servers shut down after the eager localCheckpoint."""
+    import tempfile
+
+    from es_to_clickhouse_spark.sources.ch_fixture import serve_clickhouse
+    from es_to_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpSource,
+        ClickHouseHttpTarget,
+    )
+    from es_to_clickhouse_spark.sources.es import (
+        ScrollSession,
+        sync_incremental_es_http,
+    )
+    from es_to_clickhouse_spark.sources.es_fixture import serve_index
+    from es_to_clickhouse_spark.state import StateStore
+
+    seed = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 50 == 7)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ts_seconds(F.col("ts")).alias("created_at"),
+            "value",
+        )
+        .collect()  # bounded: 1/50 sample of events
+    )
+    docs = [{"_id": str(r.event_id), **r.asDict()} for r in seed]
+    mapping = {
+        "event_id": {"type": "long"},
+        "user_id": {"type": "long"},
+        "event_type": {"type": "keyword"},
+        "created_at": {"type": "date"},
+        "value": {"type": "double"},
+    }
+    store: list[dict] = []  # the CH fake's live table: INSERTs land here,
+    # SELECTs serve it — one store makes the write-then-read a real loop
+    es_srv, es_host = serve_index(docs, index="events", mapping=mapping)
+    ch_srv, ch_host, _, _ = serve_clickhouse(
+        inserted=store, rows_ref=store, strict_columns=True,
+        seen_tokens=set(), start_empty=True,
+    )
+    try:
+        ch = ClickHouseHttpSource(host=ch_host, database="tgt_db")
+        mode, n, _wm = sync_incremental_es_http(
+            spark,
+            ScrollSession(host=es_host, size=500),
+            ClickHouseHttpTarget(ch),
+            StateStore(spark, tempfile.mkdtemp(prefix="s23_state_")),
+            "events",
+            slices=4,
+        )
+        assert mode == "full" and n == len(docs), (mode, n)
+        df = (
+            ch.read_table(
+                spark, "events",
+                partition_column="event_id", bounds=(0, 1_000_000),
+                num_partitions=4,
+            )
+            .select("event_id", "user_id", "event_type", "created_at", "value")
+            .localCheckpoint()  # eager: drains the wire before teardown
+        )
+    finally:
+        es_srv.shutdown()
+        ch_srv.shutdown()
+    return df
+
+
+@query(
     "s6_paged_scan",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

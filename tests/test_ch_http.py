@@ -13,7 +13,7 @@ import threading
 import time
 import urllib.error
 import urllib.parse
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
 
 import pytest
 from pyspark.sql import types as T
@@ -40,148 +40,25 @@ TABLE_ROWS = [
 
 
 class _FakeCH:
-    """Scripted-but-functional ClickHouse HTTP endpoint: DESCRIBE,
-    COUNT, SELECT with LIMIT/OFFSET or range predicates, INSERT with an
-    NDJSON body. Records every (sql, body) for transcript goldens."""
+    """Thin adapter over the package's functional loopback fixture
+    (sources/ch_fixture.py — one copy, shared with the corpus's
+    s23_es_to_ch_pipeline): defaults to this module's TABLE_SCHEMA /
+    TABLE_ROWS source table."""
 
     @staticmethod
     def make(log, inserted, rows_ref=None, strict_columns=False,
              seen_tokens=None, start_empty=False):
-        rows_ref = TABLE_ROWS if rows_ref is None else rows_ref
-        # mutable live schema: ALTER ADD COLUMN grows it (strict mode
-        # rejects INSERT rows carrying unknown columns like a real CH);
-        # start_empty = sink mode: no table until CREATE TABLE arrives
-        known = [] if start_empty else [dict(r) for r in TABLE_SCHEMA]
-        created = {"flag": not start_empty}
+        from es_to_clickhouse_spark.sources.ch_fixture import make_handler
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):
-                pass
-
-            def _reply(self, text, code=200):
-                data = text.encode("utf-8")
-                self.send_response(code)
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
-
-            def do_GET(self):
-                if self.path == "/ping":
-                    self._reply("Ok.\n")
-                else:
-                    self._reply("not found", code=404)
-
-            def do_POST(self):
-                q = urllib.parse.urlsplit(self.path).query
-                params = dict(urllib.parse.parse_qsl(q))
-                sql = params.get("query", "")
-                n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n).decode("utf-8") if n else ""
-                log.append({"sql": sql, "body": body, "params": params})
-                if sql.startswith("CREATE DATABASE"):
-                    return self._reply("")
-                if sql.startswith("CREATE TABLE"):
-                    # IF NOT EXISTS: only the first CREATE defines the
-                    # schema (ddl.create_typed_table_sql's one-col-per-
-                    # line shape)
-                    if not created["flag"]:
-                        body_part = sql.split("(\n", 1)[1].split("\n)", 1)[0]
-                        for line in body_part.splitlines():
-                            m = re.search(r"`(\w+)` (.+?),?$", line.strip())
-                            if m:
-                                known.append(
-                                    {"name": m.group(1), "type": m.group(2)}
-                                )
-                        created["flag"] = True
-                    return self._reply("")
-                if sql.startswith("EXISTS TABLE"):
-                    return self._reply("1\n" if created["flag"] else "0\n")
-                if not created["flag"]:
-                    return self._reply(
-                        "Code: 60. DB::Exception: Unknown table", code=500
-                    )
-                if sql.startswith("ALTER TABLE"):
-                    m = re.search(
-                        r"ADD COLUMN IF NOT EXISTS `(\w+)` (.+)$", sql
-                    )
-                    if m and m.group(1) not in {c["name"] for c in known}:
-                        known.append(
-                            {"name": m.group(1), "type": m.group(2)}
-                        )
-                    return self._reply("")
-                if sql.startswith("INSERT INTO"):
-                    rows = [
-                        json.loads(ln) for ln in body.splitlines() if ln.strip()
-                    ]
-                    if strict_columns:
-                        names = {c["name"] for c in known}
-                        bad = {k for r in rows for k in r} - names
-                        if bad:
-                            return self._reply(
-                                "Code: 16. DB::Exception: No such column "
-                                f"{sorted(bad)[0]} in table", code=500,
-                            )
-                    token = params.get("insert_deduplication_token")
-                    if token is not None and seen_tokens is not None:
-                        if token in seen_tokens:
-                            return self._reply("")  # dedup: drop replay
-                        seen_tokens.add(token)
-                    inserted.extend(rows)
-                    return self._reply("")
-                if sql.startswith("DESCRIBE TABLE"):
-                    return self._reply(
-                        "\n".join(json.dumps(r) for r in known) + "\n"
-                    )
-                if "COUNT(*)" in sql:
-                    return self._reply(f"{len(rows_ref)}\n")
-                if sql.startswith("SELECT max("):
-                    rows = list(rows_ref)
-                    m = re.search(r"`created_at` > '([^']+)'", sql)
-                    if m:
-                        rows = [r for r in rows if r["created_at"] > m.group(1)]
-                    mx = max((r["created_at"] for r in rows), default=None)
-                    return self._reply(f"{mx}\n" if mx else "\\N\n")
-                if sql.startswith("SELECT name FROM system.tables"):
-                    return self._reply('{"name": "t1"}\n{"name": "t2"}\n')
-                if sql.startswith("SELECT * FROM"):
-                    rows = list(rows_ref)
-                    # JDBC-style range predicates: first partition is
-                    # `< hi OR IS NULL`, middles `>= lo AND < hi`,
-                    # last a bare `>= lo`
-                    m = re.search(r"\(`(\w+)` < (\d+) OR `\1` IS NULL\)", sql)
-                    if m:
-                        col, hi = m.group(1), int(m.group(2))
-                        rows = [
-                            r for r in rows
-                            if r.get(col) is None or r[col] < hi
-                        ]
-                    elif re.search(r"`(\w+)` >= (\d+) AND `\1` < (\d+)", sql):
-                        m = re.search(r"`(\w+)` >= (\d+) AND `\1` < (\d+)", sql)
-                        col, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
-                        rows = [
-                            r for r in rows
-                            if r.get(col) is not None and lo <= r[col] < hi
-                        ]
-                    elif re.search(r"`(\w+)` >= (\d+)", sql):
-                        m = re.search(r"`(\w+)` >= (\d+)", sql)
-                        col, lo = m.group(1), int(m.group(2))
-                        rows = [
-                            r for r in rows
-                            if r.get(col) is not None and r[col] >= lo
-                        ]
-                    m = re.search(r"`created_at` > '([^']+)'", sql)
-                    if m:
-                        rows = [r for r in rows if r["created_at"] > m.group(1)]
-                    m = re.search(r"LIMIT (\d+) OFFSET (\d+)", sql)
-                    if m:
-                        lim, off = int(m.group(1)), int(m.group(2))
-                        rows = rows[off : off + lim]
-                    return self._reply(
-                        "".join(json.dumps(r) + "\n" for r in rows)
-                    )
-                return self._reply(f"unhandled: {sql}", code=500)
-
-        return Handler
+        return make_handler(
+            log,
+            inserted,
+            rows_ref=TABLE_ROWS if rows_ref is None else rows_ref,
+            strict_columns=strict_columns,
+            seen_tokens=seen_tokens,
+            start_empty=start_empty,
+            schema=TABLE_SCHEMA,
+        )
 
 
 @pytest.fixture()
