@@ -161,6 +161,20 @@ def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
         "scale [env: ES_SLICES]",
     )
     p.add_argument(
+        "--mongo-uri",
+        default=env.mongo_uri,
+        help="MongoDB URI (mongodb://host:port) — switches --mode "
+        "incremental to the jar-free live OP_MSG source "
+        "(sources/mongo_wire.py: keyset scan with typed _id resume) "
+        "[env: MONGO_URI]",
+    )
+    p.add_argument(
+        "--mongo-database",
+        default=env.mongo_database,
+        help="source MongoDB database (reference MONGO_DATABASE, "
+        "mongodb_to_bytehouse.py:118) [env: MONGO_DATABASE]",
+    )
+    p.add_argument(
         "--ch-sink-url",
         default=env.ch_sink_url,
         help="ClickHouse HTTP-interface URL for the TARGET — synced "
@@ -212,18 +226,24 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
     args = parser.parse_args(argv)
     ch_http_mode = args.mode == "incremental" and args.ch_http_url
     es_http_mode = args.mode == "incremental" and args.es_http_url
-    if ch_http_mode and es_http_mode:
-        parser.error("--ch-http-url and --es-http-url are mutually exclusive")
-    if not args.source_dir and not (ch_http_mode or es_http_mode):
+    mongo_mode = args.mode == "incremental" and args.mongo_uri
+    live_modes = [m for m in (ch_http_mode, es_http_mode, mongo_mode) if m]
+    if len(live_modes) > 1:
+        parser.error(
+            "--ch-http-url / --es-http-url / --mongo-uri are mutually "
+            "exclusive source selections"
+        )
+    live_mode = bool(live_modes)
+    if not args.source_dir and not live_mode:
         parser.error("--source-dir is required (or set SOURCE_DIR)")
-    if (ch_http_mode or es_http_mode) and not [
+    if live_mode and not [
         t for t in (args.tables or "").split(",") if t.strip()
     ]:
         # an empty pattern would loop zero tables and exit 0 — a silent
         # green no-op (ADVICE r7); fail loudly like the catalog path
         parser.error(
-            "--tables is required with --ch-http-url/--es-http-url "
-            "(or set INDEX_PATTERN)"
+            "--tables is required with a live source "
+            "(or set INDEX_PATTERN / COLLECTION_PATTERN)"
         )
     spark = get_spark("es_to_clickhouse_spark.cli")
     spark.sparkContext.setLogLevel(env.log_level)
@@ -317,6 +337,51 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
             print(
                 json.dumps(
                     {"table": index, "mode": f"{mode}_es_http",
+                     "rows": n, "watermark": wm}
+                )
+            )
+        return 1 if failures else 0
+    if mongo_mode:
+        # live MongoDB over the raw OP_MSG socket — the third reference
+        # daemon (mongodb/mongodb_to_bytehouse.py:811-866): keyset scan
+        # with typed _id resume, full bootstrap for unseen collections
+        import urllib.parse as _up
+
+        from es_to_clickhouse_spark.functions import is_system_name
+        from es_to_clickhouse_spark.sources.mongo_wire import (
+            MongoWireSession,
+            list_collections,
+            sync_incremental_mongo_wire,
+        )
+
+        u = _up.urlsplit(args.mongo_uri)
+        sess = MongoWireSession(
+            host=u.hostname or "127.0.0.1",
+            port=u.port or 27017,
+            database=args.mongo_database,
+        )
+        state = StateStore(spark, args.warehouse)
+        try:
+            available = [
+                c for c in list_collections(sess)
+                if not is_system_name(c, "mongo")
+            ]
+        except OSError as e:
+            print(json.dumps({"error": f"catalog: {e}"}))
+            return 1
+        tables, failures = _expand_patterns(args.tables, available)
+        for coll in tables:
+            try:
+                mode, n, wm = sync_incremental_mongo_wire(
+                    spark, sess, target, state, coll
+                )
+            except OSError as e:
+                print(json.dumps({"table": coll, "error": str(e)}))
+                failures += 1
+                continue
+            print(
+                json.dumps(
+                    {"table": coll, "mode": f"{mode}_mongo_wire",
                      "rows": n, "watermark": wm}
                 )
             )

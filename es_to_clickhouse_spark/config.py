@@ -81,6 +81,11 @@ class EnvConfig:
     # collapsed to one URL; slices = executor fan-out per index
     es_http_url: str | None = None
     slices: int = 8
+    # live MongoDB over the raw OP_MSG socket (sources/mongo_wire.py) —
+    # the reference's MONGO_URI/MONGO_DATABASE surface
+    # (mongodb/mongodb_to_bytehouse.py:117-118)
+    mongo_uri: str | None = None
+    mongo_database: str = "test"
 
     @classmethod
     def from_env(cls, environ: dict | None = None) -> "EnvConfig":
@@ -109,4 +114,6 @@ class EnvConfig:
             ),
             es_http_url=env_first(e, ["ES_HTTP_URL"]),
             slices=int(env_first(e, ["ES_SLICES"], 8)),
+            mongo_uri=env_first(e, ["MONGO_URI"]),
+            mongo_database=env_first(e, ["MONGO_DATABASE"], "test"),
         )

@@ -263,13 +263,18 @@ class MongoWireSession:
         collection: str,
         store_source: bool = False,
         max_pages: int = 100_000,
+        start_after=None,
     ) -> tuple[list[dict], str | None]:
         """The full keyset scan over the wire. Returns ``(rows,
         last_id)`` — the watermark a restart would resume from. A
         transport error or malformed reply keeps the partial rows AND
-        the watermark progress (at-least-once, like drain_http)."""
+        the watermark progress (at-least-once, like drain_http).
+
+        ``start_after``: resume the keyset from a committed watermark
+        (typed — an :class:`ObjectId` stays an ObjectId so the ``$gt``
+        type-matches; see :func:`typed_watermark`)."""
         rows: list[dict] = []
-        last_id = None
+        last_id = start_after
         rid = 0
         try:
             with socket.create_connection((self.host, self.port), timeout=30) as sock:
@@ -300,3 +305,130 @@ class MongoWireSession:
         except (OSError, ValueError):
             pass  # partial rows + watermark kept
         return rows, last_id
+
+
+# ------------------------------------------------------ live sync mode
+
+
+def list_collections(session: MongoWireSession) -> list[str]:
+    """Live collection catalog: the ``listCollections`` command over
+    OP_MSG — the wire form of the reference's
+    ``list_collection_names()`` (mongodb/mongodb_to_bytehouse.py:
+    297-304; the system-collection filter is applied by the caller like
+    every other catalog)."""
+    cmd = {
+        "listCollections": 1,
+        "nameOnly": True,
+        "$db": session.database,
+    }
+    with socket.create_connection(
+        (session.host, session.port), timeout=30
+    ) as sock:
+        sock.sendall(op_msg(1, cmd))
+        _, _, reply = parse_op_msg(read_frame(sock))
+    if reply.get("ok") != 1:
+        raise ValueError(f"listCollections returned ok={reply.get('ok')!r}")
+    return sorted(
+        d["name"] for d in reply.get("cursor", {}).get("firstBatch", [])
+    )
+
+
+def typed_watermark(s: str | None):
+    """Rebuild the TYPED keyset watermark from its committed string form
+    (SyncState stores strings): 24-hex → :class:`ObjectId` (BSON 0x07 —
+    a hex STRING would never match under Mongo's type-bracketed
+    comparison), all-digits → int, else the string itself. The same
+    dtype-aware rule the parquet keyset path applies via the column
+    type (incremental.py keyset_predicate), expressed as a value
+    heuristic because the wire has no schema to consult."""
+    if s is None:
+        return None
+    if len(s) == 24 and all(c in "0123456789abcdef" for c in s.lower()):
+        return ObjectId(bytes.fromhex(s))
+    if s.isdigit():
+        return int(s)
+    return s
+
+
+def read_collection_wire(
+    spark,
+    session: MongoWireSession,
+    collection: str,
+    start_after=None,
+    store_source: bool = False,
+):
+    """Executor-side keyset drain → cached NDJSON lines RDD (the Mongo
+    twin of ``read_index_http``'s transport). The scan itself is SERIAL
+    by construction — a keyset cursor is one ordered walk, exactly the
+    reference's loop (mongodb_to_bytehouse.py:524-531) — so it runs as
+    ONE executor task (off the driver); the jar connector remains the
+    partition-parallel scale path (sources/mongo.py). Returns the lines
+    RDD; the caller counts/parses it (zero-row rounds must be detected
+    BEFORE schema inference, which cannot infer from no rows)."""
+    sess = session  # dataclass — pickles to the executor
+
+    def _drain(_i: int) -> list[str]:
+        rows, _last = sess.drain_socket(
+            collection, store_source=store_source, start_after=start_after
+        )
+        return [json.dumps(r, ensure_ascii=False, default=str) for r in rows]
+
+    return spark.sparkContext.parallelize([0], 1).flatMap(_drain).cache()
+
+
+def sync_incremental_mongo_wire(
+    spark,
+    session: MongoWireSession,
+    target,
+    state,
+    collection: str,
+):
+    """One live-Mongo sync round over the jar-free OP_MSG path — the
+    reference daemon's loop body (mongodb/mongodb_to_bytehouse.py:
+    524-531,611-631) on the engine's warehouse/state machinery, the
+    Mongo twin of ``sync_incremental_es_http``:
+
+    1. the keyset resumes from the committed ``last_id`` watermark
+       (typed via :func:`typed_watermark`); no state → full scan
+       seeding it (the reference's auto bootstrap);
+    2. the collection drains executor-side (one ordered keyset walk)
+       and parses JVM-side from NDJSON;
+    3. rows stringify-project (``flatten_mongo`` — the Mongo dialect)
+       and append to the target;
+    4. the watermark advances to the max ``_id`` over the appended
+       snapshot as one distributed agg, ordered by ``(length, value)``
+       so digit-string ids compare numerically and fixed-width ObjectId
+       hex compares bytewise — both matching the server's ``$gt``
+       order.
+
+    Returns ``(mode, rows, new_last_id)``."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.flatten import flatten_mongo
+    from es_to_clickhouse_spark.state import SyncState
+
+    st = state.get(collection)
+    last = st.last_id if st else None
+    mode = "incremental" if last is not None else "full"
+    lines = read_collection_wire(
+        spark, session, collection, start_after=typed_watermark(last)
+    )
+    if lines.isEmpty():  # idle round: nothing to parse or append
+        return mode, 0, last
+    df = spark.read.json(lines).localCheckpoint()  # one wire drain
+    out = flatten_mongo(df)
+    n = out.count()
+    target.append(collection, out)
+    new_last = df.agg(
+        F.max(F.struct(F.length("_id").alias("l"), F.col("_id").alias("v")))
+        .alias("m")
+    ).collect()[0]["m"]["v"]
+    state.commit(
+        SyncState(
+            table_name=collection,
+            source_name=f"mongo_wire:{session.database}.{collection}",
+            last_id=new_last if new_last is not None else last,
+            last_sync_count=n,
+        )
+    )
+    return mode, n, new_last if new_last is not None else last

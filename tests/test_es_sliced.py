@@ -443,3 +443,70 @@ def test_cli_es_to_ch_pipeline(spark, tmp_path, capsys):
     finally:
         es_srv.shutdown()
         ch_srv.shutdown()
+
+
+def test_sync_es_http_late_update_or_ranges(spark, tmp_path):
+    """P5 on the live path: a doc whose created_at is OLD but whose
+    updated_at moved past the update watermark must be re-fetched by
+    the OR-of-ranges query (minimum_should_match=1), and the time
+    watermark must NOT regress to the late batch's older max
+    (engine._mono_time contract, es/es_to_bytehouse.py:841-861)."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.es import (
+        ScrollSession,
+        sync_incremental_es_http,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    mapping = {
+        "id": {"type": "long"},
+        "created_at": {"type": "date"},
+        "updated_at": {"type": "date"},
+    }
+    docs = [
+        {"_id": "1", "id": 1, "created_at": "2024-05-01 10:00:00",
+         "updated_at": "2024-05-01 10:00:00"},
+        {"_id": "2", "id": 2, "created_at": "2024-05-02 10:00:00",
+         "updated_at": "2024-05-02 10:00:00"},
+    ]
+    srv, host, log = _es_sync_parts(tmp_path, docs, mapping=mapping)
+    try:
+        sess = ScrollSession(host=host, size=500)
+        target = WarehouseTarget(spark, str(tmp_path / "wh"))
+        state = StateStore(spark, str(tmp_path / "wh"))
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n) == ("full", 2)
+        st = state.get("ev")
+        assert st.time_field == "created_at"
+        assert st.update_time_field == "updated_at"
+        assert st.last_update_time == "2024-05-02 10:00:00"
+        # doc 1 is UPDATED in place: old created_at, new updated_at
+        docs[0] = {"_id": "1", "id": 1,
+                   "created_at": "2024-05-01 10:00:00",
+                   "updated_at": "2024-05-03 09:00:00"}
+        del log[:]
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n) == ("incremental", 1)
+        inits = [
+            r for r in log
+            if r.get("path") == "/ev/_search" and "query" in r.get("body", {})
+        ]
+        q = inits[0]["body"]["query"]["bool"]
+        assert q.get("minimum_should_match") == 1
+        fields = [list(c["range"])[0] for c in q["should"]]
+        assert fields == ["created_at", "updated_at"]
+        st = state.get("ev")
+        # time watermark did NOT regress to the late row's old created_at
+        assert st.last_sync_time == "2024-05-02 10:00:00"
+        assert st.last_update_time == "2024-05-03 09:00:00"
+        # idle round: neither range matches now
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n) == ("incremental", 0)
+    finally:
+        srv.shutdown()

@@ -128,6 +128,21 @@ class _FakeMongod(socketserver.ThreadingTCPServer):
                         self.request.close()  # mid-scan connection drop
                         return
                     served += 1
+                    if "listCollections" in cmd:
+                        reply = {
+                            "cursor": {
+                                "firstBatch": [
+                                    {"name": "events"},
+                                    {"name": "orders"},
+                                    {"name": "system.views"},
+                                ],
+                                "id": 0,
+                                "ns": f"{cmd.get('$db')}.$cmd.listCollections",
+                            },
+                            "ok": 1,
+                        }
+                        self.request.sendall(op_msg(1000 + rid, reply, rid))
+                        continue
                     rows = sorted(outer.docs, key=lambda d: d["_id"])
                     gt = cmd.get("filter", {}).get("_id", {}).get("$gt")
                     if gt is not None:
@@ -256,3 +271,108 @@ def test_find_command_matches_keyset_golden():
         assert wc["limit"] == kc["limit"]
         assert wc["sort"] == dict(kc["sort"])
         assert wc["find"] == "coll" and wc["$db"] == "db1"
+
+
+# ------------------------------------------------------ live sync mode
+
+
+def test_list_collections_over_wire(fake_mongod):
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        MongoWireSession,
+        list_collections,
+    )
+
+    port, log = fake_mongod()
+    names = list_collections(MongoWireSession(port=port, database="db"))
+    assert names == ["events", "orders", "system.views"]
+    assert log[0]["listCollections"] == 1 and log[0]["$db"] == "db"
+
+
+def test_typed_watermark_heuristic():
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        ObjectId,
+        typed_watermark,
+    )
+
+    oid = typed_watermark("0123456789abcdef01234567")
+    assert isinstance(oid, ObjectId) and str(oid) == "0123456789abcdef01234567"
+    assert typed_watermark("12345") == 12345
+    assert typed_watermark("id-04") == "id-04"
+    assert typed_watermark(None) is None
+
+
+def test_sync_incremental_mongo_wire_rounds(fake_mongod, spark, tmp_path):
+    """The Mongo daemon's loop body live over OP_MSG: full bootstrap,
+    keyset-resumed incremental (typed $gt watermark on the wire), idle
+    no-op — rows land in the warehouse stringify-projected, state
+    commits the max _id (mongodb_to_bytehouse.py:524-531,611-631)."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        MongoWireSession,
+        sync_incremental_mongo_wire,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    docs = [
+        {"_id": f"id-{i:02d}", "n": i, "tags": ["a", f"t{i}"]}
+        for i in range(4)
+    ]
+    port, log = fake_mongod(docs=docs)
+    sess = MongoWireSession(port=port, database="db", batch_size=2)
+    target = WarehouseTarget(spark, str(tmp_path / "wh"))
+    state = StateStore(spark, str(tmp_path / "wh"))
+    mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
+    assert (mode, n, wm) == ("full", 4, "id-03")
+    st = state.get("ev")
+    assert st.last_id == "id-03" and st.last_sync_count == 4
+    # round 2: two new docs arrive past the watermark
+    docs.extend(
+        {"_id": f"id-{i:02d}", "n": i, "tags": ["b"]} for i in (4, 5)
+    )
+    del log[:]
+    mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
+    assert (mode, n, wm) == ("incremental", 2, "id-05")
+    # the resume filter reached the wire as a typed $gt
+    finds = [c for c in log if "find" in c]
+    assert finds[0]["filter"] == {"_id": {"$gt": "id-03"}}
+    # round 3: idle — no rows parsed, state untouched
+    mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
+    assert (mode, n, wm) == ("incremental", 0, "id-05")
+    wh = spark.read.parquet(str(tmp_path / "wh" / "ev"))
+    assert sorted(r["_id"] for r in wh.select("_id").collect()) == [
+        f"id-{i:02d}" for i in range(6)
+    ]
+
+
+def test_cli_mongo_wire_mode(fake_mongod, spark, tmp_path, capsys):
+    """`--mongo-uri` through the CLI: live listCollections catalog with
+    the system-collection filter, glob expansion, typo rejection."""
+    import json as _json
+
+    from es_to_clickhouse_spark.__main__ import main
+
+    docs = [{"_id": f"id-{i:02d}", "n": i} for i in range(3)]
+    port, log = fake_mongod(docs=docs)
+    wh = str(tmp_path / "wh")
+    base = [
+        "--mode", "incremental", "--warehouse", wh,
+        "--mongo-uri", f"mongodb://127.0.0.1:{port}",
+        "--mongo-database", "db",
+    ]
+    rc = main(base + ["--tables", "ev*"], environ={})
+    assert rc == 0
+    out = [
+        _json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert out == [
+        {"table": "events", "mode": "full_mongo_wire", "rows": 3,
+         "watermark": "id-02"}
+    ]
+    # system.views is filtered from the catalog: a glob matching only it
+    # reports no match and exits non-zero
+    rc = main(base + ["--tables", "system*"], environ={})
+    assert rc == 1
+    # typo'd plain name fails loudly
+    rc = main(base + ["--tables", "nope"], environ={})
+    assert rc == 1
