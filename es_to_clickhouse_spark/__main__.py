@@ -224,9 +224,10 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
     env = EnvConfig.from_env(environ)
     parser = build_parser(env)
     args = parser.parse_args(argv)
-    ch_http_mode = args.mode == "incremental" and args.ch_http_url
-    es_http_mode = args.mode == "incremental" and args.es_http_url
-    mongo_mode = args.mode == "incremental" and args.mongo_uri
+    live_capable = args.mode in ("incremental", "continuous")
+    ch_http_mode = live_capable and args.ch_http_url
+    es_http_mode = live_capable and args.es_http_url
+    mongo_mode = live_capable and args.mongo_uri
     live_modes = [m for m in (ch_http_mode, es_http_mode, mongo_mode) if m]
     if len(live_modes) > 1:
         parser.error(
@@ -268,123 +269,117 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
         target.max_records_per_file = args.batch_size
         if args.ch_sink_url:
             target.source.batch_size = args.batch_size
-    if ch_http_mode:
-        # live ClickHouse source over the HTTP interface — the
-        # reference clickhouse daemon's incremental mode
-        # (clickhouse_to_bytehouse.py:499-512), jar-free; no parquet
-        # catalog involved
-        from es_to_clickhouse_spark.sources.ch_http import (
-            ClickHouseHttpSource,
-            sync_incremental_http,
-        )
+    if live_mode:
+        # live jar-free sources — all three reference daemons'
+        # incremental loop bodies on one shared rounds loop. --mode
+        # incremental = one round; --mode continuous = the reference's
+        # poll loop (es/es_to_bytehouse.py:1053-1102: re-list the
+        # catalog, sync each match, sleep INCREMENTAL_INTERVAL),
+        # bounded by --max-rounds for tests, forever otherwise.
+        import time as _time
 
-        src = ClickHouseHttpSource(
-            host=args.ch_http_url, database=args.ch_database
-        )
+        from es_to_clickhouse_spark.functions import is_system_name
+
         state = StateStore(spark, args.warehouse)
-        tables, failures = _expand_patterns(args.tables, src.list_tables())
-        for table in tables:
-            try:
+        if ch_http_mode:
+            # (clickhouse_to_bytehouse.py:499-512)
+            from es_to_clickhouse_spark.sources.ch_http import (
+                ClickHouseHttpSource,
+                sync_incremental_http,
+            )
+
+            src = ClickHouseHttpSource(
+                host=args.ch_http_url, database=args.ch_database
+            )
+            list_fn = src.list_tables
+
+            def sync_one(table):
                 n, cond, wm = sync_incremental_http(
                     spark, src, target, state, table,
                     time_column=args.time_column, start_date=args.start_date,
                 )
-            except OSError as e:  # urllib errors are OSError subclasses
-                print(json.dumps({"table": table, "error": str(e)}))
-                failures += 1
-                continue
-            print(
-                json.dumps(
-                    {"table": table, "mode": "incremental_ch_http",
-                     "rows": n, "condition": cond, "watermark": wm}
-                )
+                return {"table": table, "mode": "incremental_ch_http",
+                        "rows": n, "condition": cond, "watermark": wm}
+        elif es_http_mode:
+            # sliced-scroll live ES (es/es_to_bytehouse.py:963-1006);
+            # composed with --ch-sink-url this is the reference's exact
+            # ES→ClickHouse pipeline, end-to-end jar-free
+            from es_to_clickhouse_spark.sources.es import (
+                ScrollSession,
+                list_indices,
+                sync_incremental_es_http,
             )
-        return 1 if failures else 0
-    if es_http_mode:
-        # live Elasticsearch source over the jar-free sliced-scroll
-        # path — the reference ES daemon's incremental loop
-        # (es/es_to_bytehouse.py:963-1006) with full-bootstrap for
-        # unseen indices; composes with --ch-sink-url into the
-        # reference's exact ES→ClickHouse pipeline, end-to-end jar-free
-        from es_to_clickhouse_spark.functions import is_system_name
-        from es_to_clickhouse_spark.sources.es import (
-            ScrollSession,
-            list_indices,
-            sync_incremental_es_http,
-        )
 
-        sess = ScrollSession(host=args.es_http_url)
-        state = StateStore(spark, args.warehouse)
-        try:
-            available = [
-                n for n in list_indices(sess) if not is_system_name(n, "es")
-            ]
-        except OSError as e:
-            print(json.dumps({"error": f"catalog: {e}"}))
-            return 1
-        tables, failures = _expand_patterns(args.tables, available)
-        for index in tables:
-            try:
+            sess = ScrollSession(host=args.es_http_url)
+
+            def list_fn():
+                return [
+                    n for n in list_indices(sess)
+                    if not is_system_name(n, "es")
+                ]
+
+            def sync_one(index):
                 mode, n, wm = sync_incremental_es_http(
                     spark, sess, target, state, index,
                     start_date=args.start_date, slices=args.slices,
                     store_source=args.store_source,
                 )
-            except OSError as e:  # urllib errors are OSError subclasses
-                print(json.dumps({"table": index, "error": str(e)}))
-                failures += 1
-                continue
-            print(
-                json.dumps(
-                    {"table": index, "mode": f"{mode}_es_http",
-                     "rows": n, "watermark": wm}
-                )
+                return {"table": index, "mode": f"{mode}_es_http",
+                        "rows": n, "watermark": wm}
+        else:
+            # raw OP_MSG live Mongo (mongodb_to_bytehouse.py:811-866)
+            import urllib.parse as _up
+
+            from es_to_clickhouse_spark.sources.mongo_wire import (
+                MongoWireSession,
+                list_collections,
+                sync_incremental_mongo_wire,
             )
-        return 1 if failures else 0
-    if mongo_mode:
-        # live MongoDB over the raw OP_MSG socket — the third reference
-        # daemon (mongodb/mongodb_to_bytehouse.py:811-866): keyset scan
-        # with typed _id resume, full bootstrap for unseen collections
-        import urllib.parse as _up
 
-        from es_to_clickhouse_spark.functions import is_system_name
-        from es_to_clickhouse_spark.sources.mongo_wire import (
-            MongoWireSession,
-            list_collections,
-            sync_incremental_mongo_wire,
-        )
+            u = _up.urlsplit(args.mongo_uri)
+            msess = MongoWireSession(
+                host=u.hostname or "127.0.0.1",
+                port=u.port or 27017,
+                database=args.mongo_database,
+            )
 
-        u = _up.urlsplit(args.mongo_uri)
-        sess = MongoWireSession(
-            host=u.hostname or "127.0.0.1",
-            port=u.port or 27017,
-            database=args.mongo_database,
-        )
-        state = StateStore(spark, args.warehouse)
-        try:
-            available = [
-                c for c in list_collections(sess)
-                if not is_system_name(c, "mongo")
-            ]
-        except OSError as e:
-            print(json.dumps({"error": f"catalog: {e}"}))
-            return 1
-        tables, failures = _expand_patterns(args.tables, available)
-        for coll in tables:
-            try:
+            def list_fn():
+                return [
+                    c for c in list_collections(msess)
+                    if not is_system_name(c, "mongo")
+                ]
+
+            def sync_one(coll):
                 mode, n, wm = sync_incremental_mongo_wire(
-                    spark, sess, target, state, coll
+                    spark, msess, target, state, coll
                 )
+                return {"table": coll, "mode": f"{mode}_mongo_wire",
+                        "rows": n, "watermark": wm}
+
+        failures = 0
+        rounds = 0
+        while True:
+            try:
+                # re-listed EVERY round like the reference daemons —
+                # tables created mid-run join the next round
+                available = list_fn()
             except OSError as e:
-                print(json.dumps({"table": coll, "error": str(e)}))
-                failures += 1
-                continue
-            print(
-                json.dumps(
-                    {"table": coll, "mode": f"{mode}_mongo_wire",
-                     "rows": n, "watermark": wm}
-                )
-            )
+                print(json.dumps({"error": f"catalog: {e}"}))
+                return 1
+            tables, f = _expand_patterns(args.tables, available)
+            failures += f
+            for table in tables:
+                try:
+                    print(json.dumps(sync_one(table)))
+                except OSError as e:  # urllib/socket errors
+                    print(json.dumps({"table": table, "error": str(e)}))
+                    failures += 1
+            rounds += 1
+            if args.mode != "continuous" or (
+                args.max_rounds is not None and rounds >= args.max_rounds
+            ):
+                break
+            _time.sleep(args.interval)
         return 1 if failures else 0
     engine = SyncEngine(
         spark=spark,

@@ -510,3 +510,35 @@ def test_sync_es_http_late_update_or_ranges(spark, tmp_path):
         assert (mode, n) == ("incremental", 0)
     finally:
         srv.shutdown()
+
+
+def test_cli_es_continuous_mode(spark, tmp_path, capsys):
+    """`--mode continuous` on a live source is the reference daemon's
+    poll loop (es/es_to_bytehouse.py:1053-1102): the catalog re-lists
+    every round, round 1 full-bootstraps, round 2 is an incremental
+    idle no-op, --max-rounds bounds the loop."""
+    from es_to_clickhouse_spark.__main__ import main
+
+    docs = [
+        {"_id": "1", "id": 1, "name": "a", "created_at": "2024-05-01 10:00:00"},
+    ]
+    srv, host, log = _es_sync_parts(tmp_path, docs)
+    try:
+        rc = main(
+            ["--mode", "continuous", "--warehouse", str(tmp_path / "wh"),
+             "--es-http-url", host, "--tables", "ev",
+             "--interval", "0", "--max-rounds", "2"],
+            environ={},
+        )
+        assert rc == 0
+        out = [
+            json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        assert [o["mode"] for o in out] == ["full_es_http", "incremental_es_http"]
+        assert [o["rows"] for o in out] == [1, 0]
+        # the catalog was re-listed each round
+        cats = [r for r in log if r.get("path", "").startswith("/_cat/indices")]
+        assert len(cats) == 2
+    finally:
+        srv.shutdown()

@@ -969,6 +969,60 @@ def test_warc_record_inventory_walk(spark):
         assert got[aid].n_records is None, aid
 
 
+def test_warc_pandas_walker_matches_column_fold(spark):
+    """The Arrow-batched WARC scale path must agree with the Column
+    fold ROW FOR ROW — lookalike headers inside content, binary bytes,
+    truncation, bad version, wrong Content-Length, the record cap, NULL
+    payloads — Common Crawl-scale files switch paths without changing
+    results (MM_THROUGHPUT.md's fold law)."""
+
+    def rec(wtype, content: bytes, version=b"WARC/1.0", clen=None):
+        n = len(content) if clen is None else clen
+        return (
+            version + b"\r\n"
+            + b"WARC-Type: " + wtype.encode() + b"\r\n"
+            + b"WARC-Record-ID: <urn:uuid:x>\r\n"
+            + b"Content-Length: " + str(n).encode() + b"\r\n\r\n"
+            + content + b"\r\n\r\n"
+        )
+
+    trap = b"abc\r\n\r\nWARC/1.0\r\nContent-Length: 9\r\n\r\n\xe9\xff"
+    good = (
+        rec("warcinfo", b"software: test")
+        + rec("response", trap)
+        + rec("request", b"GET / HTTP/1.1")
+        + rec("response", b"")
+    )
+    at_cap = b"".join(rec("response", b"x") for _ in range(8))
+    over_cap = b"".join(rec("response", b"x") for _ in range(9))
+    rows_in = [
+        (1, good),
+        (2, rec("response", b"hello")),
+        (3, good[:-9]),
+        (4, rec("response", b"hello", version=b"HTTP/1.1")),
+        (5, rec("response", b"hello", clen=3)),
+        (6, at_cap),
+        (7, over_cap),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows_in, "asset_id long, payload binary")
+    fold = {
+        r.asset_id: r
+        for r in multimodal.warc_record_inventory(df, max_records=8).collect()
+    }
+    arrow = {
+        r.asset_id: r
+        for r in multimodal.warc_record_inventory_pandas(
+            df, max_records=8
+        ).collect()
+    }
+    assert set(fold) == set(arrow) == set(range(1, 9))
+    for aid in fold:
+        assert fold[aid].asDict() == arrow[aid].asDict(), aid
+    assert arrow[6].n_records == 8
+    assert arrow[7].n_records is None
+
+
 def test_tar_archive_inventory_real_archives(spark):
     """tar_archive_inventory inverts REAL archives written by the
     stdlib tarfile module (ustar format): entry/file/dir counts and
