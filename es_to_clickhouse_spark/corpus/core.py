@@ -236,6 +236,81 @@ def s23_es_to_ch_pipeline(spark, sf_dir):
 
 
 @query(
+    "s24_mongo_to_ch_pipeline",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+           CAST(o_custkey AS VARCHAR) AS o_custkey,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 50 = 3
+    """,
+)
+def s24_mongo_to_ch_pipeline(spark, sf_dir):
+    """The reference's Mongo daemon end to end
+    (mongodb/mongodb_to_bytehouse.py), oracle-checked over two real
+    sockets — the OP_MSG twin of ``s23_es_to_ch_pipeline``:
+
+    1. a loopback fake mongod (sources/mongo_fixture.py) serves a
+       bounded orders sample as real BSON over raw TCP;
+    2. :func:`sources.mongo_wire.sync_incremental_mongo_wire` drains it
+       with the keyset scan (fresh ``find`` per page, ``_id $gt``
+       watermark), STRINGIFY-projects (the Mongo dialect — every scalar
+       through the reference's ``str()`` posture) and lands the rows on
+       a loopback ClickHouse through the live sink;
+    3. the returned DataFrame is the ClickHouse side read back with
+       ``read_table``.
+
+    Stringify fidelity is part of the oracle: long columns must come
+    back as their exact decimal strings. The 1/50 sample keeps the
+    fixtures bounded."""
+    import tempfile
+
+    from es_to_clickhouse_spark.sources.ch_fixture import serve_clickhouse
+    from es_to_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpSource,
+        ClickHouseHttpTarget,
+    )
+    from es_to_clickhouse_spark.sources.mongo_fixture import serve_collection
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        MongoWireSession,
+        sync_incremental_mongo_wire,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    seed = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 3)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .collect()  # bounded: 1/50 sample of orders
+    )
+    docs = [{"_id": f"{r.o_orderkey:012d}", **r.asDict()} for r in seed]
+    store: list[dict] = []  # CH fake live table: INSERT lands, SELECT serves
+    m_srv, m_port, _ = serve_collection(docs, collections=("orders",))
+    ch_srv, ch_host, _, _ = serve_clickhouse(
+        inserted=store, rows_ref=store, strict_columns=True,
+        seen_tokens=set(), start_empty=True,
+    )
+    try:
+        ch = ClickHouseHttpSource(host=ch_host, database="tgt_db")
+        mode, n, _wm = sync_incremental_mongo_wire(
+            spark,
+            MongoWireSession(port=m_port, database="db", batch_size=500),
+            ClickHouseHttpTarget(ch),
+            StateStore(spark, tempfile.mkdtemp(prefix="s24_state_")),
+            "orders",
+        )
+        assert mode == "full" and n == len(docs), (mode, n)
+        df = (
+            ch.read_table(spark, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+            .localCheckpoint()  # eager: drains the wire before teardown
+        )
+    finally:
+        m_srv.shutdown()
+        ch_srv.shutdown()
+    return df
+
+
+@query(
     "s6_paged_scan",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

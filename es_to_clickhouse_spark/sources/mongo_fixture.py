@@ -1,0 +1,96 @@
+"""Loopback MongoDB fixture: a FUNCTIONAL OP_MSG endpoint (raw TCP,
+real BSON framing via the engine's own bounded codec) — used to drive
+the jar-free Mongo wire paths end-to-end with zero network, by
+tests/test_mongo_wire.py and by the corpus's ``s24_mongo_to_ch_pipeline``
+(which round-trips rows through the live keyset sync and the ClickHouse
+sink fixture).
+
+Implements just enough of the command surface the engine emits:
+
+- ``find`` with the keyset shape (``_id $gt`` filter, ascending sort,
+  ``limit``) — fresh cursor per page, id 0 (no getMore state);
+- ``listCollections`` → the configured collection names;
+- ``fail_after=N``: drop the connection after N served commands (the
+  mid-scan transport-failure contract tests pin).
+
+NOT a reference-code port: the reference has no test server at all;
+this exists so the protocol the reference drives against a real mongod
+(mongodb/mongodb_to_bytehouse.py:524-531) is exercised over an actual
+socket."""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+
+from es_to_clickhouse_spark.sources.mongo_wire import (
+    op_msg,
+    parse_op_msg,
+    read_frame,
+)
+
+
+class FakeMongod(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, docs, log, fail_after=None,
+                 collections=("events", "orders", "system.views")):
+        self.docs, self.log, self.fail_after = docs, log, fail_after
+        self.collections = collections
+
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                served = 0
+                while True:
+                    try:
+                        frame = read_frame(self.request)
+                    except OSError:
+                        return
+                    rid, _, cmd = parse_op_msg(frame)
+                    outer.log.append(cmd)
+                    if outer.fail_after is not None and served >= outer.fail_after:
+                        self.request.close()  # mid-scan connection drop
+                        return
+                    served += 1
+                    if "listCollections" in cmd:
+                        reply = {
+                            "cursor": {
+                                "firstBatch": [
+                                    {"name": c} for c in outer.collections
+                                ],
+                                "id": 0,
+                                "ns": f"{cmd.get('$db')}.$cmd.listCollections",
+                            },
+                            "ok": 1,
+                        }
+                        self.request.sendall(op_msg(1000 + rid, reply, rid))
+                        continue
+                    rows = sorted(outer.docs, key=lambda d: d["_id"])
+                    gt = cmd.get("filter", {}).get("_id", {}).get("$gt")
+                    if gt is not None:
+                        rows = [d for d in rows if d["_id"] > gt]
+                    rows = rows[: cmd.get("limit", 101)]
+                    reply = {
+                        "cursor": {
+                            "firstBatch": rows,
+                            "id": 0,
+                            "ns": f"{cmd.get('$db')}.{cmd.get('find')}",
+                        },
+                        "ok": 1,
+                    }
+                    self.request.sendall(op_msg(1000 + rid, reply, rid))
+
+        super().__init__(("127.0.0.1", 0), Handler)
+
+
+def serve_collection(docs, log=None, fail_after=None,
+                     collections=("events", "orders", "system.views")):
+    """Start a loopback fake mongod serving ``docs``. Returns
+    ``(server, port, log)`` — caller shuts the server down."""
+    log = [] if log is None else log
+    srv = FakeMongod(docs, log, fail_after, collections)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1], log

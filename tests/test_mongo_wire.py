@@ -7,7 +7,6 @@ a socket and parses actual BSON replies."""
 from __future__ import annotations
 
 import socket
-import socketserver
 import struct
 import threading
 
@@ -105,60 +104,9 @@ def test_op_msg_frame_roundtrip_and_validation():
 # ------------------------------------------------------ loopback fake
 
 
-class _FakeMongod(socketserver.ThreadingTCPServer):
-    allow_reuse_address = True
-    daemon_threads = True
-
-    def __init__(self, docs, log, fail_after=None):
-        self.docs, self.log, self.fail_after = docs, log, fail_after
-
-        outer = self
-
-        class Handler(socketserver.BaseRequestHandler):
-            def handle(self):
-                served = 0
-                while True:
-                    try:
-                        frame = read_frame(self.request)
-                    except OSError:
-                        return
-                    rid, _, cmd = parse_op_msg(frame)
-                    outer.log.append(cmd)
-                    if outer.fail_after is not None and served >= outer.fail_after:
-                        self.request.close()  # mid-scan connection drop
-                        return
-                    served += 1
-                    if "listCollections" in cmd:
-                        reply = {
-                            "cursor": {
-                                "firstBatch": [
-                                    {"name": "events"},
-                                    {"name": "orders"},
-                                    {"name": "system.views"},
-                                ],
-                                "id": 0,
-                                "ns": f"{cmd.get('$db')}.$cmd.listCollections",
-                            },
-                            "ok": 1,
-                        }
-                        self.request.sendall(op_msg(1000 + rid, reply, rid))
-                        continue
-                    rows = sorted(outer.docs, key=lambda d: d["_id"])
-                    gt = cmd.get("filter", {}).get("_id", {}).get("$gt")
-                    if gt is not None:
-                        rows = [d for d in rows if d["_id"] > gt]
-                    rows = rows[: cmd.get("limit", 101)]
-                    reply = {
-                        "cursor": {
-                            "firstBatch": rows,
-                            "id": 0,
-                            "ns": f"{cmd.get('$db')}.{cmd.get('find')}",
-                        },
-                        "ok": 1,
-                    }
-                    self.request.sendall(op_msg(1000 + rid, reply, rid))
-
-        super().__init__(("127.0.0.1", 0), Handler)
+from es_to_clickhouse_spark.sources.mongo_fixture import (  # noqa: E402
+    FakeMongod as _FakeMongod,  # one copy: package fixture, shared with s24
+)
 
 
 @pytest.fixture()
