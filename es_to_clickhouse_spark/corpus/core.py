@@ -311,6 +311,99 @@ def s24_mongo_to_ch_pipeline(spark, sf_dir):
 
 
 @query(
+    "s25_ch_to_ch_pipeline",
+    """
+    SELECT event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at_s, value
+    FROM events WHERE event_id % 50 = 21
+    """,
+)
+def s25_ch_to_ch_pipeline(spark, sf_dir):
+    """The reference's ClickHouse daemon end to end
+    (clickhouse/clickhouse_to_bytehouse.py: CH source → CH/ByteHouse
+    target), oracle-checked over two real sockets — completing the
+    trilogy with s23 (ES) and s24 (Mongo):
+
+    1. a loopback ClickHouse fixture serves a bounded events sample
+       with a typed DESCRIBE (DateTime column included — timestamps
+       must survive BOTH hops);
+    2. :func:`sources.ch_http.sync_incremental_http` reads it
+       distributed (executor-side fetch, FAILFAST typed parse), with
+       the stateless 1-day bootstrap condition (P6), and lands the rows
+       on a SECOND loopback ClickHouse through the live sink
+       (CREATE typed DDL incl. DateTime64(3), token-deduped NDJSON
+       INSERT with millisecond timestamps);
+    3. the returned DataFrame is the target side read back with
+       ``read_table`` — the DESCRIBE-typed parse must accept the
+       sink's own ``.SSS`` wire format.
+
+    The 1/50 sample keeps the fixtures bounded."""
+    import tempfile
+
+    from es_to_clickhouse_spark.sources.ch_fixture import serve_clickhouse
+    from es_to_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpSource,
+        ClickHouseHttpTarget,
+        sync_incremental_http,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    seed = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 50 == 21)
+        .select(
+            "event_id",
+            ts_seconds(F.col("ts")).alias("created_at"),
+            "event_type",
+            "value",
+        )
+        .collect()  # bounded: 1/50 sample of events
+    )
+    src_rows = [r.asDict() for r in seed]
+    src_schema = [
+        {"name": "event_id", "type": "Int64"},
+        {"name": "created_at", "type": "DateTime"},
+        {"name": "event_type", "type": "String"},
+        {"name": "value", "type": "Float64"},
+    ]
+    store: list[dict] = []
+    src_srv, src_host, _, _ = serve_clickhouse(
+        rows_ref=src_rows, schema=src_schema
+    )
+    tgt_srv, tgt_host, _, _ = serve_clickhouse(
+        inserted=store, rows_ref=store, strict_columns=True,
+        seen_tokens=set(), start_empty=True,
+    )
+    try:
+        src = ClickHouseHttpSource(host=src_host, database="src_db")
+        tgt = ClickHouseHttpSource(host=tgt_host, database="tgt_db")
+        n, _cond, _wm = sync_incremental_http(
+            spark, src, ClickHouseHttpTarget(tgt),
+            StateStore(spark, tempfile.mkdtemp(prefix="s25_state_")),
+            "events", time_column="created_at",
+        )
+        assert n == len(seed), n
+        df = (
+            tgt.read_table(
+                spark, "events",
+                partition_column="event_id", bounds=(0, 1_000_000),
+                num_partitions=4,
+            )
+            .select(
+                "event_id",
+                "event_type",
+                ts_seconds(F.col("created_at")).alias("created_at_s"),
+                "value",
+            )
+            .localCheckpoint()  # eager: drains the wire before teardown
+        )
+    finally:
+        src_srv.shutdown()
+        tgt_srv.shutdown()
+    return df
+
+
+@query(
     "s6_paged_scan",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
