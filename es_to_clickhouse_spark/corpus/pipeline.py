@@ -1630,9 +1630,7 @@ def mm17_flac_streaminfo(spark, sf_dir):
     return flac_streaminfo(assets)
 
 
-@query(
-    "mm18_mp3_frame_inventory",
-    """
+MM18_SQL = """
     WITH base AS (
       SELECT doc_id AS asset_id,
              CAST(doc_id % 8 + 1 AS BIGINT) AS nf,
@@ -1655,21 +1653,16 @@ def mm17_flac_streaminfo(spark, sf_dir):
                       / [44100,48000,32000][sidx + 1]) AS BIGINT)
              AS duration_ms
     FROM d GROUP BY asset_id, nf, sidx
-    """,
-)
-def mm18_mp3_frame_inventory(spark, sf_dir):
-    """MP3 frame-walk inventory — frame count / sample rate / VBR max
-    bitrate / duration from header hops alone
-    (operators/multimodal.mp3_frame_inventory). Fixture builds REAL
-    variable-bitrate streams: 1-8 frames per doc, the bitrate index and
-    padding bit changing EVERY frame (so each frame's length differs —
-    any hop mistake desyncs the walk and fails the file), three sample
-    rates across docs. Oracle is ground truth from the construction
-    formulas."""
+    """
+
+
+def _mp3_assets(spark, sf_dir):
+    """Shared VBR MP3 fixture (mm18 fold / mm23 Arrow walker): REAL
+    variable-bitrate streams, 1-8 frames per doc, bitrate index and
+    padding bit changing EVERY frame, three sample rates across docs."""
     from es_to_clickhouse_spark.operators.multimodal import (
         MP3_BITRATES_KBPS,
         MP3_SAMPLE_RATES,
-        mp3_frame_inventory,
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
@@ -1698,15 +1691,27 @@ def mm18_mp3_frame_inventory(spark, sf_dir):
             "", F.transform(F.sequence(F.lit(0), n_frames - 1), frame_piece)
         )
     )
-    assets = docs.select(
+    return docs.select(
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
-    return mp3_frame_inventory(assets)
 
 
-@query(
-    "mm19_warc_inventory",
-    """
+@query("mm18_mp3_frame_inventory", MM18_SQL)
+def mm18_mp3_frame_inventory(spark, sf_dir):
+    """MP3 frame-walk inventory — frame count / sample rate / VBR max
+    bitrate / duration from header hops alone
+    (operators/multimodal.mp3_frame_inventory). Fixture builds REAL
+    variable-bitrate streams (see :func:`_mp3_assets`; any hop mistake
+    desyncs the walk and fails the file). Oracle is ground truth from
+    the construction formulas."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        mp3_frame_inventory,
+    )
+
+    return mp3_frame_inventory(_mp3_assets(spark, sf_dir))
+
+
+MM19_SQL = """
     WITH base AS (
       SELECT doc_id AS asset_id, CAST(doc_id % 5 + 1 AS BIGINT) AS nr
       FROM documents
@@ -1725,21 +1730,14 @@ def mm18_mp3_frame_inventory(spark, sf_dir):
              AS n_request,
            CAST(sum(clen) AS BIGINT) AS content_bytes
     FROM d GROUP BY asset_id, nr
-    """,
-)
-def mm19_warc_inventory(spark, sf_dir):
-    """WARC archive inventory — the Common Crawl container, THE wire
-    format a 100 TB LLM-data pipeline ingests first
-    (operators/multimodal.warc_record_inventory): record / response /
-    request counts and total content bytes by Content-Length-driven
-    record hops. Fixture builds real multi-record archives (1-5 records
-    per doc, types cycling response/request/warcinfo, content lengths
-    varying per record so any hop error desyncs the walk); oracle is
-    ground truth from the construction formulas."""
-    from es_to_clickhouse_spark.operators.multimodal import (
-        warc_record_inventory,
-    )
+    """
 
+
+def _warc_assets(spark, sf_dir):
+    """Shared WARC fixture (mm19 fold / mm24 Arrow walker): real
+    multi-record archives, 1-5 records per doc, types cycling
+    response/request/warcinfo, content lengths varying per record so
+    any hop error desyncs the walk."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id")
     n_rec = (did % 5 + 1).cast("int")
@@ -1762,10 +1760,24 @@ def mm19_warc_inventory(spark, sf_dir):
         ),
         "UTF-8",  # ASCII fixture: identical bytes under ISO-8859-1
     )
-    assets = docs.select(
+    return docs.select(
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
-    return warc_record_inventory(assets)
+
+
+@query("mm19_warc_inventory", MM19_SQL)
+def mm19_warc_inventory(spark, sf_dir):
+    """WARC archive inventory — the Common Crawl container, THE wire
+    format a 100 TB LLM-data pipeline ingests first
+    (operators/multimodal.warc_record_inventory): record / response /
+    request counts and total content bytes by Content-Length-driven
+    record hops over the shared fixture (:func:`_warc_assets`); oracle
+    is ground truth from the construction formulas."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        warc_record_inventory,
+    )
+
+    return warc_record_inventory(_warc_assets(spark, sf_dir))
 
 
 @query(
@@ -1966,9 +1978,7 @@ def mm21_zstd_frame_inventory(spark, sf_dir):
     return zstd_frame_inventory(assets)
 
 
-@query(
-    "mm22_tar_inventory",
-    """
+MM22_SQL = """
     WITH base AS (
       SELECT doc_id AS asset_id,
              CAST(doc_id % 3 + 1 AS BIGINT) AS nf,
@@ -1988,23 +1998,18 @@ def mm21_zstd_frame_inventory(spark, sf_dir):
            CAST(CASE WHEN has_dir THEN 1 ELSE 0 END AS BIGINT) AS n_dirs,
            CAST(sum(fsize) AS BIGINT) AS total_file_bytes
     FROM d GROUP BY asset_id, nf, has_dir
-    """,
-)
-def mm22_tar_inventory(spark, sf_dir):
-    """ustar tar inventory with VALIDATED header checksums
-    (operators/multimodal.tar_archive_inventory). The fixture builds
-    spec-complete 512-byte headers in Column algebra — including the
-    checksum, computed by a construction-side byte-sum fold over the
-    header with the checksum field as spaces, exactly the quantity the
-    DECODER must independently reproduce — so a decoder that skips or
-    mis-computes the checksum cannot pass by luck. 1-3 files per doc
-    (sizes 0-1199 bytes, spanning 0-3 data blocks), a leading directory
-    on even docs, two zero end blocks. Oracle is ground truth from the
-    construction formulas."""
-    from es_to_clickhouse_spark.operators.multimodal import (
-        tar_archive_inventory,
-    )
+    """
 
+
+def _tar_assets(spark, sf_dir):
+    """Shared ustar fixture (mm22 fold / mm25 Arrow walker): the
+    fixture builds spec-complete 512-byte headers in Column algebra —
+    including the checksum, computed by a construction-side byte-sum
+    fold over the header with the checksum field as spaces, exactly the
+    quantity the DECODER must independently reproduce — so a decoder
+    that skips or mis-computes the checksum cannot pass by luck. 1-3
+    files per doc (sizes 0-1199 bytes, spanning 0-3 data blocks), a
+    leading directory on even docs, two zero end blocks."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id")
     n_files = (did % 3 + 1).cast("int")
@@ -2077,7 +2082,61 @@ def mm22_tar_inventory(spark, sf_dir):
             F.lit("00" * 1024),  # two zero end blocks
         )
     )
-    assets = docs.select(
+    return docs.select(
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
-    return tar_archive_inventory(assets)
+
+
+@query("mm22_tar_inventory", MM22_SQL)
+def mm22_tar_inventory(spark, sf_dir):
+    """ustar tar inventory with VALIDATED header checksums
+    (operators/multimodal.tar_archive_inventory) over the shared
+    fixture (:func:`_tar_assets`); oracle is ground truth from the
+    construction formulas."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        tar_archive_inventory,
+    )
+
+    return tar_archive_inventory(_tar_assets(spark, sf_dir))
+
+
+@query("mm23_mp3_arrow_inventory", MM18_SQL)
+def mm23_mp3_arrow_inventory(spark, sf_dir):
+    """The MP3 inventory's SCALE path under the same oracle as mm18:
+    `mp3_frame_inventory_pandas` (Arrow-batched mapInPandas — the fold
+    is O(frames x payload) and measured fold-hostile beyond ~0.5 MB,
+    MM_THROUGHPUT.md) over the identical fixture. Fold and walker are
+    also pinned row-for-row by tests; this puts the walker itself under
+    the driver's DuckDB gate."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        mp3_frame_inventory_pandas,
+    )
+
+    return mp3_frame_inventory_pandas(_mp3_assets(spark, sf_dir))
+
+
+@query("mm24_warc_arrow_inventory", MM19_SQL)
+def mm24_warc_arrow_inventory(spark, sf_dir):
+    """The WARC inventory's SCALE path under the same oracle as mm19:
+    `warc_record_inventory_pandas` over the identical fixture —
+    the walker that takes over on Common Crawl-sized (~1 GB) members
+    where the fold's per-step payload re-read is prohibitive."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        warc_record_inventory_pandas,
+    )
+
+    return warc_record_inventory_pandas(_warc_assets(spark, sf_dir))
+
+
+@query("mm25_tar_arrow_inventory", MM22_SQL)
+def mm25_tar_arrow_inventory(spark, sf_dir):
+    """The tar inventory's SCALE path under the same oracle as mm22:
+    `tar_archive_inventory_pandas` over the identical fixture — one
+    sum() per 512-byte header instead of the fold's ~512 byte
+    extractions x O(payload) field re-reads (measured ~21 s/pass at
+    1 MB, MM_THROUGHPUT.md)."""
+    from es_to_clickhouse_spark.operators.multimodal import (
+        tar_archive_inventory_pandas,
+    )
+
+    return tar_archive_inventory_pandas(_tar_assets(spark, sf_dir))
