@@ -10,22 +10,28 @@ from es_to_clickhouse_spark.streaming.stateful import first_seen_stream
 
 
 def _retry_transient(fn):
-    """Retry a streaming test ONCE on a raw py4j transport error.
+    """Retry a streaming test ONCE on a transport-level failure.
 
     After ~10 minutes of full-suite load the py4j bridge occasionally
-    drops a foreachBatch round mid-flight (observed as a bare Py4JError
-    on an o####.parquet call, ~1-in-2 suite runs; never reproducible in
-    isolation). The retry runs on a FRESH directory, so a genuine logic
-    failure still reproduces and assertion failures are never retried.
+    drops a foreachBatch round mid-flight (~1-in-2 suite runs; never
+    reproducible in isolation). It surfaces either as a bare Py4JError
+    on an o####.parquet call, or — when the drop happens inside the
+    foreachBatch callback — as a StreamingQueryException from
+    awaitTermination (r9: the original Py4JError-only catch missed
+    that form and the decorated test still flaked). Both are
+    query-transport failures, never assertion outcomes, so the retry
+    can't mask a logic bug; it reruns on a FRESH directory so genuine
+    failures still reproduce.
     """
 
     @functools.wraps(fn)
     def wrapper(spark, tmp_path):
         from py4j.protocol import Py4JError
+        from pyspark.errors import StreamingQueryException
 
         try:
             return fn(spark, tmp_path / "try1")
-        except Py4JError:
+        except (Py4JError, StreamingQueryException):
             return fn(spark, tmp_path / "try2")
 
     return wrapper
