@@ -192,16 +192,33 @@ def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
     return p
 
 
-def _expand_patterns(patterns: str, available: list[str]) -> tuple[list[str], int]:
+def _expand_patterns(
+    patterns: str,
+    available: list[str],
+    seen_errors: set[str] | None = None,
+) -> tuple[list[str], int]:
     """Expand comma-separated glob patterns against a LIVE catalog and
     reject typo'd plain names up front — the same contract as the
     parquet-catalog path (fnmatch glob semantics,
     clickhouse_to_bytehouse.py:83-98). Prints one JSON error line per
-    failure; returns (tables deduped in order, failure count)."""
+    failure; returns (tables deduped in order, failure count). The
+    failure count is PER CALL — a continuous loop re-lists the catalog
+    every round, so a name that only materializes after round 1 must
+    stop counting once it matches (ADVICE r9). ``seen_errors``: a set
+    the caller carries across rounds to print each distinct error line
+    once instead of every round."""
     import fnmatch
 
     tables: list[str] = []
     failures = 0
+
+    def _err(line: dict) -> None:
+        key = json.dumps(line, sort_keys=True)
+        if seen_errors is None or key not in seen_errors:
+            print(json.dumps(line))
+            if seen_errors is not None:
+                seen_errors.add(key)
+
     for pat in (patterns or "").split(","):
         pat = pat.strip()
         if not pat:
@@ -209,11 +226,11 @@ def _expand_patterns(patterns: str, available: list[str]) -> tuple[list[str], in
         if any(ch in pat for ch in "*?["):
             hits = [t for t in available if fnmatch.fnmatch(t, pat)]
             if not hits:
-                print(json.dumps({"pattern": pat, "error": "no match"}))
+                _err({"pattern": pat, "error": "no match"})
                 failures += 1
             tables.extend(hits)
         elif pat not in available:
-            print(json.dumps({"table": pat, "error": "table not found"}))
+            _err({"table": pat, "error": "table not found"})
             failures += 1
         else:
             tables.append(pat)
@@ -357,7 +374,9 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
                         "rows": n, "watermark": wm}
 
         failures = 0
-        rounds = 0
+        pattern_failures = 0  # latest round only: a plain name that
+        rounds = 0            # appears mid-run stops counting (ADVICE r9)
+        seen_errors: set[str] = set()
         while True:
             try:
                 # re-listed EVERY round like the reference daemons —
@@ -366,8 +385,9 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
             except OSError as e:
                 print(json.dumps({"error": f"catalog: {e}"}))
                 return 1
-            tables, f = _expand_patterns(args.tables, available)
-            failures += f
+            tables, pattern_failures = _expand_patterns(
+                args.tables, available, seen_errors=seen_errors
+            )
             for table in tables:
                 try:
                     print(json.dumps(sync_one(table)))
@@ -380,7 +400,7 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
             ):
                 break
             _time.sleep(args.interval)
-        return 1 if failures else 0
+        return 1 if failures or pattern_failures else 0
     engine = SyncEngine(
         spark=spark,
         catalog=ParquetCatalog(spark, args.source_dir),

@@ -605,6 +605,15 @@ def sync_incremental_es_http(
     time_field = st.time_field if st else detect_time_field(sanitized_fields)
     since = st.last_sync_time if st else start_date
     mode = "incremental" if since and time_field else "full"
+    if st is not None and mode == "full":
+        # Bootstrap already ran but there is no watermark to advance on
+        # (no detectable time field, or one whose values were all null):
+        # re-running the full match_all scan would re-append every row
+        # EVERY poll round — unbounded duplication in --mode continuous.
+        # The reference daemon refuses such indices outright
+        # (es/es_to_bytehouse.py:968-971); having accepted ONE full
+        # bootstrap under auto semantics, we hold instead of re-scan.
+        return "skipped_no_time_field", 0, since
     if mode == "incremental":
         original = original_time_field(time_field, mapping)
         update_field = st.update_time_field if st else None

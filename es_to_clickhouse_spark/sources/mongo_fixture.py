@@ -71,7 +71,14 @@ class FakeMongod(socketserver.ThreadingTCPServer):
                     rows = sorted(outer.docs, key=lambda d: d["_id"])
                     gt = cmd.get("filter", {}).get("_id", {}).get("$gt")
                     if gt is not None:
-                        rows = [d for d in rows if d["_id"] > gt]
+                        # Type-bracketed like real Mongo: a comparand of
+                        # a different BSON type matches NOTHING (e.g. an
+                        # int $gt against string _ids) — the failure
+                        # mode the tagged watermark exists to prevent.
+                        rows = [
+                            d for d in rows
+                            if type(d["_id"]) is type(gt) and d["_id"] > gt
+                        ]
                     rows = rows[: cmd.get("limit", 101)]
                     reply = {
                         "cursor": {

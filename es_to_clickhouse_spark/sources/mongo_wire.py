@@ -333,21 +333,53 @@ def list_collections(session: MongoWireSession) -> list[str]:
     )
 
 
+def tag_watermark(v) -> str | None:
+    """Serialize a TYPED keyset watermark into the tagged string form
+    SyncState stores (STATE_SCHEMA.last_id is StringType): the BSON
+    type travels WITH the value (``oid:``/``int:``/``str:`` prefix), so
+    the resume filter rebuilds the exact server-side type instead of
+    guessing from the string shape. A zero-padded digit-string ``_id``
+    like ``000000000003`` round-trips as a STRING — Mongo's ``$gt`` is
+    type-bracketed, so the old shape-heuristic's int coercion made
+    every post-bootstrap round silently match nothing."""
+    if v is None:
+        return None
+    if isinstance(v, ObjectId):
+        return "oid:" + str(v)
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise TypeError(f"unsupported watermark type: {type(v)}")
+    if isinstance(v, int):
+        return "int:" + str(v)
+    return "str:" + v
+
+
 def typed_watermark(s: str | None):
-    """Rebuild the TYPED keyset watermark from its committed string form
-    (SyncState stores strings): 24-hex → :class:`ObjectId` (BSON 0x07 —
-    a hex STRING would never match under Mongo's type-bracketed
-    comparison), all-digits → int, else the string itself. The same
-    dtype-aware rule the parquet keyset path applies via the column
-    type (incremental.py keyset_predicate), expressed as a value
-    heuristic because the wire has no schema to consult."""
+    """Rebuild the TYPED keyset watermark from its committed string
+    form. Tagged values (written by :func:`tag_watermark`) decode by
+    their recorded BSON type — authoritative, no guessing. Legacy
+    untagged values (state rows committed before the tag existed) fall
+    back to: 24-hex → :class:`ObjectId` (a hex STRING would never match
+    under Mongo's type-bracketed comparison), else the string ITSELF —
+    never int coercion, because a digit-string ``_id`` coerced to int
+    makes ``$gt`` match nothing forever (the silent-stall failure the
+    tag exists to kill)."""
     if s is None:
         return None
+    if s.startswith("oid:"):
+        return ObjectId(bytes.fromhex(s[4:]))
+    if s.startswith("int:"):
+        return int(s[4:])
+    if s.startswith("str:"):
+        return s[4:]
     if len(s) == 24 and all(c in "0123456789abcdef" for c in s.lower()):
         return ObjectId(bytes.fromhex(s))
-    if s.isdigit():
-        return int(s)
     return s
+
+
+#: Prefix marking a watermark sentinel line inside the drained-lines RDD
+#: (never a valid JSON document start, so it can share the cached RDD
+#: with the row lines and be split off by a cheap filter).
+WM_SENTINEL = "\x00wm\x00"
 
 
 def read_collection_wire(
@@ -364,14 +396,24 @@ def read_collection_wire(
     ONE executor task (off the driver); the jar connector remains the
     partition-parallel scale path (sources/mongo.py). Returns the lines
     RDD; the caller counts/parses it (zero-row rounds must be detected
-    BEFORE schema inference, which cannot infer from no rows)."""
+    BEFORE schema inference, which cannot infer from no rows).
+
+    The drain's TYPED last ``_id`` (the cursor is ``_id``-sorted, so
+    the last row seen IS the server-order max) rides back through the
+    same cached RDD as one :data:`WM_SENTINEL`-prefixed tagged line —
+    the executor is the only place the BSON type is still known, and a
+    driver-side re-derivation from the stringified rows would have to
+    guess the type back (the exact bug :func:`tag_watermark` kills)."""
     sess = session  # dataclass — pickles to the executor
 
     def _drain(_i: int) -> list[str]:
         rows, _last = sess.drain_socket(
             collection, store_source=store_source, start_after=start_after
         )
-        return [json.dumps(r, ensure_ascii=False, default=str) for r in rows]
+        out = [json.dumps(r, ensure_ascii=False, default=str) for r in rows]
+        if rows:  # idle round → no sentinel → caller sees isEmpty()
+            out.append(WM_SENTINEL + tag_watermark(_last))
+        return out
 
     return spark.sparkContext.parallelize([0], 1).flatMap(_drain).cache()
 
@@ -395,40 +437,40 @@ def sync_incremental_mongo_wire(
        and parses JVM-side from NDJSON;
     3. rows stringify-project (``flatten_mongo`` — the Mongo dialect)
        and append to the target;
-    4. the watermark advances to the max ``_id`` over the appended
-       snapshot as one distributed agg, ordered by ``(length, value)``
-       so digit-string ids compare numerically and fixed-width ObjectId
-       hex compares bytewise — both matching the server's ``$gt``
-       order.
+    4. the watermark advances to the drain's typed last ``_id`` (the
+       cursor is ``_id``-sorted, so the last row IS the server-order
+       max — no client-side re-ordering guess), committed in
+       :func:`tag_watermark`'s tagged string form so the BSON type
+       survives the StringType state column and numeric ``_id``
+       collections commit cleanly (a raw Python int would fail
+       STATE_SCHEMA verification AFTER the append already landed,
+       duplicating rows on retry).
 
-    Returns ``(mode, rows, new_last_id)``."""
-    from pyspark.sql import functions as F
-
+    Returns ``(mode, rows, new_last_id)`` — ``new_last_id`` tagged."""
     from es_to_clickhouse_spark.flatten import flatten_mongo
     from es_to_clickhouse_spark.state import SyncState
 
     st = state.get(collection)
     last = st.last_id if st else None
     mode = "incremental" if last is not None else "full"
-    lines = read_collection_wire(
+    raw = read_collection_wire(
         spark, session, collection, start_after=typed_watermark(last)
     )
-    if lines.isEmpty():  # idle round: nothing to parse or append
+    wm_lines = raw.filter(lambda s: s.startswith(WM_SENTINEL)).collect()
+    if not wm_lines:  # idle round: nothing drained, nothing to commit
         return mode, 0, last
+    lines = raw.filter(lambda s: not s.startswith(WM_SENTINEL))
     df = spark.read.json(lines).localCheckpoint()  # one wire drain
     out = flatten_mongo(df)
     n = out.count()
     target.append(collection, out)
-    new_last = df.agg(
-        F.max(F.struct(F.length("_id").alias("l"), F.col("_id").alias("v")))
-        .alias("m")
-    ).collect()[0]["m"]["v"]
+    new_last = wm_lines[-1][len(WM_SENTINEL):]
     state.commit(
         SyncState(
             table_name=collection,
             source_name=f"mongo_wire:{session.database}.{collection}",
-            last_id=new_last if new_last is not None else last,
+            last_id=new_last,
             last_sync_count=n,
         )
     )
-    return mode, n, new_last if new_last is not None else last
+    return mode, n, new_last

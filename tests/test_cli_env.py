@@ -166,3 +166,26 @@ def test_resolve_master_honors_deployment():
     # precedence: explicit env beats the submit-args sniff
     both = {"SPARK_MASTER": "yarn", "PYSPARK_SUBMIT_ARGS": "--master x"}
     assert resolve_master(8, both) == "yarn"
+
+
+def test_expand_patterns_per_call_failures_and_dedup(capsys):
+    """ADVICE r9: pattern-expansion failures are PER CALL (the
+    continuous loop keeps only the latest round's count, so a table
+    that materializes mid-run stops failing the exit code), and a
+    caller-carried seen_errors set prints each distinct error line
+    once instead of every round."""
+    from es_to_clickhouse_spark.__main__ import _expand_patterns
+
+    seen: set[str] = set()
+    tables, f = _expand_patterns("late_tbl,miss*", [], seen_errors=seen)
+    assert (tables, f) == ([], 2)
+    # same round shape again: still counted, NOT reprinted
+    tables, f = _expand_patterns("late_tbl,miss*", [], seen_errors=seen)
+    assert (tables, f) == ([], 2)
+    out = capsys.readouterr().out
+    assert out.count("late_tbl") == 1 and out.count("miss*") == 1
+    # the table materializes: this round reports zero failures
+    tables, f = _expand_patterns(
+        "late_tbl,miss*", ["late_tbl", "missing"], seen_errors=seen
+    )
+    assert (tables, f) == (["late_tbl", "missing"], 0)

@@ -321,6 +321,45 @@ def test_sync_incremental_es_http_rounds(spark, tmp_path):
         srv.shutdown()
 
 
+def test_sync_es_http_no_time_field_holds_after_bootstrap(spark, tmp_path):
+    """ADVICE r9: an index with NO detectable time field gets exactly
+    ONE full bootstrap; later rounds hold (skipped) instead of
+    re-running match_all and re-appending every row per poll round.
+    The reference daemon refuses such indices outright
+    (es/es_to_bytehouse.py:968-971)."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.es import (
+        ScrollSession,
+        sync_incremental_es_http,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    mapping = {"id": {"type": "long"}, "name": {"type": "keyword"}}
+    docs = [{"_id": "1", "id": 1, "name": "a"},
+            {"_id": "2", "id": 2, "name": "b"}]
+    srv, host, log = _es_sync_parts(tmp_path, docs, mapping=mapping)
+    try:
+        sess = ScrollSession(host=host, size=500)
+        target = WarehouseTarget(spark, str(tmp_path / "wh"))
+        state = StateStore(spark, str(tmp_path / "wh"))
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("full", 2, None)
+        # round 2: must NOT re-scan — no search hits the wire at all
+        del log[:]
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("skipped_no_time_field", 0, None)
+        assert not [r for r in log if "_search" in r.get("path", "")]
+        # warehouse holds each row exactly once
+        wh = spark.read.parquet(str(tmp_path / "wh" / "ev"))
+        assert sorted(r["id"] for r in wh.select("id").collect()) == [1, 2]
+    finally:
+        srv.shutdown()
+
+
 def test_sync_es_http_timestamp_rebind(spark, tmp_path):
     """P13 on the live path: the index stores ``@timestamp``; the range
     query must use the ORIGINAL name while the engine's state and the

@@ -236,7 +236,35 @@ def test_list_collections_over_wire(fake_mongod):
     assert log[0]["listCollections"] == 1 and log[0]["$db"] == "db"
 
 
-def test_typed_watermark_heuristic():
+def test_typed_watermark_tags_round_trip():
+    """tag_watermark ∘ typed_watermark is the identity on every BSON
+    watermark type — the type travels WITH the value, so a zero-padded
+    digit-string _id is NEVER coerced to int (type-bracketed $gt would
+    match nothing forever) and a numeric _id commits as a string the
+    StringType state column accepts."""
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        ObjectId,
+        tag_watermark,
+        typed_watermark,
+    )
+
+    oid = ObjectId(bytes.fromhex("0123456789abcdef01234567"))
+    for v, tagged in [
+        (oid, "oid:0123456789abcdef01234567"),
+        (12345, "int:12345"),
+        ("id-04", "str:id-04"),
+        ("000000000003", "str:000000000003"),  # ADVICE r9 high: stays str
+        ("0123456789abcdef01234567", "str:0123456789abcdef01234567"),
+        (None, None),
+    ]:
+        assert tag_watermark(v) == tagged
+        assert typed_watermark(tagged) == v
+
+
+def test_typed_watermark_legacy_untagged():
+    """Pre-tag state rows: 24-hex decodes as ObjectId (overwhelmingly
+    the real type), everything else stays the string ITSELF — legacy
+    digit strings are no longer int-coerced."""
     from es_to_clickhouse_spark.sources.mongo_wire import (
         ObjectId,
         typed_watermark,
@@ -244,7 +272,7 @@ def test_typed_watermark_heuristic():
 
     oid = typed_watermark("0123456789abcdef01234567")
     assert isinstance(oid, ObjectId) and str(oid) == "0123456789abcdef01234567"
-    assert typed_watermark("12345") == 12345
+    assert typed_watermark("12345") == "12345"
     assert typed_watermark("id-04") == "id-04"
     assert typed_watermark(None) is None
 
@@ -270,26 +298,84 @@ def test_sync_incremental_mongo_wire_rounds(fake_mongod, spark, tmp_path):
     target = WarehouseTarget(spark, str(tmp_path / "wh"))
     state = StateStore(spark, str(tmp_path / "wh"))
     mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
-    assert (mode, n, wm) == ("full", 4, "id-03")
+    assert (mode, n, wm) == ("full", 4, "str:id-03")
     st = state.get("ev")
-    assert st.last_id == "id-03" and st.last_sync_count == 4
+    assert st.last_id == "str:id-03" and st.last_sync_count == 4
     # round 2: two new docs arrive past the watermark
     docs.extend(
         {"_id": f"id-{i:02d}", "n": i, "tags": ["b"]} for i in (4, 5)
     )
     del log[:]
     mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
-    assert (mode, n, wm) == ("incremental", 2, "id-05")
-    # the resume filter reached the wire as a typed $gt
+    assert (mode, n, wm) == ("incremental", 2, "str:id-05")
+    # the resume filter reached the wire as a typed $gt (tag stripped)
     finds = [c for c in log if "find" in c]
     assert finds[0]["filter"] == {"_id": {"$gt": "id-03"}}
     # round 3: idle — no rows parsed, state untouched
     mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
-    assert (mode, n, wm) == ("incremental", 0, "id-05")
+    assert (mode, n, wm) == ("incremental", 0, "str:id-05")
     wh = spark.read.parquet(str(tmp_path / "wh" / "ev"))
     assert sorted(r["_id"] for r in wh.select("_id").collect()) == [
         f"id-{i:02d}" for i in range(6)
     ]
+
+
+def test_sync_incremental_numeric_id_rounds(fake_mongod, spark, tmp_path):
+    """Numeric-_id collections: the int watermark commits as a TAGGED
+    string (a raw Python int against STATE_SCHEMA's StringType raised
+    TypeError AFTER the append landed, so a retry duplicated rows —
+    ADVICE r9) and the resume filter rebuilds the int so the
+    type-bracketed $gt matches."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        MongoWireSession,
+        sync_incremental_mongo_wire,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    docs = [{"_id": i * 10, "n": i} for i in range(4)]
+    port, log = fake_mongod(docs=docs)
+    sess = MongoWireSession(port=port, database="db", batch_size=2)
+    target = WarehouseTarget(spark, str(tmp_path / "wh"))
+    state = StateStore(spark, str(tmp_path / "wh"))
+    mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
+    assert (mode, n, wm) == ("full", 4, "int:30")
+    assert state.get("ev").last_id == "int:30"
+    docs.append({"_id": 40, "n": 4})
+    del log[:]
+    mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
+    assert (mode, n, wm) == ("incremental", 1, "int:40")
+    finds = [c for c in log if "find" in c]
+    assert finds[0]["filter"] == {"_id": {"$gt": 30}}  # typed int on wire
+
+
+def test_sync_incremental_zero_padded_string_ids(fake_mongod, spark, tmp_path):
+    """ADVICE r9 high regression pin: zero-padded digit-string _ids
+    (the s24 shape) must resume as STRINGS — the old shape heuristic
+    int-coerced them, and against a type-bracketed server every
+    post-bootstrap round silently returned 0 rows forever."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        MongoWireSession,
+        sync_incremental_mongo_wire,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    docs = [{"_id": f"{i:012d}", "n": i} for i in range(3)]
+    port, log = fake_mongod(docs=docs)
+    sess = MongoWireSession(port=port, database="db", batch_size=10)
+    target = WarehouseTarget(spark, str(tmp_path / "wh"))
+    state = StateStore(spark, str(tmp_path / "wh"))
+    mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
+    assert (mode, n, wm) == ("full", 3, "str:000000000002")
+    docs.append({"_id": "000000000003", "n": 3})
+    del log[:]
+    mode, n, wm = sync_incremental_mongo_wire(spark, sess, target, state, "ev")
+    # the fixture is type-bracketed: an int comparand here would match
+    # nothing and this round would be (incremental, 0, old-watermark)
+    assert (mode, n, wm) == ("incremental", 1, "str:000000000003")
+    finds = [c for c in log if "find" in c]
+    assert finds[0]["filter"] == {"_id": {"$gt": "000000000002"}}
 
 
 def test_cli_mongo_wire_mode(fake_mongod, spark, tmp_path, capsys):
@@ -315,7 +401,7 @@ def test_cli_mongo_wire_mode(fake_mongod, spark, tmp_path, capsys):
     ]
     assert out == [
         {"table": "events", "mode": "full_mongo_wire", "rows": 3,
-         "watermark": "id-02"}
+         "watermark": "str:id-02"}
     ]
     # system.views is filtered from the catalog: a glob matching only it
     # reports no match and exits non-zero
