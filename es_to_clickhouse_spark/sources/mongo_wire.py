@@ -233,7 +233,9 @@ class MongoWireSession:
     database: str = "test"
     batch_size: int = 1000
 
-    def find_command(self, collection: str, last_id=None) -> dict:
+    def find_command(
+        self, collection: str, last_id=None, lte=None
+    ) -> dict:
         """The find command document one keyset page puts on the wire
         (pymongo's find(query).sort('_id', 1).limit(n) compiles to
         exactly this, mongodb/mongodb_to_bytehouse.py:524-531).
@@ -241,11 +243,17 @@ class MongoWireSession:
         :class:`ObjectId` watermark re-encodes as BSON type 0x07, so the
         ``$gt`` filter type-matches real ObjectId ``_id`` values (a hex
         STRING here would never match: Mongo comparisons are
-        type-bracketed and the scan would silently stop at page 1)."""
-        q = {"_id": {"$gt": last_id}} if last_id is not None else {}
+        type-bracketed and the scan would silently stop at page 1).
+        ``lte`` bounds the range from above — the device that makes N
+        executor tasks drain DISJOINT ``_id`` ranges in parallel."""
+        bounds = {}
+        if last_id is not None:
+            bounds["$gt"] = last_id
+        if lte is not None:
+            bounds["$lte"] = lte
         return {
             "find": collection,
-            "filter": q,
+            "filter": {"_id": bounds} if bounds else {},
             "sort": {"_id": 1},
             "limit": self.batch_size,
             "$db": self.database,
@@ -264,6 +272,7 @@ class MongoWireSession:
         store_source: bool = False,
         max_pages: int = 100_000,
         start_after=None,
+        lte=None,
     ) -> tuple[list[dict], str | None]:
         """The full keyset scan over the wire. Returns ``(rows,
         last_id)`` — the watermark a restart would resume from. A
@@ -272,7 +281,9 @@ class MongoWireSession:
 
         ``start_after``: resume the keyset from a committed watermark
         (typed — an :class:`ObjectId` stays an ObjectId so the ``$gt``
-        type-matches; see :func:`typed_watermark`)."""
+        type-matches; see :func:`typed_watermark`). ``lte``: drain only
+        up to this ``_id`` inclusive — one range of a parallel
+        N-way-split scan (:func:`split_ranges`)."""
         rows: list[dict] = []
         last_id = start_after
         rid = 0
@@ -281,7 +292,8 @@ class MongoWireSession:
                 for _ in range(max_pages):
                     rid += 1
                     batch = self._find(
-                        sock, rid, self.find_command(collection, last_id)
+                        sock, rid,
+                        self.find_command(collection, last_id, lte=lte),
                     )
                     if not batch:
                         break
@@ -382,40 +394,120 @@ def typed_watermark(s: str | None):
 WM_SENTINEL = "\x00wm\x00"
 
 
+def _wm_to_int(v) -> int:
+    """Map a typed ``_id`` into an integer position for boundary
+    interpolation: ObjectId → its 12 big-endian bytes (bytewise order
+    == integer order at fixed width), int → itself, str → first 12
+    UTF-8 bytes zero-padded (prefix order preserved: a proper prefix
+    pads with zeros below any longer extension)."""
+    if isinstance(v, ObjectId):
+        return int.from_bytes(v.raw, "big")
+    if isinstance(v, int):
+        return v
+    return int.from_bytes(v.encode("utf-8")[:12].ljust(12, b"\x00"), "big")
+
+
+def _int_to_wm(n: int, like):
+    """Inverse-ish of :func:`_wm_to_int`: build a boundary VALUE of the
+    same BSON type as ``like``. Boundaries need not be actual ids —
+    range coverage/disjointness holds for ANY values (a mis-ordered
+    boundary only yields an empty range) — so lossy round-trips merely
+    skew split sizes, never correctness."""
+    if isinstance(like, ObjectId):
+        return ObjectId(max(0, min(n, 2**96 - 1)).to_bytes(12, "big"))
+    if isinstance(like, int):
+        return n
+    raw = max(0, min(n, 2**96 - 1)).to_bytes(12, "big").rstrip(b"\x00")
+    return raw.decode("utf-8", errors="ignore")
+
+
+def split_ranges(
+    session: MongoWireSession, collection: str, splits: int, start_after=None
+) -> list[tuple]:
+    """Pre-split the ``_id`` keyspace into ``splits`` half-open ranges
+    ``(gt, lte]`` (last range open-ended: ``lte=None``) so N executor
+    tasks drain disjoint sub-cursors in parallel — what sliced scroll
+    did for the jar-free ES path (the reference's Mongo loop is one
+    serial cursor, mongodb_to_bytehouse.py:524-532; this is
+    parity-plus). Two 1-document probes (min/max ``_id``, sort asc/desc
+    limit 1) bound the space; boundaries interpolate in the typed value
+    space. Coverage is UNCONDITIONAL: every ``_id > start_after`` falls
+    in exactly one range whatever the boundary quality, and ids written
+    past the probed max during the scan land in the final open range —
+    the same at-least-once posture as the serial walk."""
+    if splits <= 1:
+        return [(start_after, None)]
+    edges = {}
+    with socket.create_connection((session.host, session.port), timeout=30) as sock:
+        for rid, direction in ((1, 1), (2, -1)):
+            cmd = session.find_command(collection, last_id=start_after)
+            cmd["sort"] = {"_id": direction}
+            cmd["limit"] = 1
+            batch = session._find(sock, rid, cmd)
+            edges[direction] = batch[0]["_id"] if batch else None
+    lo, hi = edges[1], edges[-1]
+    if lo is None or hi is None or type(lo) is not type(hi):
+        return [(start_after, None)]  # empty or untypable → serial
+    lo_i, hi_i = _wm_to_int(lo), _wm_to_int(hi)
+    if hi_i - lo_i < splits:
+        return [(start_after, None)]  # keyspace too narrow to split
+    bounds = [
+        _int_to_wm(lo_i + (hi_i - lo_i) * k // splits, lo)
+        for k in range(1, splits)
+    ]
+    ranges: list[tuple] = []
+    prev = start_after
+    for b in bounds:
+        ranges.append((prev, b))
+        prev = b
+    ranges.append((prev, None))
+    return ranges
+
+
 def read_collection_wire(
     spark,
     session: MongoWireSession,
     collection: str,
     start_after=None,
     store_source: bool = False,
+    splits: int = 1,
 ):
     """Executor-side keyset drain → cached NDJSON lines RDD (the Mongo
-    twin of ``read_index_http``'s transport). The scan itself is SERIAL
-    by construction — a keyset cursor is one ordered walk, exactly the
-    reference's loop (mongodb_to_bytehouse.py:524-531) — so it runs as
-    ONE executor task (off the driver); the jar connector remains the
-    partition-parallel scale path (sources/mongo.py). Returns the lines
-    RDD; the caller counts/parses it (zero-row rounds must be detected
-    BEFORE schema inference, which cannot infer from no rows).
+    twin of ``read_index_http``'s transport). ``splits=1`` is the
+    reference's serial ordered walk (mongodb_to_bytehouse.py:524-531)
+    as ONE executor task; ``splits>1`` pre-splits the ``_id`` keyspace
+    (:func:`split_ranges`) and drains each range as its own executor
+    task with its own socket — the jar-free path's scale story, the
+    Mongo twin of ES sliced scroll. Returns the lines RDD; the caller
+    counts/parses it (zero-row rounds must be detected BEFORE schema
+    inference, which cannot infer from no rows).
 
-    The drain's TYPED last ``_id`` (the cursor is ``_id``-sorted, so
-    the last row seen IS the server-order max) rides back through the
-    same cached RDD as one :data:`WM_SENTINEL`-prefixed tagged line —
-    the executor is the only place the BSON type is still known, and a
-    driver-side re-derivation from the stringified rows would have to
-    guess the type back (the exact bug :func:`tag_watermark` kills)."""
+    Each range's TYPED last ``_id`` (the cursor is ``_id``-sorted, so
+    the last row seen IS the server-order max of its range) rides back
+    through the same cached RDD as one :data:`WM_SENTINEL`-prefixed
+    line carrying its range INDEX — ranges are ordered, so the
+    highest-index sentinel is the global max. The executor is the only
+    place the BSON type is still known; a driver-side re-derivation
+    from the stringified rows would have to guess the type back (the
+    exact bug :func:`tag_watermark` kills)."""
     sess = session  # dataclass — pickles to the executor
+    ranges = split_ranges(sess, collection, splits, start_after=start_after)
 
-    def _drain(_i: int) -> list[str]:
+    def _drain(task: tuple[int, tuple]) -> list[str]:
+        idx, (gt, lte) = task
         rows, _last = sess.drain_socket(
-            collection, store_source=store_source, start_after=start_after
+            collection, store_source=store_source, start_after=gt, lte=lte
         )
         out = [json.dumps(r, ensure_ascii=False, default=str) for r in rows]
-        if rows:  # idle round → no sentinel → caller sees isEmpty()
-            out.append(WM_SENTINEL + tag_watermark(_last))
+        if rows:  # idle range → no sentinel → caller sees none at all
+            out.append(f"{WM_SENTINEL}{idx:08d}:{tag_watermark(_last)}")
         return out
 
-    return spark.sparkContext.parallelize([0], 1).flatMap(_drain).cache()
+    return (
+        spark.sparkContext.parallelize(list(enumerate(ranges)), len(ranges))
+        .flatMap(_drain)
+        .cache()
+    )
 
 
 def sync_incremental_mongo_wire(
@@ -424,6 +516,7 @@ def sync_incremental_mongo_wire(
     target,
     state,
     collection: str,
+    splits: int = 1,
 ):
     """One live-Mongo sync round over the jar-free OP_MSG path — the
     reference daemon's loop body (mongodb/mongodb_to_bytehouse.py:
@@ -454,7 +547,8 @@ def sync_incremental_mongo_wire(
     last = st.last_id if st else None
     mode = "incremental" if last is not None else "full"
     raw = read_collection_wire(
-        spark, session, collection, start_after=typed_watermark(last)
+        spark, session, collection,
+        start_after=typed_watermark(last), splits=splits,
     )
     wm_lines = raw.filter(lambda s: s.startswith(WM_SENTINEL)).collect()
     if not wm_lines:  # idle round: nothing drained, nothing to commit
@@ -464,7 +558,9 @@ def sync_incremental_mongo_wire(
     out = flatten_mongo(df)
     n = out.count()
     target.append(collection, out)
-    new_last = wm_lines[-1][len(WM_SENTINEL):]
+    # ranges are _id-ordered, so the HIGHEST-INDEX sentinel carries the
+    # global max; the zero-padded index prefix makes max() pick it
+    new_last = max(wm_lines)[len(WM_SENTINEL) + 9:]
     state.commit(
         SyncState(
             table_name=collection,

@@ -378,6 +378,115 @@ def test_sync_incremental_zero_padded_string_ids(fake_mongod, spark, tmp_path):
     assert finds[0]["filter"] == {"_id": {"$gt": "000000000002"}}
 
 
+def test_split_ranges_partition_keyspace(fake_mongod):
+    """split_ranges: N half-open (gt, lte] ranges that PARTITION the
+    keyspace — disjoint, ordered, last one open-ended — for int,
+    zero-padded string, and ObjectId _id spaces; degenerate cases
+    (narrow keyspace, empty collection) fall back to one serial
+    range."""
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        MongoWireSession,
+        ObjectId,
+        split_ranges,
+    )
+
+    # int ids 0..999
+    docs = [{"_id": i} for i in range(1000)]
+    port, _ = fake_mongod(docs=docs)
+    sess = MongoWireSession(port=port, database="db")
+    ranges = split_ranges(sess, "ev", 4)
+    assert len(ranges) == 4
+    assert ranges[0][0] is None and ranges[-1][1] is None
+    # adjacent ranges share their boundary; every id lands in exactly one
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 == lo2
+    owners = [
+        sum(
+            1 for (gt, lte) in ranges
+            if (gt is None or i > gt) and (lte is None or i <= lte)
+        )
+        for i in range(1000)
+    ]
+    assert set(owners) == {1}
+    # each range is a meaningful share (interpolation on uniform ids)
+    sizes = [
+        sum(
+            1 for i in range(1000)
+            if (gt is None or i > gt) and (lte is None or i <= lte)
+        )
+        for (gt, lte) in ranges
+    ]
+    assert min(sizes) >= 100
+
+    # zero-padded string ids split too (the s24 shape)
+    sdocs = [{"_id": f"{i:012d}"} for i in range(0, 1000, 7)]
+    sport, _ = fake_mongod(docs=sdocs)
+    ssess = MongoWireSession(port=sport, database="db")
+    sranges = split_ranges(ssess, "ev", 4)
+    assert len(sranges) == 4 and all(
+        isinstance(b, str) for b in (r[1] for r in sranges[:-1])
+    )
+
+    # ObjectId ids
+    odocs = [{"_id": ObjectId(i.to_bytes(12, "big"))} for i in range(200)]
+    oport, _ = fake_mongod(docs=odocs)
+    osess = MongoWireSession(port=oport, database="db")
+    oranges = split_ranges(osess, "ev", 3)
+    assert len(oranges) == 3 and all(
+        isinstance(b, ObjectId) for b in (r[1] for r in oranges[:-1])
+    )
+
+    # narrow keyspace / resumed-near-tip → serial fallback
+    assert split_ranges(sess, "ev", 4, start_after=997) in (
+        [(997, None)],
+    )
+
+    # empty collection → serial fallback
+    eport, _ = fake_mongod(docs=[])
+    esess = MongoWireSession(port=eport, database="db")
+    assert split_ranges(esess, "ev", 4) == [(None, None)]
+
+
+def test_parallel_split_scan_reassembles_exactly(fake_mongod, spark, tmp_path):
+    """VERDICT r9 item 4: splits=N drains N disjoint _id ranges as N
+    executor tasks (each its own socket + keyset sub-cursor), the union
+    reassembles the collection EXACTLY (no dup, no gap), the wire log
+    shows every find bounded by its range, and the committed watermark
+    is the global max."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        MongoWireSession,
+        sync_incremental_mongo_wire,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    docs = [{"_id": i, "n": i * 2} for i in range(500)]
+    port, log = fake_mongod(docs=docs)
+    sess = MongoWireSession(port=port, database="db", batch_size=40)
+    target = WarehouseTarget(spark, str(tmp_path / "wh"))
+    state = StateStore(spark, str(tmp_path / "wh"))
+    mode, n, wm = sync_incremental_mongo_wire(
+        spark, sess, target, state, "ev", splits=4
+    )
+    assert (mode, n, wm) == ("full", 500, "int:499")
+    wh = spark.read.parquet(str(tmp_path / "wh" / "ev"))
+    got = sorted(int(r["_id"]) for r in wh.select("_id").collect())
+    assert got == list(range(500))  # exact reassembly: no dup, no gap
+    # every data find on the wire carried a range bound (after the two
+    # 1-doc min/max probes), and at least 4 distinct $lte bounds ran
+    finds = [c for c in log if "find" in c and c.get("limit") != 1]
+    bounded = [c["filter"].get("_id", {}) for c in finds]
+    assert all(("$lte" in b) or ("$gt" in b) or b == {} for b in bounded)
+    ltes = {b.get("$lte") for b in bounded if "$lte" in b}
+    assert len(ltes) >= 3  # the non-final ranges each pinned their cap
+    # incremental round on top of the split bootstrap still resumes
+    docs.append({"_id": 500, "n": 1000})
+    mode, n, wm = sync_incremental_mongo_wire(
+        spark, sess, target, state, "ev", splits=4
+    )
+    assert (mode, n, wm) == ("incremental", 1, "int:500")
+
+
 def test_cli_mongo_wire_mode(fake_mongod, spark, tmp_path, capsys):
     """`--mongo-uri` through the CLI: live listCollections catalog with
     the system-collection filter, glob expansion, typo rejection."""

@@ -7,8 +7,16 @@ Flags:
 - BroadcastNestedLoopJoin   — reported for review; legitimate when the
   broadcast side is a 1-row scalar / query-vector (sim1/sim4/t5/t6/f14
   pattern), a bug anywhere else.
+- codegen compile failure   — each query is also EXECUTED with
+  ``spark.sql.codegen.fallback=false`` through the column-preserving
+  ``noop`` sink, so a janino InternalCompilerException (an expression
+  tree past the 64 KB method limit, silently dropping the stage to
+  interpreted projection in normal runs) fails the audit instead of
+  hiding (judge r9: mm21's construction+decode fusion). A ``count()``
+  would NOT catch this — column pruning removes the offending
+  projection; the noop write materializes every output column.
 
-Usage: python tools/explain_audit.py [sf_dir]
+Usage: python tools/explain_audit.py [sf_dir] [--plan-only]
 """
 
 from __future__ import annotations
@@ -62,13 +70,20 @@ def main() -> int:
     from es_to_clickhouse_spark.corpus import all_queries
     from es_to_clickhouse_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("explain_audit", cpus=8)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    plan_only = "--plan-only" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    spark = get_spark(
+        "explain_audit",
+        cpus=8,
+        extra_conf={} if plan_only else {"spark.sql.codegen.fallback": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
     for name, fn in sorted(all_queries().items()):
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"explain error: {str(e)[:120]}"))
             continue
@@ -78,6 +93,20 @@ def main() -> int:
             failures.append((name, "row-at-a-time Python UDF"))
         if "BroadcastNestedLoopJoin" in plan and name not in BNL_ALLOWED:
             failures.append((name, "unexpected BroadcastNestedLoopJoin"))
+        if plan_only:
+            continue
+        try:
+            # fallback=false session: a codegen compile failure surfaces
+            # here instead of silently degrading to interpreted
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            kind = (
+                "codegen compile failure"
+                if "CompilerException" in msg or "CompileException" in msg
+                else "execution error"
+            )
+            failures.append((name, f"{kind}: {msg[:160]}"))
     if failures:
         for name, why in failures:
             print(f"FLAG {name}: {why}")
