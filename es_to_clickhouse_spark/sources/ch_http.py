@@ -547,13 +547,20 @@ class ClickHouseHttpTarget:
     Delivery: every append carries a deterministic
     ``insert_deduplication_token`` epoch —
 
-    - engine path (no explicit epoch): ``{applicationId}:{table}:{seq}``
-      with a per-table in-process round counter. A Spark TASK retry
-      inside a round replays identical tokens and the server drops the
-      duplicate blocks (effectively-once per round); a process restart
-      mints fresh epochs, so cross-restart delivery stays at-least-once
-      — the same contract as the reference daemon, which has no token
-      at all (:313-316).
+    - engine path (no explicit epoch):
+      ``{applicationId}:{instance}:{table}:{seq}`` with a per-table
+      in-process round counter AND a per-target-instance uuid. A Spark
+      TASK retry inside a round replays identical tokens and the server
+      drops the duplicate blocks (effectively-once per round); a
+      process restart mints fresh epochs, so cross-restart delivery
+      stays at-least-once — the same contract as the reference daemon,
+      which has no token at all (:313-316). The instance uuid is
+      load-bearing for at-least-once itself: two target instances in
+      ONE application (e.g. a driver program syncing in phases) would
+      otherwise both start their seq at 0 and the second instance's
+      FIRST round would replay the first's tokens — the server then
+      silently DROPS legitimate new rows (r10, caught by the soak
+      test's restart rounds sharing the test JVM's applicationId).
     - streaming path: ``StreamingSync`` passes
       ``epoch=f"{table}:{batch_id}"`` where ``batch_id`` comes from the
       Structured Streaming CHECKPOINT — durable across restarts, so the
@@ -568,6 +575,10 @@ class ClickHouseHttpTarget:
     max_records_per_file: int = 0
     _ensured: set = field(default_factory=set)
     _seq: dict = field(default_factory=dict)
+    #: per-instance epoch salt (see the delivery contract above)
+    _instance: str = field(
+        default_factory=lambda: __import__("uuid").uuid4().hex[:12]
+    )
 
     def __post_init__(self):
         if self.max_records_per_file:
@@ -610,7 +621,7 @@ class ClickHouseHttpTarget:
             seq = self._seq.get(table, 0)
             self._seq[table] = seq + 1
             run_id = df.sparkSession.sparkContext.applicationId
-            epoch = f"{run_id}:{table}:{seq}"
+            epoch = f"{run_id}:{self._instance}:{table}:{seq}"
         self.source.write_table(df, table, evolve_schema=True, dedup_epoch=epoch)
 
     def compact(self, table: str) -> tuple[int, int]:

@@ -484,6 +484,106 @@ def test_cli_es_to_ch_pipeline(spark, tmp_path, capsys):
         ch_srv.shutdown()
 
 
+def test_cli_es_to_ch_soak_with_schema_drift(spark, tmp_path, capsys):
+    """VERDICT r9 stretch: the composed --es-http-url → --ch-sink-url
+    pipeline soaked over 3+ rounds where round 2's documents add a NEW
+    FIELD mid-stream (es/es_to_bytehouse.py:1043-1051 +
+    clickhouse_to_bytehouse.py:473-481 composed):
+
+    - each round is its own main() call — a killed-and-restarted
+      process: state objects rebuilt, _sync_state re-read from the
+      warehouse, watermark resumes EXACTLY;
+    - the drifted field triggers a live ALTER TABLE ADD COLUMN on the
+      strict CH fake (which 500s unknown INSERT columns — the insert
+      succeeding PROVES the repair landed first);
+    - a lost-commit crash (state restored to the pre-round snapshot,
+      round re-run) re-delivers that round's rows with FRESH epochs —
+      the documented at-least-once cross-restart contract of the batch
+      CLI path (ch_http.ClickHouseHttpTarget docstring; the streaming
+      path's checkpoint-durable epochs are the effectively-once story,
+      pinned in tests/test_ch_http.py)."""
+    import shutil
+
+    from tests.test_ch_http import _sink_server
+
+    from es_to_clickhouse_spark.__main__ import main
+
+    mapping = {
+        "id": {"type": "long"},
+        "name": {"type": "keyword"},
+        "created_at": {"type": "date"},
+    }
+    docs = [
+        {"_id": str(i), "id": i, "name": f"n{i}",
+         "created_at": f"2024-05-01 10:0{i}:00"}
+        for i in range(3)
+    ]
+    es_srv, es_host, es_log = _es_sync_parts(tmp_path, docs, mapping=mapping)
+    ch_srv, ch_host, ch_log, inserted = _sink_server()
+    wh = str(tmp_path / "wh")
+    base = ["--mode", "incremental", "--warehouse", wh,
+            "--es-http-url", es_host, "--tables", "ev",
+            "--ch-sink-url", ch_host, "--ch-sink-database", "tgt_db"]
+    try:
+        # ---- round 1: bootstrap
+        assert main(base, environ={}) == 0
+        assert sorted(r["id"] for r in inserted) == [0, 1, 2]
+        assert any(r["sql"].startswith("CREATE TABLE") for r in ch_log)
+
+        # ---- round 2 (restart #1): mid-stream schema drift — the
+        # live mapping gains `extra`, and only NEW docs carry it
+        mapping["extra"] = {"type": "keyword"}
+        docs.append({"_id": "3", "id": 3, "name": "n3", "extra": "x3",
+                     "created_at": "2024-05-02 10:00:00"})
+        del ch_log[:]
+        assert main(base, environ={}) == 0
+        # watermark resumed exactly: only doc 3 was fetched + inserted
+        assert sorted(r["id"] for r in inserted) == [0, 1, 2, 3]
+        assert [r.get("extra") for r in inserted if r["id"] == 3] == ["x3"]
+        alters = [r["sql"] for r in ch_log
+                  if r["sql"].startswith("ALTER TABLE")]
+        assert any("extra" in s for s in alters), alters
+        # every INSERT this round still carried a dedup token
+        assert all("insert_deduplication_token" in r["params"]
+                   for r in ch_log if r["sql"].startswith("INSERT"))
+
+        # snapshot the committed state BEFORE round 3 (the pre-crash
+        # point a lost commit would roll back to)
+        snap = str(tmp_path / "state_snap")
+        shutil.copytree(f"{wh}/_sync_state", snap)
+
+        # ---- round 3 (restart #2): one more doc arrives
+        docs.append({"_id": "4", "id": 4, "name": "n4", "extra": "x4",
+                     "created_at": "2024-05-03 10:00:00"})
+        assert main(base, environ={}) == 0
+        assert sorted(r["id"] for r in inserted) == [0, 1, 2, 3, 4]
+
+        # ---- crash replay: the commit is LOST (state rolled back to
+        # the snapshot), process restarts, round 3 re-runs → the same
+        # doc re-delivers under a fresh epoch (at-least-once, the batch
+        # CLI's documented cross-restart contract)
+        shutil.rmtree(f"{wh}/_sync_state")
+        shutil.copytree(snap, f"{wh}/_sync_state")
+        del ch_log[:]
+        assert main(base, environ={}) == 0
+        assert sorted(r["id"] for r in inserted) == [0, 1, 2, 3, 4, 4]
+        replay_tokens = {r["params"]["insert_deduplication_token"]
+                         for r in ch_log if r["sql"].startswith("INSERT")}
+        assert replay_tokens  # fresh epoch → token accepted, not dropped
+
+        # ---- round 4: idle — nothing new, state intact, no INSERT
+        del ch_log[:]
+        assert main(base, environ={}) == 0
+        assert sorted(r["id"] for r in inserted) == [0, 1, 2, 3, 4, 4]
+        assert not [r for r in ch_log if r["sql"].startswith("INSERT")]
+        out = [ln for ln in capsys.readouterr().out.splitlines()
+               if ln.startswith("{")]
+        assert '"rows": 0' in out[-1]
+    finally:
+        es_srv.shutdown()
+        ch_srv.shutdown()
+
+
 def test_sync_es_http_late_update_or_ranges(spark, tmp_path):
     """P5 on the live path: a doc whose created_at is OLD but whose
     updated_at moved past the update watermark must be re-fetched by

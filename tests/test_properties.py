@@ -419,3 +419,35 @@ def test_bench_noise_floor_normalization():
         # r01: 1.0 * (0.6/0.3) = 2.0; r02: 1.2 * 2 = 2.4 -> best 2.0,
         # NOT the unscaled 1.0 that would flag a 1.9s median falsely
         assert abs(norm_slow["qa"] - 2.0) < 1e-9
+
+
+def test_bench_baseline_reset_skips_pre_rewrite_rounds():
+    """judge r9 dq6 adjudication: a query in BASELINE_RESETS ignores
+    recordings from rounds before its reset round (they measured a
+    deliberately-replaced plan), while other queries keep the full
+    history; pre-reset-only history yields NO baseline (no flag) rather
+    than the stale one."""
+    import json as _json
+    import tempfile
+
+    import bench
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/BENCH_r08.json", "w") as f:
+            _json.dump({"queries": {"dq6_json_key_profile": 0.8,
+                                    "other_q": 1.0}}, f)
+        with open(f"{d}/BENCH_r09.json", "w") as f:
+            _json.dump({"queries": {"dq6_json_key_profile": 1.3,
+                                    "other_q": 1.2}}, f)
+        assert bench.BASELINE_RESETS["dq6_json_key_profile"] == 9
+        prior = bench.best_prior_per_query(d)
+        # dq6: r08's 0.8 (old plan) skipped -> baseline is r09's 1.3
+        assert prior["dq6_json_key_profile"] == 1.3
+        # untouched queries keep the cross-round min
+        assert prior["other_q"] == 1.0
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/BENCH_r08.json", "w") as f:
+            _json.dump({"queries": {"dq6_json_key_profile": 0.8}}, f)
+        prior = bench.best_prior_per_query(d)
+        assert "dq6_json_key_profile" not in prior
