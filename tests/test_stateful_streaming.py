@@ -17,9 +17,17 @@ def _recycle_session(spark):
     foreachBatch callback channel lives in the gateway's CallbackServer,
     and pyspark's ``ensure_callback_server_started`` only (re)creates it
     while ``gw._callback_server is None``, so a wedged server survives a
-    plain re-run. Stopping the session and nulling the callback server
-    forces both to rebuild (same JVM, fresh SparkContext + fresh
-    CallbackServer with a re-pointed JVM CallbackClient)."""
+    plain re-run. Stopping the session and nulling the callback-server
+    reference forces both to rebuild (same JVM, fresh SparkContext +
+    fresh CallbackServer on a new port, with the JVM's CallbackClient
+    re-pointed by ensure_callback_server_started's resetCallbackClient).
+
+    The old server is ORPHANED, never shut down:
+    ``gw.shutdown_callback_server()`` blocks indefinitely once a
+    foreachBatch has run (measured: joins a connection thread that
+    never exits — the r10 first cut hung the whole suite on it). Its
+    threads are daemonized, so leaking one idle server per recycle is
+    harmless; a wedged server is unusable anyway."""
     from pyspark import SparkContext
 
     gw = SparkContext._gateway
@@ -28,10 +36,6 @@ def _recycle_session(spark):
     except Exception:
         pass
     if gw is not None:
-        try:
-            gw.shutdown_callback_server()
-        except Exception:
-            pass
         gw.__dict__["_callback_server"] = None
     from es_to_clickhouse_spark.session import get_spark
 

@@ -1,0 +1,141 @@
+"""Two-decade scale evidence for the top-3 iterative cost centers
+(r9 VERDICT item 7): d9/d10 (LSH → verify → connected-components over
+documents) and d14 (SemDeDup over embeddings) measured at sf0.1, 10x
+and 100x — the open question at 10x was whether their per-round
+scheduler CONSTANT amortizes; a second decade answers it with data.
+
+Synthesis reuses tools/scale_bench.py's machinery (per-replica key
+stride, bijective token rename) at factor=100 for ONLY the two tables
+these queries read. One 100x-specific fix: embedding rotation is
+modulo the dimension (64), so replicas 0..99 would lap — replica r and
+r+64 would carry IDENTICAL vectors and d14's within-cell pair stage
+would inflate with synthesis artifacts, not workload. The second lap
+(r >= 64) therefore also sign-flips odd dimensions: norm-preserving,
+deterministic, and decorrelated from the first lap (cosine between a
+vector and its odd-flipped self is (even-mass - odd-mass) / norm^2,
+~0 for these synthetic vectors).
+
+Usage::
+
+    python tools/scale_decade_bench.py              # synthesize + run
+    python tools/scale_decade_bench.py --run-only   # reuse datasets
+
+Appends a "100x decade" section to SCALE_BENCH.md and writes raw
+numbers to .scale_data/scale_decade.json. Run SOLO (host noise rules).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+sys.path.insert(0, HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from es_to_clickhouse_spark.session import get_spark  # noqa: E402
+from scale_bench import (  # noqa: E402
+    KEY_COLS,
+    SRC,
+    _replicate,
+    _salt_documents,
+    time_queries,
+)
+
+DST10 = os.path.join(ROOT, ".scale_data", "sf1")
+DST100 = os.path.join(ROOT, ".scale_data", "sf10")
+FACTOR = 100
+QUERIES = ["d9_dup_clusters", "d10_retention_policy", "d14_semantic_dedup"]
+TABLES = ["documents", "embeddings"]
+
+
+def _rotate_flip_embeddings(rep):
+    """Rotation by ``_r % dim`` plus an odd-dimension sign flip on the
+    second lap (``_r >= dim``) — see the module docstring."""
+    dim = F.size("embedding")
+    k = F.col("_r") % dim
+    rotated = F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), k + 1, dim),
+            F.slice(F.col("embedding"), F.lit(1), k),
+        )
+    )
+    lap = (F.col("_r") / dim).cast("long")
+    flipped = F.when(lap % 2 == 0, rotated).otherwise(
+        F.transform(
+            rotated,
+            lambda x, i: F.when(i % 2 == 1, -x).otherwise(x),
+        )
+    )
+    return rep.withColumn("embedding", flipped)
+
+
+def synthesize_100x(spark) -> None:
+    os.makedirs(DST100, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        rep = _replicate(df, KEY_COLS[t], FACTOR)
+        if t == "documents":
+            rep = _salt_documents(rep)
+        else:
+            rep = _rotate_flip_embeddings(rep)
+        out = rep.select(df.columns)
+        out.write.mode("overwrite").parquet(os.path.join(DST100, f"{t}.parquet"))
+        n0 = df.count()
+        n1 = spark.read.parquet(os.path.join(DST100, f"{t}.parquet")).count()
+        assert n1 == n0 * FACTOR, f"{t}: {n1} != {n0}*{FACTOR}"
+        print(f"synth100 {t}: {n0:,} -> {n1:,}", flush=True)
+
+
+def main() -> None:
+    spark = get_spark("scale_decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--run-only" not in sys.argv[1:]:
+        synthesize_100x(spark)
+    if not os.path.exists(os.path.join(DST10, "documents.parquet")):
+        raise SystemExit(
+            "10x dataset missing — run `python tools/scale_bench.py "
+            "--synth-only` first"
+        )
+    results = {}
+    for label, d in (("sf0.1", SRC), ("10x", DST10), ("100x", DST100)):
+        print(f"=== {label} ===", flush=True)
+        results[label] = time_queries(spark, d, QUERIES)
+
+    lines = [
+        "",
+        "## 100x decade — d9 / d10 / d14 (r10, tools/scale_decade_bench.py)",
+        "",
+        "Two decades for the iterative cost centers whose 10x ratios were",
+        "dominated by per-round scheduler constants: if the constant",
+        "amortizes, the second decade's ratio should approach the data",
+        "ratio from BELOW over ratios like 1.3x at the first decade.",
+        "",
+        "| query | sf0.1 s | 10x s | 100x s | 10x ratio | 100x/10x ratio "
+        "| rows 100x |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for q in QUERIES:
+        b = results["sf0.1"][q]
+        m = results["10x"][q]
+        s = results["100x"][q]
+        lines.append(
+            f"| {q} | {b['sec']} | {m['sec']} | {s['sec']} "
+            f"| {m['sec'] / b['sec']:.1f}x | {s['sec'] / m['sec']:.1f}x "
+            f"| {s['rows']:,} |"
+        )
+    lines.append("")
+    with open(os.path.join(ROOT, "SCALE_BENCH.md"), "a") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    with open(os.path.join(ROOT, ".scale_data", "scale_decade.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
