@@ -145,7 +145,14 @@ def test_schema_union_first_seen_wins(a, b):
         max_size=12,
     )
 )
-@settings(max_examples=15, deadline=None)
+@settings(
+    max_examples=15,
+    deadline=None,
+    # the spark fixture is getOrCreate-per-test (conftest, r10 recycle
+    # support) — same live session every example, so the reset-between-
+    # examples concern this check guards against does not apply
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 def test_upsert_view_layout_invariant(spark, rows):
     """Content-stable tie-break property: for ANY multiset of
     (key, version, payload) rows — duplicate keys, tied versions,
@@ -228,7 +235,14 @@ intervals = st.lists(
 
 
 @given(intervals)
-@settings(suppress_health_check=[HealthCheck.too_slow], deadline=None, max_examples=12)
+@settings(
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,  # getOrCreate fixture, see above
+    ],
+    deadline=None,
+    max_examples=12,
+)
 def test_merge_intervals_matches_serial_sweep(spark, ivals):
     """merge_intervals == the obvious single-threaded sweep, for random
     overlap patterns (duplicates, nesting, touching, gaps)."""
@@ -259,7 +273,14 @@ funnel_events = st.lists(
 
 
 @given(funnel_events)
-@settings(suppress_health_check=[HealthCheck.too_slow], deadline=None, max_examples=12)
+@settings(
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,  # getOrCreate fixture, see above
+    ],
+    deadline=None,
+    max_examples=12,
+)
 def test_window_funnel_matches_bruteforce(spark, evs):
     """window_funnel == brute force over every (a, b, c) index triple:
     ordered, within the window of the chain's own anchor."""
