@@ -499,7 +499,8 @@ def mm9_bmp_header_decode(spark, sf_dir):
     "d14_semantic_dedup",
     """
     WITH RECURSIVE cents AS (
-      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id < greatest(8, (SELECT count(*) FROM embeddings) // 256)
     ), sims AS (
       SELECT e.vec_id, c.cent_id,
              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
@@ -547,14 +548,25 @@ def d14_semantic_dedup(spark, sf_dir):
     tractable at 100 TB — pairs are per-cell, load-balanced by
     salted_block_pairs, and the cross-cell near-misses SemDeDup accepts
     losing are exactly the documented recall tradeoff. Composition of
-    ivf_assign → embedding_neardup_pairs → connected_components, all
-    scale-shaped already."""
+    ivf_assign → embedding_neardup_pairs → connected_components.
+
+    The cell count SCALES with the corpus — ``max(8, n/256)`` — so the
+    expected cell size stays ~256 and the within-cell quadratic stays
+    LINEAR in total rows (r10: with the count pinned at 8, cells grew
+    with the data and the second scale decade measured 59.7x on 10x
+    rows — tools/scale_decade_bench.py caught it; SemDeDup itself
+    scales k with the corpus, e.g. 11k clusters for LAION). The
+    assign stage is the N x k dot-product matrix, JVM-side codegen
+    behind a broadcast — the ANN-assisted assignment is the next
+    escalation at true 100 TB, not needed to keep the pair stage
+    linear. One bounded driver scalar (the count) sizes k."""
     from es_to_clickhouse_spark.operators.dedup import embedding_neardup_pairs
     from es_to_clickhouse_spark.operators.graph import connected_components
     from es_to_clickhouse_spark.operators.similarity import ivf_assign
 
     emb = t(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < 8).select(
+    n_cents = max(8, emb.count() // 256)
+    cents = emb.where(F.col("vec_id") < n_cents).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
     cell = ivf_assign(emb, cents).select("vec_id", "cent_id")

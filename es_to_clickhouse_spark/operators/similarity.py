@@ -83,11 +83,35 @@ def ivf_assign(
     At 100 TB the cell id becomes the partition/bucketing key and probes
     read one cell, not the table; re-clustering is a re-run of this
     single job.
+
+    The big side is repartitioned to the default parallelism first
+    (the embedding_neardup_pairs device): the N x k compute happens in
+    the crossJoin's mapper, and a compactly-written source (one ~100 MB
+    parquet file = ONE input split) would otherwise run the whole
+    assign as a single task — measured r10 at the 100x decade: d14's
+    assign sat on one core for minutes while 31 idled. The one-pass
+    N-row shuffle is noise next to the N x k fold work it spreads.
+    Norms are hoisted out of the N x k stage (the
+    embedding_neardup_pairs argument: the folds are interpreted HOF
+    lambdas, the dominant per-pair cost — 3 folds per pair become 1;
+    values bit-identical, same fold shapes and multiply order).
     """
-    sims = df.crossJoin(F.broadcast(centroids)).select(
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    v = F.col(vec_col).cast("array<double>")
+    big = df.repartition(n_tasks).select(
+        F.col(id_col), v.alias("_v"), norm(v).alias("_nm")
+    )
+    cv = F.col("cv").cast("array<double>")
+    cents = centroids.select(
+        F.col("cent_id"), cv.alias("_cv"), norm(cv).alias("_cnm")
+    )
+    sims = big.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("cent_id"),
-        F.round(cosine(F.col(vec_col), F.col("cv")), round_digits).alias("sim"),
+        F.round(
+            dot(F.col("_v"), F.col("_cv")) / (F.col("_nm") * F.col("_cnm")),
+            round_digits,
+        ).alias("sim"),
     )
     best = F.max_by(
         F.struct("cent_id", "sim"),
