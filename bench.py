@@ -116,9 +116,9 @@ REGRESSION_FACTOR = 1.5
 BASELINE_RESETS: dict[str, int] = {
     # r9 rewrote the key-profile to a two-level (k,val)/(k,user) agg:
     # 12.3x→7.1x at 10x data, at the cost of one extra exchange at sf0.1
-    # (fresh-session solo re-measure, r10: median 1.33 s vs the old
-    # plan's 0.83 s best). The old single-exchange plan's priors are not
-    # this plan's baseline.
+    # (fresh-session solo re-measure, r10: median 2.49 s / min 1.78 s on
+    # that day's host vs the old plan's 0.83 s normalized best). The old
+    # single-exchange plan's priors are not this plan's baseline.
     "dq6_json_key_profile": 9,
 }
 
@@ -323,11 +323,17 @@ def main() -> None:
     # the least-contended pass — measures the code. A real code
     # regression raises the min too; a noisy-neighbor burst does not.
     all_mins = {**mins, **h_mins}
-    # A floor whose relative stddev exceeds 0.5 means the host was
-    # BURSTY across the bench window (r9: rel 0.855 while external load
-    # sat at ~5 with zero local JVMs) — the machine-speed estimate
-    # itself is then unreliable, so flags are recorded but marked.
-    floor_stable = (noise_floor.get("rel") or 0) <= 0.5
+    # A floor whose relative stddev exceeds 0.5 OR whose min-to-max
+    # spread exceeds 0.8x its median means the host was BURSTY across
+    # the bench window (r9: rel 0.855 at external load ~5 with zero
+    # local JVMs; r10: rel 0.381 passed while spread 0.94 exposed the
+    # same burst — the floor got lucky passes, the heavy queries got
+    # the bursts, and six untouched queries false-flagged) — the
+    # machine-speed estimate itself is then unreliable, so flags are
+    # recorded but marked.
+    floor_stable = (noise_floor.get("rel") or 0) <= 0.5 and (
+        noise_floor.get("spread") or 0
+    ) <= 0.8
     regressions = {}
     for name, med in {**timings, **h_timings}.items():
         base = prior.get(name)
