@@ -27,10 +27,14 @@ stringify to the 24-hex the reference's ``str(doc["_id"])`` produces.
 Unknown element types raise — failing closed beats silently
 mis-framing the stream.
 
-Scale note: like ``ch_http``, the session object is picklable, so a
-production read can fan pages out per executor with disjoint ``_id``
-ranges; the driver-side fold here exists to pin the PROTOCOL contract
-over a loopback socket (tests/test_mongo_wire.py)."""
+Scale note: the session object is picklable and :func:`split_ranges`
+pre-splits the ``_id`` keyspace into N half-open ranges (two 1-doc
+min/max probes + typed interpolation), so ``read_collection_wire``
+fans N disjoint keyset sub-cursors out across the executors — the
+Mongo twin of ES sliced scroll, with the reference's serial walk
+(mongodb_to_bytehouse.py:524-532) as the ``splits=1`` degenerate case.
+The driver-side fold in :meth:`MongoWireSession.drain_socket` pins the
+PROTOCOL contract over a loopback socket (tests/test_mongo_wire.py)."""
 
 from __future__ import annotations
 

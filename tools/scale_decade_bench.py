@@ -50,7 +50,19 @@ from scale_bench import (  # noqa: E402
 DST10 = os.path.join(ROOT, ".scale_data", "sf1")
 DST100 = os.path.join(ROOT, ".scale_data", "sf10")
 FACTOR = 100
+#: the r9-named top-3 plus (r10, --wide) the rest of the heavy
+#: dedup/similarity family that reads only these two tables — the
+#: queries whose quadratic stages ride LSH-band / block bounds that a
+#: second decade either validates or exposes (d14's 59.7x was exactly
+#: such an exposure)
 QUERIES = ["d9_dup_clusters", "d10_retention_policy", "d14_semantic_dedup"]
+WIDE_QUERIES = [
+    "d5_ngram_jaccard_pairs",
+    "d12_minhash_estimate_error",
+    "d6_embedding_neardup",
+    "txt10_contamination_check",
+    "sim6_knn_graph",
+]
 TABLES = ["documents", "embeddings"]
 
 
@@ -102,14 +114,16 @@ def main() -> None:
             "10x dataset missing — run `python tools/scale_bench.py "
             "--synth-only` first"
         )
+    names = QUERIES + (WIDE_QUERIES if "--wide" in sys.argv[1:] else [])
     results = {}
     for label, d in (("sf0.1", SRC), ("10x", DST10), ("100x", DST100)):
         print(f"=== {label} ===", flush=True)
-        results[label] = time_queries(spark, d, QUERIES)
+        results[label] = time_queries(spark, d, names)
 
     lines = [
         "",
-        "## 100x decade — d9 / d10 / d14 (r10, tools/scale_decade_bench.py)",
+        "## 100x decade — " + " / ".join(n.split("_")[0] for n in names)
+        + " (r10, tools/scale_decade_bench.py)",
         "",
         "Two decades for the iterative cost centers whose 10x ratios were",
         "dominated by per-round scheduler constants: if the constant",
@@ -120,7 +134,7 @@ def main() -> None:
         "| rows 100x |",
         "|---|---|---|---|---|---|---|",
     ]
-    for q in QUERIES:
+    for q in names:
         b = results["sf0.1"][q]
         m = results["10x"][q]
         s = results["100x"][q]
