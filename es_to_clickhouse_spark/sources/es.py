@@ -662,6 +662,27 @@ def fetch_mapping(session: ScrollSession, index: str) -> dict:
     return get_json(session, f"/{index}/_mapping")
 
 
+def probe_time_values(session: ScrollSession, index: str, field: str) -> bool:
+    """1-document existence probe: does the index hold ANY non-null
+    value for ``field``? Public ``exists`` query DSL, ``size: 1``, no
+    scroll param (so no server-side cursor), idempotent-retried. Used
+    by the ``skipped_no_time_field`` hold (ADVICE r10 low) to notice
+    when real timestamps MATERIALIZE after a bootstrap that found none
+    — without it the hold is permanent and only a manual state reset
+    recovers the index. Any failure answers False: the hold continues,
+    never crashes the poll loop."""
+    req = {
+        "method": "POST",
+        "url": f"{session.host}/{index}/_search",
+        "body": {"query": {"exists": {"field": field}}, "size": 1},
+    }
+    try:
+        resp = session._send_text(req, idempotent=True, _parse=True)
+        return bool(resp.get("hits", {}).get("hits"))
+    except Exception:
+        return False
+
+
 def sync_incremental_es_http(
     spark: SparkSession,
     session: ScrollSession,
@@ -721,8 +742,21 @@ def sync_incremental_es_http(
         # EVERY poll round — unbounded duplication in --mode continuous.
         # The reference daemon refuses such indices outright
         # (es/es_to_bytehouse.py:968-971); having accepted ONE full
-        # bootstrap under auto semantics, we hold instead of re-scan.
-        return "skipped_no_time_field", 0, since
+        # bootstrap under auto semantics, we hold instead of re-scan —
+        # but the hold must not be PERMANENT (ADVICE r10 low): each
+        # round cheaply re-probes the live mapping for a candidate
+        # field and, if one exists, asks the index (1-doc exists query)
+        # whether usable values have MATERIALIZED since the bootstrap.
+        # When they have, fall through to ONE more full scan that this
+        # time commits a real max(time_field) watermark, unlocking
+        # incremental rounds — a single at-least-once re-drain beats
+        # staying silently stale forever.
+        candidate = st.time_field or detect_time_field(sanitized_fields)
+        if not candidate or not probe_time_values(
+            session, index, original_time_field(candidate, mapping)
+        ):
+            return "skipped_no_time_field", 0, since
+        time_field = candidate
     if mode == "incremental":
         original = original_time_field(time_field, mapping)
         update_field = st.update_time_field if st else None

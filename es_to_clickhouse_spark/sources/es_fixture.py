@@ -36,10 +36,19 @@ def slice_of(_id: str, smax: int) -> int:
 
 def matches(query: dict, doc: dict) -> bool:
     """Evaluate the query-DSL subset the engine emits: match_all,
-    bool.filter [range], bool.should [ranges] + minimum_should_match.
-    Unknown shapes raise — the fixture fails closed like the codecs."""
+    exists (the 1-doc time-field re-probe), bool.filter [range],
+    bool.should [ranges] + minimum_should_match. Unknown shapes raise —
+    the fixture fails closed like the codecs."""
     if not query or "match_all" in query:
         return True
+    if "exists" in query:
+        # ES semantics: a missing OR null field has no indexed value
+        cur: object = doc
+        for part in query["exists"]["field"].split("."):
+            if not isinstance(cur, dict):
+                return False
+            cur = cur.get(part)
+        return cur is not None
     if "bool" in query:
         b = query["bool"]
         clauses = b.get("filter", []) or b.get("should", [])

@@ -277,11 +277,17 @@ class MongoWireSession:
         max_pages: int = 100_000,
         start_after=None,
         lte=None,
-    ) -> tuple[list[dict], str | None]:
+    ) -> tuple[list[dict], object, bool]:
         """The full keyset scan over the wire. Returns ``(rows,
-        last_id)`` — the watermark a restart would resume from. A
-        transport error or malformed reply keeps the partial rows AND
-        the watermark progress (at-least-once, like drain_http).
+        last_id, completed)`` — the watermark a restart would resume
+        from, plus whether the range DRAINED TO EXHAUSTION (the server
+        returned an empty page). A transport error or malformed reply
+        keeps the partial rows AND the watermark progress
+        (at-least-once, like drain_http) but reports
+        ``completed=False`` — a parallel-split caller must not advance
+        a committed watermark past an incomplete range (a completed
+        HIGHER range would otherwise mask this range's undrained tail
+        and those rows would never be re-fetched).
 
         ``start_after``: resume the keyset from a committed watermark
         (typed — an :class:`ObjectId` stays an ObjectId so the ``$gt``
@@ -290,6 +296,7 @@ class MongoWireSession:
         N-way-split scan (:func:`split_ranges`)."""
         rows: list[dict] = []
         last_id = start_after
+        completed = False
         rid = 0
         try:
             with socket.create_connection((self.host, self.port), timeout=30) as sock:
@@ -300,6 +307,7 @@ class MongoWireSession:
                         self.find_command(collection, last_id, lte=lte),
                     )
                     if not batch:
+                        completed = True
                         break
                     for doc in batch:
                         row = {"_id": str(doc.get("_id", ""))}
@@ -319,8 +327,8 @@ class MongoWireSession:
                         # ObjectId) so the next page's $gt type-matches
                         last_id = doc.get("_id")
         except (OSError, ValueError):
-            pass  # partial rows + watermark kept
-        return rows, last_id
+            pass  # partial rows + watermark kept; completed stays False
+        return rows, last_id, completed
 
 
 # ------------------------------------------------------ live sync mode
@@ -398,6 +406,35 @@ def typed_watermark(s: str | None):
 WM_SENTINEL = "\x00wm\x00"
 
 
+def commit_watermark_prefix(
+    wm_lines: list[str], fallback: str | None
+) -> str | None:
+    """Fold the per-range ``idx:status:candidate`` sentinels into the
+    watermark that is SAFE to commit: walk ranges in index order, take
+    each candidate as the running watermark, and STOP at the first
+    range that is not fully complete (``P``) or whose sentinel is
+    missing (a gap means the task's report was lost — treat as
+    incomplete). The ranges are ``_id``-chained, so the prefix walk's
+    final candidate proves every ``_id`` at or below it was drained;
+    anything above an incomplete range's progress re-drains next round.
+    Returns ``fallback`` (the previously committed watermark) when no
+    range proved any progress."""
+    entries = []
+    for ln in wm_lines:
+        idx_s, status, tag = ln[len(WM_SENTINEL):].split(":", 2)
+        entries.append((int(idx_s), status, tag))
+    entries.sort()
+    wm = fallback
+    for expect, (idx, status, tag) in enumerate(entries):
+        if idx != expect:
+            break  # missing range report → nothing beyond it is proven
+        if tag:
+            wm = tag
+        if status != "C":
+            break  # partial range: its own progress counts, nothing above
+    return wm
+
+
 def _wm_to_int(v) -> int:
     """Map a typed ``_id`` into an integer position for boundary
     interpolation: ObjectId → its 12 big-endian bytes (bytewise order
@@ -413,16 +450,24 @@ def _wm_to_int(v) -> int:
 
 def _int_to_wm(n: int, like):
     """Inverse-ish of :func:`_wm_to_int`: build a boundary VALUE of the
-    same BSON type as ``like``. Boundaries need not be actual ids —
-    range coverage/disjointness holds for ANY values (a mis-ordered
-    boundary only yields an empty range) — so lossy round-trips merely
-    skew split sizes, never correctness."""
+    same BSON type as ``like``. The map must be MONOTONE in ``n`` or
+    chained ``(gt, lte]`` ranges can OVERLAP and double-drain string-id
+    documents: the old ``decode(errors="ignore")`` dropped invalid
+    UTF-8 bytes, which is order-inverting (bytes for ``'a\\x80!'``
+    decode to ``'a!'`` > the decode of larger byte strings). Strings
+    now decode latin-1: lossless, one char per byte, and code-point
+    order == byte order == the big-endian integer order — and since
+    UTF-8 encodes code points order-preservingly, MongoDB's simple
+    binary (UTF-8 bytewise) string comparison agrees with Python's
+    code-point comparison on these boundaries. Trailing NULs strip
+    (``_wm_to_int`` zero-pads, so ``'a'`` and ``'a\\x00'`` occupy the
+    same position — stripping cannot reorder)."""
     if isinstance(like, ObjectId):
         return ObjectId(max(0, min(n, 2**96 - 1)).to_bytes(12, "big"))
     if isinstance(like, int):
         return n
     raw = max(0, min(n, 2**96 - 1)).to_bytes(12, "big").rstrip(b"\x00")
-    return raw.decode("utf-8", errors="ignore")
+    return raw.decode("latin-1")
 
 
 def split_ranges(
@@ -455,10 +500,24 @@ def split_ranges(
     lo_i, hi_i = _wm_to_int(lo), _wm_to_int(hi)
     if hi_i - lo_i < splits:
         return [(start_after, None)]  # keyspace too narrow to split
-    bounds = [
-        _int_to_wm(lo_i + (hi_i - lo_i) * k // splits, lo)
-        for k in range(1, splits)
-    ]
+    # Defense in depth on top of _int_to_wm's monotone encoding: keep
+    # only a strictly-increasing boundary chain that also sits ABOVE the
+    # committed watermark. A bound <= start_after would make its
+    # successor range re-drain already-synced ids (duplicates); a
+    # non-increasing bound would make adjacent ranges overlap (double
+    # drain). Dropping a bad bound merely coarsens the split.
+    floor = (
+        start_after
+        if start_after is not None and type(start_after) is type(lo)
+        else None
+    )
+    bounds = []
+    for k in range(1, splits):
+        b = _int_to_wm(lo_i + (hi_i - lo_i) * k // splits, lo)
+        if floor is not None and not (b > floor):
+            continue
+        bounds.append(b)
+        floor = b
     ranges: list[tuple] = []
     prev = start_after
     for b in bounds:
@@ -486,25 +545,41 @@ def read_collection_wire(
     counts/parses it (zero-row rounds must be detected BEFORE schema
     inference, which cannot infer from no rows).
 
-    Each range's TYPED last ``_id`` (the cursor is ``_id``-sorted, so
-    the last row seen IS the server-order max of its range) rides back
-    through the same cached RDD as one :data:`WM_SENTINEL`-prefixed
-    line carrying its range INDEX — ranges are ordered, so the
-    highest-index sentinel is the global max. The executor is the only
-    place the BSON type is still known; a driver-side re-derivation
-    from the stringified rows would have to guess the type back (the
-    exact bug :func:`tag_watermark` kills)."""
+    EVERY range reports back one :data:`WM_SENTINEL`-prefixed line
+    ``idx:status:candidate`` through the same cached RDD: ``status`` is
+    ``C`` (drained to exhaustion) or ``P`` (transport error mid-range —
+    partial rows kept), and ``candidate`` is the furthest TYPED ``_id``
+    position this range PROVES synced — its ``lte`` boundary when it
+    completed a bounded range (idle ranges included: an empty completed
+    range still proves everything up to its boundary is drained), else
+    the last drained id (the cursor is ``_id``-sorted, so that IS the
+    server-order max seen). The caller commits the watermark from the
+    longest contiguous prefix of completed ranges only — a completed
+    HIGHER range must never advance the watermark past an incomplete
+    lower range's undrained tail (those rows would be lost forever; the
+    tail is instead re-drained next round: at-least-once, exactly the
+    serial walk's posture). The executor is the only place the BSON
+    type is still known; a driver-side re-derivation from the
+    stringified rows would have to guess the type back (the exact bug
+    :func:`tag_watermark` kills)."""
     sess = session  # dataclass — pickles to the executor
     ranges = split_ranges(sess, collection, splits, start_after=start_after)
 
     def _drain(task: tuple[int, tuple]) -> list[str]:
         idx, (gt, lte) = task
-        rows, _last = sess.drain_socket(
+        rows, _last, completed = sess.drain_socket(
             collection, store_source=store_source, start_after=gt, lte=lte
         )
         out = [json.dumps(r, ensure_ascii=False, default=str) for r in rows]
-        if rows:  # idle range → no sentinel → caller sees none at all
-            out.append(f"{WM_SENTINEL}{idx:08d}:{tag_watermark(_last)}")
+        if completed and lte is not None:
+            cand = lte  # whole bounded range proven drained (even if idle)
+        elif rows:
+            cand = _last  # ordered cursor → furthest id actually seen
+        else:
+            cand = None  # nothing proven beyond the committed watermark
+        status = "C" if completed else "P"
+        tag = tag_watermark(cand) if cand is not None else ""
+        out.append(f"{WM_SENTINEL}{idx:08d}:{status}:{tag}")
         return out
 
     return (
@@ -534,14 +609,20 @@ def sync_incremental_mongo_wire(
        and parses JVM-side from NDJSON;
     3. rows stringify-project (``flatten_mongo`` — the Mongo dialect)
        and append to the target;
-    4. the watermark advances to the drain's typed last ``_id`` (the
-       cursor is ``_id``-sorted, so the last row IS the server-order
-       max — no client-side re-ordering guess), committed in
-       :func:`tag_watermark`'s tagged string form so the BSON type
-       survives the StringType state column and numeric ``_id``
-       collections commit cleanly (a raw Python int would fail
-       STATE_SCHEMA verification AFTER the append already landed,
-       duplicating rows on retry).
+    4. the watermark advances along the LONGEST CONTIGUOUS PREFIX of
+       fully-completed ranges (:func:`commit_watermark_prefix`): the
+       first incomplete range contributes its partial progress (the
+       ordered cursor's last id) and then STOPS the walk, so a
+       completed higher range can never mask a failed range's
+       undrained tail — that tail re-drains next round
+       (at-least-once, the serial walk's posture; the already-appended
+       higher-range rows may duplicate on that retry, which
+       at-least-once permits and the CH sink's dedup tokens absorb
+       within a round). Committed in :func:`tag_watermark`'s tagged
+       string form so the BSON type survives the StringType state
+       column and numeric ``_id`` collections commit cleanly (a raw
+       Python int would fail STATE_SCHEMA verification AFTER the
+       append already landed, duplicating rows on retry).
 
     Returns ``(mode, rows, new_last_id)`` — ``new_last_id`` tagged."""
     from es_to_clickhouse_spark.flatten import flatten_mongo
@@ -555,16 +636,14 @@ def sync_incremental_mongo_wire(
         start_after=typed_watermark(last), splits=splits,
     )
     wm_lines = raw.filter(lambda s: s.startswith(WM_SENTINEL)).collect()
-    if not wm_lines:  # idle round: nothing drained, nothing to commit
-        return mode, 0, last
+    new_last = commit_watermark_prefix(wm_lines, fallback=last)
     lines = raw.filter(lambda s: not s.startswith(WM_SENTINEL))
+    if lines.isEmpty():  # idle round: nothing drained, nothing to commit
+        return mode, 0, last
     df = spark.read.json(lines).localCheckpoint()  # one wire drain
     out = flatten_mongo(df)
     n = out.count()
     target.append(collection, out)
-    # ranges are _id-ordered, so the HIGHEST-INDEX sentinel carries the
-    # global max; the zero-padded index prefix makes max() pick it
-    new_last = max(wm_lines)[len(WM_SENTINEL) + 9:]
     state.commit(
         SyncState(
             table_name=collection,

@@ -360,6 +360,72 @@ def test_sync_es_http_no_time_field_holds_after_bootstrap(spark, tmp_path):
         srv.shutdown()
 
 
+def test_sync_es_http_hold_recovers_when_timestamps_materialize(
+    spark, tmp_path
+):
+    """ADVICE r10 low: the skipped_no_time_field hold must not be
+    PERMANENT. An index bootstrapped while its date field was all-null
+    holds (cheap 1-doc exists probe, no re-scan) until real timestamps
+    appear — then ONE full re-scan commits a real watermark and the
+    index resumes incremental sync, no manual state reset."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.es import (
+        ScrollSession,
+        sync_incremental_es_http,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    mapping = {"id": {"type": "long"}, "created_at": {"type": "date"}}
+    docs = [{"_id": "1", "id": 1}, {"_id": "2", "id": 2}]  # field all-absent
+    srv, host, log = _es_sync_parts(tmp_path, docs, mapping=mapping)
+    try:
+        sess = ScrollSession(host=host, size=500)
+        target = WarehouseTarget(spark, str(tmp_path / "wh"))
+        state = StateStore(spark, str(tmp_path / "wh"))
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("full", 2, None)
+        # round 2: still no values — hold; the only search on the wire
+        # is the 1-doc exists probe, never a scan
+        del log[:]
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("skipped_no_time_field", 0, None)
+        searches = [
+            r for r in log if r.get("path") == "/ev/_search" and "body" in r
+        ]
+        assert [s["body"].get("query") for s in searches] == [
+            {"exists": {"field": "created_at"}}
+        ]
+        # timestamps materialize on a new doc
+        docs.append(
+            {"_id": "3", "id": 3, "created_at": "2024-05-03 10:00:00"}
+        )
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        # one at-least-once full re-drain that ESTABLISHES the watermark
+        assert (mode, n, wm) == ("full", 3, "2024-05-03 10:00:00")
+        assert state.get("ev").last_sync_time == "2024-05-03 10:00:00"
+        # round 4: properly incremental now — ranged query, idle
+        del log[:]
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("incremental", 0, "2024-05-03 10:00:00")
+        inits = [
+            r for r in log
+            if r.get("path") == "/ev/_search"
+            and "query" in r.get("body", {})
+            and "range" in str(r["body"]["query"])
+        ]
+        assert inits, "expected a ranged incremental query on the wire"
+    finally:
+        srv.shutdown()
+
+
 def test_sync_es_http_timestamp_rebind(spark, tmp_path):
     """P13 on the live path: the index stores ``@timestamp``; the range
     query must use the ORIGINAL name while the engine's state and the

@@ -136,9 +136,9 @@ def test_drain_socket_full_keyset_scan(fake_mongod):
     types surviving the wire)."""
     port, log = fake_mongod()
     s = MongoWireSession(port=port, database="app", batch_size=2)
-    rows, last_id = s.drain_socket("users")
+    rows, last_id, completed = s.drain_socket("users")
     assert [r["_id"] for r in rows] == [f"id-{i:02d}" for i in range(5)]
-    assert last_id == "id-04"
+    assert last_id == "id-04" and completed is True
     assert rows[3]["big"] == 2**40 + 3 and rows[3]["score"] == 0.75
     assert rows[2]["tags"] == ["a", "t2"] and rows[2]["meta"] == {"d": 2}
     assert rows[1]["gap"] is None and rows[0]["ok"] is True
@@ -166,7 +166,8 @@ def test_drain_socket_objectid_keyset_resume(fake_mongod):
     docs = [{"_id": o, "n": i, "ref": o} for i, o in enumerate(oids)]
     port, log = fake_mongod(docs=docs)
     s = MongoWireSession(port=port, database="app", batch_size=2)
-    rows, last_id = s.drain_socket("users")
+    rows, last_id, completed = s.drain_socket("users")
+    assert completed is True
     # all 3 pages drained — a string $gt would have stopped at 2 rows
     assert [r["_id"] for r in rows] == [str(o) for o in oids]
     assert [r["ref"] for r in rows] == [str(o) for o in oids]  # plainified
@@ -181,7 +182,7 @@ def test_drain_socket_store_source(fake_mongod):
     import json
 
     port, _ = fake_mongod()
-    rows, _ = MongoWireSession(port=port, batch_size=10).drain_socket(
+    rows, _, _ = MongoWireSession(port=port, batch_size=10).drain_socket(
         "users", store_source=True
     )
     src = json.loads(rows[0]["_source"])
@@ -194,16 +195,16 @@ def test_drain_socket_failure_keeps_partial_and_watermark(fake_mongod):
     resumes exactly there (at-least-once, no overshoot)."""
     port, log = fake_mongod(fail_after=1)
     s = MongoWireSession(port=port, batch_size=2)
-    rows, last_id = s.drain_socket("users")
+    rows, last_id, completed = s.drain_socket("users")
     assert [r["_id"] for r in rows] == ["id-00", "id-01"]
-    assert last_id == "id-01"
+    assert last_id == "id-01" and completed is False  # partial, reported
     # the failed page's command made it to the wire before the drop
     assert log[-1]["filter"] == {"_id": {"$gt": "id-01"}}
 
 
 def test_drain_socket_connection_refused_is_empty_not_raise():
-    rows, last_id = MongoWireSession(port=9, batch_size=2).drain_socket("c")
-    assert rows == [] and last_id is None
+    rows, last_id, completed = MongoWireSession(port=9, batch_size=2).drain_socket("c")
+    assert rows == [] and last_id is None and completed is False
 
 
 def test_find_command_matches_keyset_golden():
@@ -485,6 +486,165 @@ def test_parallel_split_scan_reassembles_exactly(fake_mongod, spark, tmp_path):
         spark, sess, target, state, "ev", splits=4
     )
     assert (mode, n, wm) == ("incremental", 1, "int:500")
+
+
+def test_commit_watermark_prefix_stops_at_incomplete_range():
+    """ADVICE r10 high: a completed HIGHER range must never advance the
+    committed watermark past an incomplete lower range's undrained tail
+    (those rows would be lost forever). The fold walks ranges in index
+    order, takes each candidate, and stops at the first partial or
+    missing report — the partial range's own progress still counts."""
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        WM_SENTINEL,
+        commit_watermark_prefix,
+    )
+
+    def line(idx, status, tag):
+        return f"{WM_SENTINEL}{idx:08d}:{status}:{tag}"
+
+    # all complete → last candidate wins
+    assert commit_watermark_prefix(
+        [line(0, "C", "int:124"), line(1, "C", "int:249"),
+         line(2, "C", "int:499")], fallback=None,
+    ) == "int:499"
+    # range 1 partial at int:200; range 2 complete at int:499 — the
+    # watermark stops at range 1's progress, NOT range 2's boundary
+    assert commit_watermark_prefix(
+        [line(0, "C", "int:124"), line(1, "P", "int:200"),
+         line(2, "C", "int:499")], fallback=None,
+    ) == "int:200"
+    # range 0 partial with NO rows (connection refused) → nothing proven
+    assert commit_watermark_prefix(
+        [line(0, "P", ""), line(1, "C", "int:249")], fallback="int:99",
+    ) == "int:99"
+    # a MISSING range report (lost task) is treated as incomplete
+    assert commit_watermark_prefix(
+        [line(0, "C", "int:124"), line(2, "C", "int:499")], fallback=None,
+    ) == "int:124"
+    # idle completed bounded range still proves its boundary
+    assert commit_watermark_prefix(
+        [line(0, "C", "int:124"), line(1, "C", "int:249")], fallback=None,
+    ) == "int:249"
+    # fully idle round keeps the old watermark
+    assert commit_watermark_prefix([], fallback="str:id-05") == "str:id-05"
+
+
+def test_split_scan_failed_range_never_loses_rows(fake_mongod, spark, tmp_path):
+    """End-to-end pin for ADVICE r10 high: with splits>1, one range dies
+    mid-drain while higher ranges complete. The committed watermark must
+    stop at the failed range's progress so the next (healthy) round
+    re-drains its tail — the warehouse ends with EVERY row, none lost."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources import mongo_wire as mw
+    from es_to_clickhouse_spark.state import StateStore
+
+    docs = [{"_id": i, "n": i * 2} for i in range(400)]
+    port, _ = fake_mongod(docs=docs)
+
+    # Defined in-function so cloudpickle ships the CLASS by value to the
+    # executor python workers (a driver-side mock.patch never reaches
+    # them — they are separate processes).
+    class FlakySession(mw.MongoWireSession):
+        def drain_socket(self, collection, store_source=False,
+                         max_pages=100_000, start_after=None, lte=None):
+            rows, last, completed = mw.MongoWireSession.drain_socket(
+                self, collection, store_source=store_source,
+                max_pages=max_pages, start_after=start_after, lte=lte,
+            )
+            # kill the SECOND range (bounded, gt under 150 for 4 splits
+            # of 0..399): keep only its first page, report partial
+            if (start_after is not None and lte is not None
+                    and start_after < 150 and rows):
+                kept = rows[:20]
+                # rows carry the stringified _id; the watermark must be
+                # the TYPED value, exactly like the real partial path
+                return kept, int(kept[-1]["_id"]), False
+            return rows, last, completed
+
+    sess = FlakySession(port=port, database="db", batch_size=50)
+    target = WarehouseTarget(spark, str(tmp_path / "wh"))
+    state = StateStore(spark, str(tmp_path / "wh"))
+    mode, n, wm = mw.sync_incremental_mongo_wire(
+        spark, sess, target, state, "ev", splits=4
+    )
+    assert mode == "full" and n < 400  # the killed range lost its tail
+    sess = mw.MongoWireSession(port=port, database="db", batch_size=50)
+    # watermark stopped at the failed range's last drained id — NOT at
+    # the completed higher ranges' boundaries
+    assert int(wm.removeprefix("int:")) < 150
+    # healthy round 2 re-drains the tail; union has every row, no gap
+    mode, n2, wm = mw.sync_incremental_mongo_wire(
+        spark, sess, target, state, "ev", splits=4
+    )
+    assert wm == "int:399"
+    wh = spark.read.parquet(str(tmp_path / "wh" / "ev"))
+    got = sorted({int(r["_id"]) for r in wh.select("_id").collect()})
+    assert got == list(range(400))  # at-least-once: no row lost
+
+
+def test_int_to_wm_string_branch_is_monotone():
+    """ADVICE r10 medium: the old decode(errors='ignore') dropped
+    invalid UTF-8 bytes, which inverts order (bytes for 'a\\x80!'
+    decoded to 'a!' — BELOW the decode of smaller byte strings), so
+    chained (gt, lte] ranges could overlap and double-drain string-id
+    docs. latin-1 decode is lossless and code-point order == byte
+    order, so the int→string boundary map is strictly monotone."""
+    import random
+
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        _int_to_wm,
+        _wm_to_int,
+    )
+
+    rng = random.Random(42)
+    # adversarial region: high bytes mixed with ASCII (the old inverter)
+    samples = sorted(
+        rng.randrange(0, 2**96) for _ in range(500)
+    ) + sorted(
+        int.from_bytes(
+            bytes(rng.choice([0x21, 0x61, 0x7F, 0x80, 0xC3, 0xFF])
+                  for _ in range(12)), "big",
+        )
+        for _ in range(500)
+    )
+    prev_n = prev_s = None
+    for n in sorted(samples):
+        s = _int_to_wm(n, "like-a-string")
+        if prev_s is not None and prev_n != n:
+            # monotone in Python code-point order AND in the server's
+            # UTF-8 bytewise order (they agree by UTF-8's design — this
+            # pins that the boundary encoding stays inside that regime)
+            assert prev_s < s, (prev_n, n)
+            assert prev_s.encode("utf-8") < s.encode("utf-8")
+        prev_n, prev_s = n, s
+    # the old errors='ignore' inverter, pinned concretely: 0x61 0x80 0x21
+    # decoded to 'a!' while 0x61 0x7f... decoded to 'a\x7f...' — order
+    # flipped. latin-1 keeps every byte.
+    lo = int.from_bytes(b"a\x7f!".ljust(12, b"\x00"), "big")
+    hi = int.from_bytes(b"a\x80!".ljust(12, b"\x00"), "big")
+    assert _int_to_wm(lo, "s") < _int_to_wm(hi, "s")
+    assert _wm_to_int("a") == _wm_to_int("a\x00")  # zero-pad equivalence
+
+
+def test_split_ranges_bounds_stay_above_watermark(fake_mongod):
+    """The defense-in-depth guard: every boundary sits strictly above
+    the committed watermark and the chain is strictly increasing, so no
+    range can re-drain already-synced ids even if the encoding ever
+    regressed."""
+    from es_to_clickhouse_spark.sources.mongo_wire import (
+        MongoWireSession,
+        split_ranges,
+    )
+
+    docs = [{"_id": f"{i:012d}"} for i in range(0, 1000, 3)]
+    port, _ = fake_mongod(docs=docs)
+    sess = MongoWireSession(port=port, database="db")
+    wm = "000000000099"
+    ranges = split_ranges(sess, "ev", 5, start_after=wm)
+    assert ranges[0][0] == wm and ranges[-1][1] is None
+    bounds = [b for _, b in ranges[:-1]]
+    assert all(b > wm for b in bounds)
+    assert bounds == sorted(set(bounds))
 
 
 def test_cli_mongo_wire_mode(fake_mongod, spark, tmp_path, capsys):
