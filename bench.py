@@ -120,6 +120,19 @@ BASELINE_RESETS: dict[str, int] = {
     # that day's host vs the old plan's 0.83 s normalized best). The old
     # single-exchange plan's priors are not this plan's baseline.
     "dq6_json_key_profile": 9,
+    # r10 made d14's IVF cell count scale with the corpus (max(8, n/256)
+    # both sides of the oracle) — the deliberate cost of the second-
+    # decade fix (59.7x -> 10.7x at 100x data); r11 additionally routed
+    # the assign through the two-level quantizer (O(N*sqrt(k)) instead
+    # of the dense N x k matrix). The pinned-8-cell plan's priors are
+    # not this plan's baseline (judge r10 adjudicated the 1.77x flag as
+    # exactly this accepted tradeoff and prescribed the reset).
+    "d14_semantic_dedup": 11,
+    # r11 replaced sim6's corpus-scaled probe predicate (vec_id % 25 —
+    # O(N^2/25) probe x corpus work, DNF at the 100x decade) with a
+    # fixed 24-probe hash top-K. Probe-set SIZE and membership changed,
+    # so prior timings measure a different workload.
+    "sim6_knn_graph": 11,
 }
 
 
@@ -235,7 +248,106 @@ def best_prior_per_query(
     return best
 
 
+#: passes used by the fresh-JVM re-measure of flagged queries
+REMEASURE_PASSES = 3
+REMEASURE_NOISE_PASSES = 4
+
+
+def remeasure_main(names: list[str]) -> None:
+    """Child mode (``--remeasure q1,q2,...``): re-time ONLY the given
+    queries in THIS fresh JVM, plus the noise query for machine
+    normalization, and print one JSON line. The parent launches this
+    AFTER stopping its own Spark, so the child runs solo — the protocol
+    SCALE_BENCH.md prescribed manually for bursty-host flags, automated
+    (VERDICT r10 item 5)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_remeasure")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def passes(name: str, n: int) -> list[float]:
+        fn = qs[name]
+        out = []
+        for _ in range(n + 1):  # +1 cold, dropped
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out.append(time.time() - t0)
+        return out[1:]
+
+    noise = passes("w1_latest_per_key", REMEASURE_NOISE_PASSES)
+    result = {
+        "noise_median": round(statistics.median(noise), 3),
+        "remeasured": {},
+    }
+    for name in names:
+        if name not in qs:
+            continue
+        warms = passes(name, REMEASURE_PASSES)
+        result["remeasured"][name] = {
+            "min": round(min(warms), 3),
+            "median": round(statistics.median(warms), 3),
+        }
+    print(json.dumps(result))
+
+
+def adjudicate_flags(
+    regressions: dict, here: str, timeout_s: int = 900
+) -> None:
+    """Fresh-JVM re-measure of every flagged query, in a SOLO child
+    process (the parent's Spark is already stopped). Each flag entry
+    gains ``remeasured``/``remeasured_median`` and a ``verdict``:
+    ``noise`` when the solo min clears the gate against priors
+    re-normalized to the CHILD's own noise floor, ``real`` when it
+    still exceeds it, ``unadjudicated`` when the child failed. A
+    bursty-host run thus produces a verdict per flag without a human
+    re-run."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--remeasure",
+                ",".join(regressions),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            cwd=here,
+        )
+        line = [
+            ln for ln in out.stdout.splitlines() if ln.startswith("{")
+        ][-1]
+        child = json.loads(line)
+    except Exception as e:  # child crash/timeout: flags stay, marked
+        for entry in regressions.values():
+            entry["verdict"] = "unadjudicated"
+            entry["remeasure_error"] = repr(e)[:200]
+        return
+    child_floor = child.get("noise_median")
+    prior_child = best_prior_per_query(here, current_floor=child_floor)
+    for name, entry in regressions.items():
+        rm = child.get("remeasured", {}).get(name)
+        if not rm:
+            entry["verdict"] = "unadjudicated"
+            continue
+        base = prior_child.get(name)
+        entry["remeasured"] = rm["min"]
+        entry["remeasured_median"] = rm["median"]
+        entry["remeasured_floor"] = child_floor
+        entry["verdict"] = (
+            "real"
+            if base and rm["min"] > REGRESSION_FACTOR * base
+            else "noise"
+        )
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--remeasure":
+        remeasure_main([n for n in sys.argv[2].split(",") if n])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -350,6 +462,26 @@ def main() -> None:
                 f"REGRESSION {name}: min {mn}s > {REGRESSION_FACTOR}x "
                 f"machine-normalized best prior {base:.3f}s "
                 f"(raw {prior_raw.get(name)}s, median {med}s)",
+                file=sys.stderr,
+            )
+
+    # Self-adjudication (r10 VERDICT item 5): flags on a bursty floor
+    # used to require a manual fresh-session re-measure to call noise
+    # vs real. Now the bench does it itself: stop THIS JVM (so the
+    # child runs solo) and re-time the flagged queries in a fresh one.
+    if regressions and not floor_stable:
+        print(
+            f"floor unstable (spread {noise_floor.get('spread')}); "
+            f"re-measuring {len(regressions)} flagged queries in a "
+            "fresh solo JVM...",
+            file=sys.stderr,
+        )
+        spark.stop()
+        adjudicate_flags(regressions, here)
+        for name, entry in regressions.items():
+            print(
+                f"  {name}: remeasured min {entry.get('remeasured')}s "
+                f"-> {entry.get('verdict')}",
                 file=sys.stderr,
             )
 

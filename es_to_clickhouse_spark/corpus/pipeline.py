@@ -501,11 +501,41 @@ def mm9_bmp_header_decode(spark, sf_dir):
     WITH RECURSIVE cents AS (
       SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
       WHERE vec_id < greatest(8, (SELECT count(*) FROM embeddings) // 256)
+    ), sups AS (
+      SELECT cent_id AS sup_id, cv AS sv FROM cents
+      ORDER BY cent_id
+      LIMIT greatest(2, CAST(floor(sqrt(CAST((SELECT count(*) FROM cents)
+                                             AS DOUBLE))) AS BIGINT))
+    ), cmap AS (
+      SELECT cent_id, sup_id FROM (
+        SELECT c.cent_id, s.sup_id,
+               row_number() OVER (
+                 PARTITION BY c.cent_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(c.cv AS DOUBLE[]),
+                            CAST(s.sv AS DOUBLE[])), 6) DESC, s.sup_id
+               ) AS rn
+        FROM cents c CROSS JOIN sups s)
+      WHERE rn = 1
+    ), vsup AS (
+      SELECT vec_id, sup_id FROM (
+        SELECT e.vec_id, s.sup_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.sv AS DOUBLE[])), 6) DESC, s.sup_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN sups s)
+      WHERE rn = 1
     ), sims AS (
       SELECT e.vec_id, c.cent_id,
              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                           CAST(c.cv AS DOUBLE[])), 6) AS sim
-      FROM embeddings e CROSS JOIN cents c
+      FROM embeddings e
+      JOIN vsup v ON v.vec_id = e.vec_id
+      JOIN cmap m ON m.sup_id = v.sup_id
+      JOIN cents c ON c.cent_id = m.cent_id
     ), best AS (
       SELECT vec_id, cent_id,
              row_number() OVER (PARTITION BY vec_id
@@ -555,21 +585,23 @@ def d14_semantic_dedup(spark, sf_dir):
     LINEAR in total rows (r10: with the count pinned at 8, cells grew
     with the data and the second scale decade measured 59.7x on 10x
     rows — tools/scale_decade_bench.py caught it; SemDeDup itself
-    scales k with the corpus, e.g. 11k clusters for LAION). The
-    assign stage is the N x k dot-product matrix, JVM-side codegen
-    behind a broadcast — the ANN-assisted assignment is the next
-    escalation at true 100 TB, not needed to keep the pair stage
-    linear. One bounded driver scalar (the count) sizes k."""
+    scales k with the corpus, e.g. 11k clusters for LAION). With k
+    scaling, the DENSE N x k assign matrix becomes the next
+    superlinearity (~N²/256) — r11 landed the documented escalation:
+    :func:`ivf_assign_two_level` routes each vector through
+    m = isqrt(k) super-centroids first, so assign work is
+    O(N·sqrt(k)) and the oracle mirrors the identical deterministic
+    two-step argmax. One bounded driver scalar (the count) sizes k."""
     from es_to_clickhouse_spark.operators.dedup import embedding_neardup_pairs
     from es_to_clickhouse_spark.operators.graph import connected_components
-    from es_to_clickhouse_spark.operators.similarity import ivf_assign
+    from es_to_clickhouse_spark.operators.similarity import ivf_assign_two_level
 
     emb = t(spark, sf_dir, "embeddings")
     n_cents = max(8, emb.count() // 256)
     cents = emb.where(F.col("vec_id") < n_cents).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
-    cell = ivf_assign(emb, cents).select("vec_id", "cent_id")
+    cell = ivf_assign_two_level(emb, cents).select("vec_id", "cent_id")
     base = emb.join(cell, "vec_id")
     # threshold 0.4 is calibrated to the synthetic corpus (its max pairwise
     # cosine is ~0.51 — no planted exact dups); on a real embedding model

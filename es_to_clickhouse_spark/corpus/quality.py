@@ -978,7 +978,9 @@ def ts6_cross_correlation(spark, sf_dir):
     """
     WITH q AS (
       SELECT vec_id AS qid, embedding AS qe FROM embeddings
-      WHERE vec_id % 25 = 7
+      ORDER BY ('0x'||substr(md5('knn6'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+               vec_id
+      LIMIT 24
     ), p AS (
       SELECT q.qid, e.vec_id AS neighbor_id,
              list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -1007,13 +1009,21 @@ def ts6_cross_correlation(spark, sf_dir):
 def sim6_knn_graph(spark, sf_dir):
     """Exact k-NN graph (top-3 cosine neighbors per sampled query
     vector) — the substrate for graph-based dedup clustering and
-    embedding-space QA. The sampled query side broadcasts (sim1's
-    allowlisted pattern); scoring is a map-side zip_with dot product
-    with the SAME sequential fold order as DuckDB's list_sum, and
-    ranking happens on FLOORED integer ppm (ts5's lesson: never rank or
-    compare cross-engine on rounded doubles), tie-broken by neighbor
-    id, so the graph is bit-stable. At 100 TB the broadcast side stays
-    the sampled probe set and the big side streams — same plan.
+    embedding-space QA. The probe set is a FIXED-SIZE deterministic
+    sample (VERDICT r10: the old ``vec_id % 25`` predicate grew the
+    probe set linearly with the corpus, making the probe x corpus
+    scoring stage O(N^2/25) — its 100x decade pass did not finish):
+    the 24 vectors with the smallest salted md5 hash, tie-broken by id
+    (hash order = reproducible uniform order; DuckDB computes the same
+    hash bit-for-bit, corpus/sketch._DUCK_H32). Spark evaluates the
+    selection as a distributed TakeOrdered top-K — no global sort, no
+    single-task window — and the probe side then broadcasts (sim1's
+    allowlisted pattern), so the scoring stage is O(24·N): the probe
+    cost is CONSTANT in corpus size and the big side streams. Scoring
+    is a map-side zip_with dot product with the SAME sequential fold
+    order as DuckDB's list_sum, and ranking happens on FLOORED integer
+    ppm (ts5's lesson: never rank or compare cross-engine on rounded
+    doubles), tie-broken by neighbor id, so the graph is bit-stable.
 
     Two measured r5 fixes (2.95 s -> 0.73 s at sf0.1, output
     byte-identical): (1) each vector's squared norm folds ONCE per row
@@ -1021,9 +1031,11 @@ def sim6_knn_graph(spark, sf_dir):
     vector is unchanged, so the floats are bit-equal); (2) a pinned
     repartition on the probe-carrying side — the single-file source
     scans as ONE partition and a broadcast-join subtree never shuffles,
-    so all n x n/25 fold work otherwise lands on one task, invisible to
+    so all 24 x N fold work otherwise lands on one task, invisible to
     AQE because the cost is compute, not bytes (the d5/d12 root cause,
     VERDICT r4)."""
+    from es_to_clickhouse_spark.operators.sketch import hash32
+
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def dot(a, b):
@@ -1040,10 +1052,15 @@ def sim6_knn_graph(spark, sf_dir):
 
     e2 = e.select("vec_id", "embedding", sq(F.col("embedding")).alias("na"))
     e2 = e2.repartition(spark.sparkContext.defaultParallelism)
-    q = e.where(F.col("vec_id") % 25 == 7).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        sq(F.col("embedding")).alias("nb"),
+    q = (
+        e.select("vec_id", "embedding", hash32(F.col("vec_id"), "knn6").alias("_hv"))
+        .orderBy("_hv", "vec_id")
+        .limit(24)  # fixed probe budget: scoring stays O(24·N) at any SF
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            sq(F.col("embedding")).alias("nb"),
+        )
     )
     p = (
         e2.crossJoin(F.broadcast(q))

@@ -124,6 +124,131 @@ def ivf_assign(
     )
 
 
+def ivf_assign_two_level(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN-assisted IVF assignment (VERDICT r10 item 3): two-level
+    coarse quantization. The dense assign (:func:`ivf_assign`) scores
+    every vector against all k centroids — with SemDeDup's
+    corpus-scaled k (~n/256) that matrix is ~N²/256 and dominates at
+    true 100 TB. Here the k centroids are first themselves assigned to
+    m = max(2, isqrt(k)) SUPER-centroids (the m lowest cent_ids — any
+    deterministic subset works for blocking; k×m work, negligible);
+    each vector then scores the m supers (N×m), picks one (argmax,
+    ties to lowest sup_id), and scores only that super-cell's
+    centroids (expected k/m candidates via a broadcast hash join on
+    sup_id — never empty: a super-centroid is its own nearest super,
+    so every super-cell contains at least itself). Total assign work
+    is N·(m + k/m) = O(N·sqrt(k)) — at k=4M (a 10^9-vector corpus)
+    that is ~2000 dots/vector instead of 4M. The next escalation,
+    if sqrt(k) itself ever dominates, is the same construction
+    applied recursively (log-depth hierarchy, constant work/level).
+
+    Assignment is APPROXIMATE exactly the way IVF training is: a
+    vector near a super-cell boundary may land in a neighboring cell.
+    For SemDeDup that moves the cross-cell recall tradeoff it already
+    accepts, not correctness — and the procedure is DETERMINISTIC
+    (fixed supers, argmax with id tie-breaks, fixed rounding), so an
+    oracle mirrors it exactly. Verify recall against the exact assign
+    on a sample with :func:`ivf_assign` (the sim9 audit pattern).
+
+    Both argmaxes are partial-aggregable ``max_by`` (never window
+    row_number — the ivf_assign shuffle argument); the vector rides
+    THROUGH the level-1 argmax inside the struct payload so the final
+    scoring needs no N-N re-join."""
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    cv = F.col("cv").cast("array<double>")
+    cents = centroids.select(
+        F.col("cent_id"), cv.alias("_cv"), norm(cv).alias("_cnm")
+    )
+    k = cents.count()  # bounded driver scalar: centroids are small
+    import math
+
+    m = max(2, math.isqrt(k))
+    sups = (
+        cents.orderBy("cent_id")
+        .limit(m)
+        .select(
+            F.col("cent_id").alias("sup_id"),
+            F.col("_cv").alias("_sv"),
+            F.col("_cnm").alias("_snm"),
+        )
+    )
+
+    def _sim(vc, nc, sc, sn):
+        return F.round(dot(vc, sc) / (nc * sn), round_digits)
+
+    # centroid -> super (k x m, tiny)
+    cmap = (
+        cents.crossJoin(F.broadcast(sups))
+        .select(
+            "cent_id",
+            "_cv",
+            "_cnm",
+            "sup_id",
+            _sim(F.col("_cv"), F.col("_cnm"), F.col("_sv"), F.col("_snm")).alias(
+                "sim"
+            ),
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.max_by(
+                F.struct("sup_id", "_cv", "_cnm"),
+                F.struct(F.col("sim"), (-F.col("sup_id")).alias("ns")),
+            ).alias("_b")
+        )
+        .select("cent_id", "_b.sup_id", "_b._cv", "_b._cnm")
+    )
+    # vector -> super (N x m); the vector rides through the argmax
+    v = F.col(vec_col).cast("array<double>")
+    big = df.repartition(n_tasks).select(
+        F.col(id_col), v.alias("_v"), norm(v).alias("_nm")
+    )
+    vsup = (
+        big.crossJoin(F.broadcast(sups))
+        .select(
+            id_col,
+            "_v",
+            "_nm",
+            "sup_id",
+            _sim(F.col("_v"), F.col("_nm"), F.col("_sv"), F.col("_snm")).alias(
+                "sim"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("sup_id", "_v", "_nm"),
+                F.struct(F.col("sim"), (-F.col("sup_id")).alias("ns")),
+            ).alias("_b")
+        )
+        .select(id_col, "_b.sup_id", "_b._v", "_b._nm")
+    )
+    # vector -> cell within its super (N x k/m expected)
+    return (
+        vsup.join(F.broadcast(cmap), "sup_id")
+        .select(
+            id_col,
+            "cent_id",
+            _sim(F.col("_v"), F.col("_nm"), F.col("_cv"), F.col("_cnm")).alias(
+                "sim"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "sim"),
+                F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc")),
+            ).alias("_b")
+        )
+        .select(id_col, "_b.cent_id", "_b.sim")
+    )
+
+
 def bucketed_topk(
     df: DataFrame,
     query_vec: DataFrame,

@@ -472,3 +472,63 @@ def test_bench_baseline_reset_skips_pre_rewrite_rounds():
             _json.dump({"queries": {"dq6_json_key_profile": 0.8}}, f)
         prior = bench.best_prior_per_query(d)
         assert "dq6_json_key_profile" not in prior
+
+
+def test_bench_adjudicate_flags_verdicts(monkeypatch, tmp_path):
+    """r10 VERDICT item 5: a bursty-floor flag gets a fresh-JVM
+    re-measure and a verdict — noise when the solo min clears the gate
+    against child-floor-normalized priors, real when it doesn't,
+    unadjudicated when the child fails."""
+    import json as _json
+    import subprocess
+
+    import bench
+
+    # one prior round with a recorded floor of 0.4
+    with open(tmp_path / "BENCH_r09.json", "w") as f:
+        _json.dump(
+            {"queries": {"qa": 1.0, "qb": 1.0},
+             "noise_floor": {"median": 0.4}}, f,
+        )
+    child_out = _json.dumps(
+        {"noise_median": 0.4,  # child floor == prior floor -> scale 1.0
+         "remeasured": {"qa": {"min": 0.9, "median": 1.0},
+                        "qb": {"min": 2.0, "median": 2.2}}}
+    )
+
+    def fake_run(cmd, **kw):
+        assert "--remeasure" in cmd and "qa,qb" in cmd[-1]
+        class R:
+            stdout = child_out + "\n"
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    regs = {
+        "qa": {"min": 1.8, "ratio": 1.8},   # solo 0.9 <= 1.5*1.0 -> noise
+        "qb": {"min": 1.8, "ratio": 1.8},   # solo 2.0 >  1.5*1.0 -> real
+    }
+    bench.adjudicate_flags(regs, str(tmp_path))
+    assert regs["qa"]["verdict"] == "noise" and regs["qa"]["remeasured"] == 0.9
+    assert regs["qb"]["verdict"] == "real" and regs["qb"]["remeasured"] == 2.0
+
+    # child failure -> flags stay, marked unadjudicated (never crashes)
+    def broken_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, 1)
+
+    monkeypatch.setattr(subprocess, "run", broken_run)
+    regs = {"qa": {"min": 1.8}}
+    bench.adjudicate_flags(regs, str(tmp_path))
+    assert regs["qa"]["verdict"] == "unadjudicated"
+    assert "remeasure_error" in regs["qa"]
+
+    # child answered but missed a query -> that flag is unadjudicated
+    def partial_run(cmd, **kw):
+        class R:
+            stdout = _json.dumps(
+                {"noise_median": 0.4, "remeasured": {}}) + "\n"
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", partial_run)
+    regs = {"qa": {"min": 1.8}}
+    bench.adjudicate_flags(regs, str(tmp_path))
+    assert regs["qa"]["verdict"] == "unadjudicated"

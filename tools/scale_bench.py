@@ -27,13 +27,15 @@ loops, no randomness):
   based salting was rejected: an insertion edit shifts positions, so
   position salts would misalign within-replica near-dup pairs and
   silently DELETE the workload the dedup queries exist to find.
-- ``embeddings.embedding``: replica r rotates the vector by r
-  dimensions (norm-preserving, deterministic). Rotation decorrelates
-  cross-replica cosine for non-shift-invariant vectors, so the ANN /
-  embedding-near-dup workload grows 10x in rows without every vector
-  acquiring 9 artificial exact twins (which would inflate neighbor
-  lists ~10x and make quadratic stages look superlinear for reasons
-  that are synthesis artifacts, not plan flaws).
+- ``embeddings.embedding``: replica r applies a seeded SIGNED
+  PERMUTATION of the dimensions (a random orthogonal transform —
+  norm-preserving, deterministic, replica 0 identity). Within a
+  replica every planted near-dup pair transforms identically, so the
+  dup workload survives; across replicas cosine drops to ~N(0, 1/dim),
+  so the ANN / embedding-near-dup workload grows 10x in rows without
+  every vector acquiring 9 artificial near-twins (r10's rotation
+  retained shift-structure cosine and inflated d6's 100x output 104x —
+  a synthesis artifact, VERDICT r10 item 4).
 
 Usage::
 
@@ -115,16 +117,68 @@ def _salt_documents(rep: DataFrame) -> DataFrame:
     )
 
 
-def _rotate_embeddings(rep: DataFrame) -> DataFrame:
-    dim = F.size("embedding")
-    k = F.col("_r") % dim
-    rotated = F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
-        F.concat(
-            F.slice(F.col("embedding"), k + 1, dim),
-            F.slice(F.col("embedding"), F.lit(1), k),
+def _ortho_embeddings(rep: DataFrame, factor: int) -> DataFrame:
+    """Per-replica seeded SIGNED PERMUTATION of the embedding dims —
+    a random orthogonal transform (norm-preserving, exactly invertible)
+    drawn deterministically from md5, one per replica, replica 0 the
+    identity (VERDICT r10 item 4).
+
+    Why not rotation: circular shifts preserve any shift-structure the
+    synthetic vectors carry, so cross-replica cosine stayed high and
+    d6's 100x output grew 104x from synthesis artifacts, not workload.
+    A signed permutation scrambles the coordinate structure: for two
+    INDEPENDENT transforms Q_r, Q_s, cos(Q_r v, Q_s v) has mean 0 and
+    std ~ 1/sqrt(dim) (~0.125 at dim 64) — far below any near-dup
+    threshold — while pairs WITHIN a replica transform identically, so
+    every planted near-dup survives with its cosine bit-preserved in
+    magnitude (products are reordered by the same permutation; the sum
+    is refolded, so values are float-equal up to reassociation, and the
+    planted pairs' cosines sit far from thresholds).
+
+    Implementation: the factor x dim permutation/sign tables are built
+    DRIVER-side (tiny: e.g. 100 x 64) and broadcast-joined on the
+    replica id; the apply is one zip_with per row — no shuffle, no UDF."""
+    import hashlib
+
+    spark = rep.sparkSession
+    dim = rep.select(F.size("embedding")).first()[0]
+    inner = dict(rep.dtypes)["embedding"].removeprefix("array<").removesuffix(">")
+
+    def perm_sign(r: int) -> tuple[list[int], list[float]]:
+        if r == 0:
+            return list(range(1, dim + 1)), [1.0] * dim
+        order = sorted(
+            range(dim),
+            key=lambda i: hashlib.md5(f"ortho:{r}:{i}".encode()).hexdigest(),
+        )
+        perm = [i + 1 for i in order]  # 1-based for element_at
+        sgn = [
+            1.0
+            if int(hashlib.md5(f"sign:{r}:{i}".encode()).hexdigest()[:2], 16) % 2
+            else -1.0
+            for i in range(dim)
+        ]
+        return perm, sgn
+
+    tbl = spark.createDataFrame(
+        [(r, *perm_sign(r)) for r in range(factor)],
+        "_r int, _perm array<int>, _sgn array<double>",
+    )
+    applied = (
+        rep.withColumn("_r", F.col("_r").cast("int"))
+        .join(F.broadcast(tbl), "_r")
+        .withColumn(
+            "embedding",
+            F.zip_with(
+                "_perm",
+                "_sgn",
+                lambda p, s: (s * F.element_at(F.col("embedding"), p)).cast(
+                    inner
+                ),
+            ),
         )
     )
-    return rep.withColumn("embedding", rotated)
+    return applied.drop("_perm", "_sgn")
 
 
 def synthesize(spark, src: str = SRC, dst: str = DST, factor: int = FACTOR) -> None:
@@ -140,7 +194,7 @@ def synthesize(spark, src: str = SRC, dst: str = DST, factor: int = FACTOR) -> N
         if t == "documents":
             rep = _salt_documents(rep)
         elif t == "embeddings":
-            rep = _rotate_embeddings(rep)
+            rep = _ortho_embeddings(rep, factor)
         out = rep.select(df.columns)  # drop _r, keep column order
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
         n0, n1 = df.count(), spark.read.parquet(

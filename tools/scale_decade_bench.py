@@ -5,15 +5,14 @@ and 100x — the open question at 10x was whether their per-round
 scheduler CONSTANT amortizes; a second decade answers it with data.
 
 Synthesis reuses tools/scale_bench.py's machinery (per-replica key
-stride, bijective token rename) at factor=100 for ONLY the two tables
-these queries read. One 100x-specific fix: embedding rotation is
-modulo the dimension (64), so replicas 0..99 would lap — replica r and
-r+64 would carry IDENTICAL vectors and d14's within-cell pair stage
-would inflate with synthesis artifacts, not workload. The second lap
-(r >= 64) therefore also sign-flips odd dimensions: norm-preserving,
-deterministic, and decorrelated from the first lap (cosine between a
-vector and its odd-flipped self is (even-mass - odd-mass) / norm^2,
-~0 for these synthetic vectors).
+stride, bijective token rename, seeded signed-permutation orthogonal
+embedding transform) at factor=100 for ONLY the two tables these
+queries read. The orthogonal transform replaced r10's rotate+flip
+(VERDICT r10 item 4): rotations retained shift-structure cosine across
+replicas, so d6's 100x output grew 104x from synthesis artifacts; the
+per-replica signed permutation drives cross-replica cosine to
+~N(0, 1/dim) while keeping every within-replica planted near-dup
+intact (both members transform identically).
 
 Usage::
 
@@ -36,12 +35,11 @@ ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 sys.path.insert(0, HERE)
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from es_to_clickhouse_spark.session import get_spark  # noqa: E402
 from scale_bench import (  # noqa: E402
     KEY_COLS,
     SRC,
+    _ortho_embeddings,
     _replicate,
     _salt_documents,
     time_queries,
@@ -66,27 +64,6 @@ WIDE_QUERIES = [
 TABLES = ["documents", "embeddings"]
 
 
-def _rotate_flip_embeddings(rep):
-    """Rotation by ``_r % dim`` plus an odd-dimension sign flip on the
-    second lap (``_r >= dim``) — see the module docstring."""
-    dim = F.size("embedding")
-    k = F.col("_r") % dim
-    rotated = F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
-        F.concat(
-            F.slice(F.col("embedding"), k + 1, dim),
-            F.slice(F.col("embedding"), F.lit(1), k),
-        )
-    )
-    lap = (F.col("_r") / dim).cast("long")
-    flipped = F.when(lap % 2 == 0, rotated).otherwise(
-        F.transform(
-            rotated,
-            lambda x, i: F.when(i % 2 == 1, -x).otherwise(x),
-        )
-    )
-    return rep.withColumn("embedding", flipped)
-
-
 def synthesize_100x(spark) -> None:
     os.makedirs(DST100, exist_ok=True)
     for t in TABLES:
@@ -95,7 +72,7 @@ def synthesize_100x(spark) -> None:
         if t == "documents":
             rep = _salt_documents(rep)
         else:
-            rep = _rotate_flip_embeddings(rep)
+            rep = _ortho_embeddings(rep, FACTOR)
         out = rep.select(df.columns)
         out.write.mode("overwrite").parquet(os.path.join(DST100, f"{t}.parquet"))
         n0 = df.count()
