@@ -186,7 +186,21 @@ def d6_embedding_neardup(spark, sf_dir):
     cosine ~0.51 — no planted exact dups), so the predicate is actually
     exercised at every SF; the 0.9 the operator defaults to (real
     embedding models) was vacuously empty — the green-but-unexercised
-    trap. The threshold is just this parameter."""
+    trap. The threshold is just this parameter.
+
+    Scale disposition (measured, two decades, SCALE_BENCH.md): METADATA
+    blocking is quadratic by design — label blocks grow linearly with
+    the corpus, so in-block pairs grow ~N²/|labels| however well the
+    pair stage is balanced (the same verdict that moved d5 off lang
+    blocking in r9). d6 exists as the simple metadata-blocked variant;
+    the at-scale embedding dedup paths in this repo are d14 (SemDeDup:
+    IVF cells whose COUNT scales with the corpus — bounded-cell linear)
+    and d8 (MinHash-LSH band buckets). A second confound is the data
+    floor: at dim 64, random-pair cosine has std ~1/sqrt(64) = 0.125,
+    so the 0.4 threshold sits only ~3 sigma above noise and the output
+    itself grows ~quadratically with corpus size on ANY decorrelated
+    synthesis (real models: dim >= 768 and threshold ~0.9 = ~25 sigma,
+    where output tracks true duplication)."""
     return embedding_neardup_pairs(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.4
     )

@@ -44,6 +44,7 @@ def make_handler(
     start_empty=False,
     schema=None,
     table_names=("t1", "t2"),
+    chaos=None,
 ):
     """Build the request handler over an in-memory table.
 
@@ -75,6 +76,30 @@ def make_handler(
             else:
                 self._reply("not found", code=404)
 
+        def _apply_insert(self, sql, body, params):
+            """Apply one INSERT (rows + dedup token bookkeeping).
+            Returns an error string (500 body) or None on success —
+            shared by the normal path and the chaos applied-then-
+            dropped path."""
+            rows = [
+                json.loads(ln) for ln in body.splitlines() if ln.strip()
+            ]
+            if strict_columns:
+                names = {c["name"] for c in known}
+                bad = {k for r in rows for k in r} - names
+                if bad:
+                    return (
+                        "Code: 16. DB::Exception: No such column "
+                        f"{sorted(bad)[0]} in table"
+                    )
+            token = params.get("insert_deduplication_token")
+            if token is not None and seen_tokens is not None:
+                if token in seen_tokens:
+                    return None  # dedup: drop replay
+                seen_tokens.add(token)
+            inserted.extend(rows)
+            return None
+
         def do_POST(self):
             q = urllib.parse.urlsplit(self.path).query
             params = dict(urllib.parse.parse_qsl(q))
@@ -82,6 +107,19 @@ def make_handler(
             n = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(n).decode("utf-8") if n else ""
             log.append({"sql": sql, "body": body, "params": params})
+            if chaos is not None:
+                act = chaos.decide()
+                if act == "reset":
+                    if sql.startswith("INSERT INTO"):
+                        # the HARSH insert failure: the server APPLIES
+                        # the batch, then the response is lost — the
+                        # client must retry with the same dedup token
+                        # and the replay must drop (exactly-once)
+                        self._apply_insert(sql, body, params)
+                    self.connection.close()
+                    return
+                if act == "slow":
+                    chaos.maybe_sleep()
             if sql.startswith("CREATE DATABASE"):
                 return self._reply("")
             if sql.startswith("CREATE TABLE"):
@@ -110,23 +148,9 @@ def make_handler(
                     known.append({"name": m.group(1), "type": m.group(2)})
                 return self._reply("")
             if sql.startswith("INSERT INTO"):
-                rows = [
-                    json.loads(ln) for ln in body.splitlines() if ln.strip()
-                ]
-                if strict_columns:
-                    names = {c["name"] for c in known}
-                    bad = {k for r in rows for k in r} - names
-                    if bad:
-                        return self._reply(
-                            "Code: 16. DB::Exception: No such column "
-                            f"{sorted(bad)[0]} in table", code=500,
-                        )
-                token = params.get("insert_deduplication_token")
-                if token is not None and seen_tokens is not None:
-                    if token in seen_tokens:
-                        return self._reply("")  # dedup: drop replay
-                    seen_tokens.add(token)
-                inserted.extend(rows)
+                err = self._apply_insert(sql, body, params)
+                if err:
+                    return self._reply(err, code=500)
                 return self._reply("")
             if sql.startswith("DESCRIBE TABLE"):
                 return self._reply(
@@ -195,6 +219,7 @@ def serve_clickhouse(
     start_empty=False,
     schema=None,
     table_names=("t1", "t2"),
+    chaos=None,
 ):
     """Start a loopback fixture. Returns ``(server, host_url, log,
     inserted)`` — caller shuts the server down."""
@@ -204,7 +229,7 @@ def serve_clickhouse(
         ("127.0.0.1", 0),
         make_handler(
             log, inserted, rows_ref, strict_columns, seen_tokens,
-            start_empty, schema, table_names,
+            start_empty, schema, table_names, chaos=chaos,
         ),
     )
     threading.Thread(target=srv.serve_forever, daemon=True).start()

@@ -337,8 +337,33 @@ class ScrollSession:
 
         ``slice_id``/``slice_max`` open ONE slice of a sliced scroll —
         the unit :func:`read_index_http` fans out per executor."""
+        return self.drain_http_status(
+            index,
+            query=query,
+            store_source=store_source,
+            max_pages=max_pages,
+            slice_id=slice_id,
+            slice_max=slice_max,
+        )[0]
+
+    def drain_http_status(
+        self,
+        index: str,
+        query: dict | None = None,
+        store_source: bool = False,
+        max_pages: int = 10_000,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
+    ) -> tuple[list[dict], bool]:
+        """:meth:`drain_http` plus a ``completed`` flag: True only when
+        the scan drained to exhaustion (empty page). A parallel-sliced
+        caller needs it — committing a watermark computed over OTHER
+        slices' rows past an incomplete slice's undrained tail loses
+        that tail forever (the ADVICE r10 Mongo split bug; same class
+        here)."""
         rows: list[dict] = []
         scroll_id: str | None = None
+        completed = False
         try:
             page = self._send(
                 self.initial_request(
@@ -350,6 +375,7 @@ class ScrollSession:
                 scroll_id = page.get("_scroll_id", scroll_id)
                 hits = page.get("hits", {}).get("hits", [])
                 if not hits:
+                    completed = True
                     break
                 rows.extend(scroll_docs(page, store_source=store_source))
                 page = self._send(self.page_request(scroll_id))
@@ -365,7 +391,7 @@ class ScrollSession:
                     )
                 except (OSError, ValueError):
                     pass  # cleanup is best-effort, like the reference
-        return rows
+        return rows, completed
 
     def drain_http_pages(
         self,
@@ -385,8 +411,27 @@ class ScrollSession:
         per-row parse→re-dump was pure Python CPU in the drain hot
         loop). Same failure contract: a page error keeps the pages
         already drained, cleanup always runs."""
+        return self.drain_http_pages_status(
+            index,
+            query=query,
+            max_pages=max_pages,
+            slice_id=slice_id,
+            slice_max=slice_max,
+        )[0]
+
+    def drain_http_pages_status(
+        self,
+        index: str,
+        query: dict | None = None,
+        max_pages: int = 10_000,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
+    ) -> tuple[list[str], bool]:
+        """:meth:`drain_http_pages` plus the ``completed`` flag (see
+        :meth:`drain_http_status` for why sliced callers need it)."""
         pages: list[str] = []
         scroll_id: str | None = None
+        completed = False
         try:
             text = self._send_text(
                 self.initial_request(
@@ -398,6 +443,7 @@ class ScrollSession:
                 page = json.loads(text)  # control only; hits stay raw
                 scroll_id = page.get("_scroll_id", scroll_id)
                 if not page.get("hits", {}).get("hits", []):
+                    completed = True
                     break
                 pages.append(text)
                 text = self._send_text(self.page_request(scroll_id))
@@ -411,7 +457,7 @@ class ScrollSession:
                     )
                 except (OSError, ValueError):
                     pass
-        return pages
+        return pages, completed
 
     def drain_http_incremental(
         self,
@@ -509,6 +555,23 @@ class ScrollSession:
         return rows, max_time, max_update
 
 
+#: Prefix marking a per-slice status line inside the drained RDD (never
+#: a valid JSON page/row start — same device as mongo_wire.WM_SENTINEL).
+SLICE_SENTINEL = "\x00slice\x00"
+
+
+def _slices_complete(sentinels: list[str], n: int) -> bool:
+    """True iff every slice 0..n-1 reported ``C`` (drained to
+    exhaustion). A missing report counts as incomplete — a lost task's
+    data cannot be assumed drained."""
+    done = {
+        int(s[len(SLICE_SENTINEL):].split(":", 1)[0])
+        for s in sentinels
+        if s[len(SLICE_SENTINEL):].split(":", 1)[1] == "C"
+    }
+    return done >= set(range(n))
+
+
 def read_index_http(
     spark: SparkSession,
     session: ScrollSession,
@@ -518,6 +581,7 @@ def read_index_http(
     schema: T.StructType | None = None,
     store_source: bool = False,
     max_pages: int = 10_000,
+    with_status: bool = False,
 ) -> DataFrame:
     """Distributed jar-free ES read via SLICED scroll — the executor-
     parallel form of the reference's serial scroll loop
@@ -554,9 +618,26 @@ def read_index_http(
     fewer elements) instead of rows.
     ``store_source`` keeps the row path — its contract is the RAW
     per-hit ``_source`` text, which ``to_json`` of a struct would
-    reorder and prune."""
+    reorder and prune.
+
+    ``with_status=True`` returns ``(df, all_slices_complete)`` instead:
+    each slice reports drained-to-exhaustion vs partial through a
+    sentinel line in the (then cached) transport RDD, the same device
+    as ``mongo_wire``'s watermark sentinels. An incremental-sync caller
+    MUST know this: a slice that died mid-drain keeps its partial rows
+    (at-least-once), but a watermark computed over the other slices'
+    appended rows would overshoot its undrained tail and lose those
+    rows forever — the exact ADVICE r10 Mongo split bug, whose ES twin
+    this closes. The status collect is the action that executes the
+    drain; the returned DataFrame re-reads the cached RDD."""
     n = max(1, slices)
     sess = session  # dataclass — pickles to executors
+
+    def _with_status(rdd, build_df):
+        rdd = rdd.cache()
+        sent = rdd.filter(lambda s: s.startswith(SLICE_SENTINEL)).collect()
+        data = rdd.filter(lambda s: not s.startswith(SLICE_SENTINEL))
+        return build_df(data), _slices_complete(sent, n)
 
     if schema is not None and not store_source:
         want_id = any(f.name == "_id" for f in schema.fields)
@@ -571,13 +652,18 @@ def read_index_http(
         ])
 
         def _drain_pages(i: int) -> list[str]:
-            return sess.drain_http_pages(
+            pages, completed = sess.drain_http_pages_status(
                 index,
                 query=query,
                 max_pages=max_pages,
                 slice_id=i if n > 1 else None,
                 slice_max=n if n > 1 else None,
             )
+            if with_status:
+                pages.append(
+                    f"{SLICE_SENTINEL}{i}:{'C' if completed else 'P'}"
+                )
+            return pages
 
         pages = spark.sparkContext.parallelize(range(n), n).flatMap(
             _drain_pages
@@ -587,15 +673,21 @@ def read_index_http(
         cols = ([F.col("h._id").alias("_id")] if want_id else []) + [
             F.col("h._source.*")
         ]
-        return (
-            spark.read.schema(wrapper)
-            .json(pages)
-            .select(F.explode("hits.hits").alias("h"))
-            .select(*cols)
-        )
+
+        def build_df(rdd):
+            return (
+                spark.read.schema(wrapper)
+                .json(rdd)
+                .select(F.explode("hits.hits").alias("h"))
+                .select(*cols)
+            )
+
+        if with_status:
+            return _with_status(pages, build_df)
+        return build_df(pages)
 
     def _drain(i: int) -> list[str]:
-        rows = sess.drain_http(
+        rows, completed = sess.drain_http_status(
             index,
             query=query,
             store_source=store_source,
@@ -603,19 +695,24 @@ def read_index_http(
             slice_id=i if n > 1 else None,
             slice_max=n if n > 1 else None,
         )
-        return [json.dumps(r, ensure_ascii=False, default=str) for r in rows]
+        out = [json.dumps(r, ensure_ascii=False, default=str) for r in rows]
+        if with_status:
+            out.append(f"{SLICE_SENTINEL}{i}:{'C' if completed else 'P'}")
+        return out
 
     lines = spark.sparkContext.parallelize(range(n), n).flatMap(_drain)
     reader = spark.read
     if schema is not None:
-        reader = reader.schema(schema)
-    else:
-        # schemaless: Spark's JSON inference would compute the RDD once
-        # for the schema and AGAIN for the data — two full scrolls of
-        # the index. Cache so the wire is hit once (typed production
-        # reads should pass the mapping-derived schema instead).
-        lines = lines.cache()
-    return reader.json(lines)
+        if with_status:
+            return _with_status(lines, reader.schema(schema).json)
+        return reader.schema(schema).json(lines)
+    # schemaless: Spark's JSON inference would compute the RDD once
+    # for the schema and AGAIN for the data — two full scrolls of
+    # the index. Cache so the wire is hit once (typed production
+    # reads should pass the mapping-derived schema instead).
+    if with_status:
+        return _with_status(lines, reader.json)
+    return reader.json(lines.cache())
 
 
 def get_json(session: ScrollSession, path: str):
@@ -782,7 +879,9 @@ def sync_incremental_es_http(
         slices=slices,
         schema=schema,
         store_source=store_source,
-    ).localCheckpoint()  # one wire drain; count/append/watermark share it
+        with_status=True,
+    )
+    df, complete = df[0].localCheckpoint(), df[1]  # one wire drain
     out = flatten_es(df, stringify=False)
     n = out.count()
     if n == 0:
@@ -791,8 +890,18 @@ def sync_incremental_es_http(
     time_field = time_field if time_field in cols else detect_time_field(cols)
     update_field = detect_update_time_field(cols)
     target.append(index, out)
-    aggs = [F.max(F.col(time_field)).cast("string").alias("max_t")] if time_field else []
-    if update_field:
+    # ADVICE r10 (Mongo split twin): if ANY slice died mid-drain, the
+    # appended snapshot's max(time) belongs to the HEALTHY slices and
+    # may overshoot the failed slice's undrained tail — committing it
+    # would lose that tail forever. Append the partial rows (at-least-
+    # once) but HOLD the watermark; the next round re-fetches from the
+    # old one (duplicates possible, loss impossible).
+    aggs = (
+        [F.max(F.col(time_field)).cast("string").alias("max_t")]
+        if time_field and complete
+        else []
+    )
+    if update_field and complete:
         aggs.append(F.max(F.col(update_field)).cast("string").alias("max_u"))
     row = out.agg(*aggs).collect()[0] if aggs else None
     max_t = row["max_t"] if row is not None and time_field else None

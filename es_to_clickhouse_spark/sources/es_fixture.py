@@ -66,12 +66,17 @@ def matches(query: dict, doc: dict) -> bool:
     raise ValueError(f"es_fixture: unsupported query {query}")
 
 
-def make_handler(docs, log=None, cleanups=None, index="events", mapping=None):
+def make_handler(docs, log=None, cleanups=None, index="events", mapping=None,
+                 chaos=None):
     """Build the request handler class over an in-memory doc list.
     ``log``/``cleanups`` (optional lists) record the wire transcript for
     golden assertions. ``index``/``mapping`` back the catalog/mapping
     GETs (``/_cat/indices``, ``/{index}/_mapping``) the live sync mode
-    issues; ``mapping`` is the ``properties`` dict (field → {type})."""
+    issues; ``mapping`` is the ``properties`` dict (field → {type}).
+    ``chaos`` (:class:`sources.chaos_fixture.Chaos`) injects mid-scan
+    connection drops / slow replies on the POST data plane (search +
+    scroll pages) — control GETs stay healthy so the chaos lands on the
+    drain contracts, not the catalog."""
     cursors: dict[str, list[dict]] = {}
     page_size: dict[str, int] = {}
     counter = itertools.count()
@@ -122,6 +127,15 @@ def make_handler(docs, log=None, cleanups=None, index="events", mapping=None):
             body = self._body()
             if log is not None:
                 log.append({"path": path, "body": body})
+            if chaos is not None:
+                act = chaos.decide()
+                if act == "reset":
+                    # drop mid-exchange: no status line, no body — the
+                    # client sees a transport error on this page
+                    self.connection.close()
+                    return
+                if act == "slow":
+                    chaos.maybe_sleep()
             if path == "/_search/scroll":
                 return self._reply(self._page(body["scroll_id"]))
             # initial search: /{index}/_search
@@ -159,11 +173,13 @@ def make_handler(docs, log=None, cleanups=None, index="events", mapping=None):
     return Handler
 
 
-def serve_index(docs, log=None, cleanups=None, index="events", mapping=None):
+def serve_index(docs, log=None, cleanups=None, index="events", mapping=None,
+                chaos=None):
     """Start a loopback fixture serving ``docs``. Returns
     ``(server, host_url)`` — caller shuts the server down."""
     srv = ThreadingHTTPServer(
-        ("127.0.0.1", 0), make_handler(docs, log, cleanups, index, mapping)
+        ("127.0.0.1", 0),
+        make_handler(docs, log, cleanups, index, mapping, chaos=chaos),
     )
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, f"http://127.0.0.1:{srv.server_address[1]}"

@@ -35,9 +35,11 @@ class FakeMongod(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, docs, log, fail_after=None,
-                 collections=("events", "orders", "system.views")):
+                 collections=("events", "orders", "system.views"),
+                 chaos=None):
         self.docs, self.log, self.fail_after = docs, log, fail_after
         self.collections = collections
+        self.chaos = chaos  # sources.chaos_fixture.Chaos or None
 
         outer = self
 
@@ -54,6 +56,13 @@ class FakeMongod(socketserver.ThreadingTCPServer):
                     if outer.fail_after is not None and served >= outer.fail_after:
                         self.request.close()  # mid-scan connection drop
                         return
+                    if outer.chaos is not None:
+                        act = outer.chaos.decide()
+                        if act == "reset":
+                            self.request.close()  # mid-scan drop
+                            return
+                        if act == "slow":
+                            outer.chaos.maybe_sleep()
                     served += 1
                     if "listCollections" in cmd:
                         reply = {
@@ -103,10 +112,11 @@ class FakeMongod(socketserver.ThreadingTCPServer):
 
 
 def serve_collection(docs, log=None, fail_after=None,
-                     collections=("events", "orders", "system.views")):
+                     collections=("events", "orders", "system.views"),
+                     chaos=None):
     """Start a loopback fake mongod serving ``docs``. Returns
     ``(server, port, log)`` — caller shuts the server down."""
     log = [] if log is None else log
-    srv = FakeMongod(docs, log, fail_after, collections)
+    srv = FakeMongod(docs, log, fail_after, collections, chaos=chaos)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, srv.server_address[1], log

@@ -487,13 +487,20 @@ def split_ranges(
     if splits <= 1:
         return [(start_after, None)]
     edges = {}
-    with socket.create_connection((session.host, session.port), timeout=30) as sock:
-        for rid, direction in ((1, 1), (2, -1)):
-            cmd = session.find_command(collection, last_id=start_after)
-            cmd["sort"] = {"_id": direction}
-            cmd["limit"] = 1
-            batch = session._find(sock, rid, cmd)
-            edges[direction] = batch[0]["_id"] if batch else None
+    try:
+        with socket.create_connection(
+            (session.host, session.port), timeout=30
+        ) as sock:
+            for rid, direction in ((1, 1), (2, -1)):
+                cmd = session.find_command(collection, last_id=start_after)
+                cmd["sort"] = {"_id": direction}
+                cmd["limit"] = 1
+                batch = session._find(sock, rid, cmd)
+                edges[direction] = batch[0]["_id"] if batch else None
+    except (OSError, ValueError):
+        # a failed min/max probe must not kill the round — degrade to
+        # the serial walk (same coverage, one task)
+        return [(start_after, None)]
     lo, hi = edges[1], edges[-1]
     if lo is None or hi is None or type(lo) is not type(hi):
         return [(start_after, None)]  # empty or untypable → serial

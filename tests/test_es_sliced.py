@@ -747,3 +747,22 @@ def test_cli_es_continuous_mode(spark, tmp_path, capsys):
         assert len(cats) == 2
     finally:
         srv.shutdown()
+
+
+def test_slices_complete_fold():
+    """The per-slice status fold: complete only when EVERY slice 0..n-1
+    reported C; a missing report (lost task) or a P counts against —
+    the watermark-hold depends on this being conservative."""
+    from es_to_clickhouse_spark.sources.es import (
+        SLICE_SENTINEL,
+        _slices_complete,
+    )
+
+    def s(i, st):
+        return f"{SLICE_SENTINEL}{i}:{st}"
+
+    assert _slices_complete([s(0, "C"), s(1, "C")], 2)
+    assert not _slices_complete([s(0, "C"), s(1, "P")], 2)
+    assert not _slices_complete([s(0, "C")], 2)  # missing report
+    assert not _slices_complete([], 1)
+    assert _slices_complete([s(0, "C"), s(1, "C"), s(1, "C")], 2)

@@ -100,7 +100,8 @@ def main() -> None:
     lines = [
         "",
         "## 100x decade — " + " / ".join(n.split("_")[0] for n in names)
-        + " (r10, tools/scale_decade_bench.py)",
+        + " (r11: ortho synthesis + sim6 fixed probes + d14 two-level"
+        " assign; tools/scale_decade_bench.py)",
         "",
         "Two decades for the iterative cost centers whose 10x ratios were",
         "dominated by per-round scheduler constants: if the constant",
