@@ -2136,8 +2136,10 @@ def g4_cheapest_route(spark, sf_dir):
                CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
       FROM embeddings
     ), q AS (
-      SELECT vec_id AS qid, embedding AS qv, bucket AS qb
-      FROM b WHERE vec_id % 97 = 0
+      SELECT vec_id AS qid, embedding AS qv, bucket AS qb FROM b
+      ORDER BY ('0x'||substr(md5('rcl'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+               vec_id
+      LIMIT 16
     ), pairs AS (
       SELECT q.qid, q.qb, b.bucket, b.vec_id,
              round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
@@ -2192,10 +2194,19 @@ def sim9_lsh_recall(spark, sf_dir):
     base = e.select(
         "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
     )
-    q = base.where(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.col("bucket").alias("qb"),
+    from es_to_clickhouse_spark.operators.sketch import hash32
+
+    q = (
+        base.withColumn("_hv", hash32(F.col("vec_id"), "rcl"))
+        .orderBy("_hv", "vec_id")
+        .limit(16)  # fixed probe budget (the sim6 lesson): audit work
+        # stays O(16*N) at any corpus size; same salt in sim9/sim10 so
+        # the single- vs multi-probe recalls compare on THE SAME probes
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qb"),
+        )
     )
     pairs = (
         base.crossJoin(F.broadcast(q))
@@ -2344,8 +2355,10 @@ def iv3_bm25_topk(spark, sf_dir):
                CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
       FROM embeddings
     ), q AS (
-      SELECT vec_id AS qid, embedding AS qv, bucket AS qb
-      FROM b WHERE vec_id % 97 = 0
+      SELECT vec_id AS qid, embedding AS qv, bucket AS qb FROM b
+      ORDER BY ('0x'||substr(md5('rcl'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT,
+               vec_id
+      LIMIT 16
     ), probes AS (
       SELECT qid, qv, qb AS pb FROM q
       UNION ALL
@@ -2410,10 +2423,19 @@ def sim10_multiprobe_recall(spark, sf_dir):
     base = e.select(
         "vec_id", "embedding", sign_lsh_bucket(F.col("embedding")).alias("bucket")
     )
-    q = base.where(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.col("bucket").alias("qb"),
+    from es_to_clickhouse_spark.operators.sketch import hash32
+
+    q = (
+        base.withColumn("_hv", hash32(F.col("vec_id"), "rcl"))
+        .orderBy("_hv", "vec_id")
+        .limit(16)  # fixed probe budget (the sim6 lesson): audit work
+        # stays O(16*N) at any corpus size; same salt in sim9/sim10 so
+        # the single- vs multi-probe recalls compare on THE SAME probes
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qb"),
+        )
     )
     flip = q.select(
         "qid",

@@ -617,6 +617,121 @@ def d14_semantic_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "sim11_assign_recall",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id < greatest(8, (SELECT count(*) FROM embeddings) // 256)
+    ), sups AS (
+      SELECT cent_id AS sup_id, cv AS sv FROM cents
+      ORDER BY cent_id
+      LIMIT greatest(2, CAST(floor(sqrt(CAST((SELECT count(*) FROM cents)
+                                             AS DOUBLE))) AS BIGINT))
+    ), cmap AS (
+      SELECT cent_id, sup_id FROM (
+        SELECT c.cent_id, s.sup_id,
+               row_number() OVER (
+                 PARTITION BY c.cent_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(c.cv AS DOUBLE[]),
+                            CAST(s.sv AS DOUBLE[])), 6) DESC, s.sup_id
+               ) AS rn
+        FROM cents c CROSS JOIN sups s)
+      WHERE rn = 1
+    ), vsup AS (
+      SELECT vec_id, sup_id FROM (
+        SELECT e.vec_id, s.sup_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.sv AS DOUBLE[])), 6) DESC, s.sup_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN sups s)
+      WHERE rn = 1
+    ), ann AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(c.cv AS DOUBLE[])), 6) DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e
+        JOIN vsup v ON v.vec_id = e.vec_id
+        JOIN cmap m ON m.sup_id = v.sup_id
+        JOIN cents c ON c.cent_id = m.cent_id)
+      WHERE rn = 1
+    ), exact AS (
+      SELECT vec_id, cent_id AS exact_cent FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(c.cv AS DOUBLE[])), 6) DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1
+    ), agg AS (
+      SELECT a.cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(CASE WHEN a.cent_id = x.exact_cent
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM ann a JOIN exact x ON a.vec_id = x.vec_id
+      GROUP BY a.cent_id
+    )
+    SELECT cent_id, n_vecs, n_agree,
+           round(CAST(n_agree AS DOUBLE) / n_vecs, 4) AS agree_rate
+    FROM agg
+    """,
+)
+def sim11_assign_recall(spark, sf_dir):
+    """Recall audit for the two-level IVF assignment (VERDICT r10 item
+    3's "keep the exact assign as the verify step"): per ANN-assigned
+    cell, how many vectors land in the SAME cell the exact
+    nearest-of-k assign (:func:`operators.similarity.ivf_assign`)
+    would give. The exact side is the N x k matrix the two-level path
+    exists to avoid — an AUDIT run on a bounded sample/SF, exactly
+    like sim9/sim10 audit the LSH probe. Disagreements are the
+    boundary vectors whose super-cell routing picked a neighboring
+    cell — SemDeDup's accepted cross-cell recall tradeoff, now
+    quantified per cell instead of asserted."""
+    from es_to_clickhouse_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cents = max(8, emb.count() // 256)
+    cents = emb.where(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    ann = ivf_assign_two_level(emb, cents).select("vec_id", "cent_id")
+    exact = ivf_assign(emb, cents).select(
+        "vec_id", F.col("cent_id").alias("exact_cent")
+    )
+    return (
+        ann.join(exact, "vec_id")
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(F.col("cent_id") == F.col("exact_cent"), 1).otherwise(0)
+            ).alias("n_agree"),
+        )
+        .select(
+            "cent_id",
+            "n_vecs",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_vecs"), 4
+            ).alias("agree_rate"),
+        )
+    )
+
+
 # -------------------------------------------------- Z-order layout
 
 #: Morton interleave of two 8-bit scaled dims, as static SQL for the
