@@ -1,0 +1,147 @@
+"""Assign-stage decade bench (VERDICT r10 item 3's done criterion):
+time ONLY the IVF assignment across THREE decades — sf0.1 (2k), 10x
+(20k), 100x (200k) and a 1000x embeddings-only synthesis (2M vectors)
+— for both the dense nearest-of-k assign (``ivf_assign``, the N x k
+matrix: ~N²/256 under the corpus-scaled cell rule) and the two-level
+quantizer (``ivf_assign_two_level``, O(N·sqrt(k))). The dense assign
+is skipped at 1000x by design (2M x 7812 dots is the plan the
+two-level path exists to avoid; its expected cost is extrapolated in
+the report instead).
+
+Usage::
+
+    python tools/assign_decade_bench.py            # synthesize + run
+    python tools/assign_decade_bench.py --run-only
+
+Appends a section to SCALE_BENCH.md, raw numbers to
+.scale_data/assign_decade.json. Run SOLO."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+sys.path.insert(0, HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from es_to_clickhouse_spark.operators.similarity import (  # noqa: E402
+    ivf_assign,
+    ivf_assign_two_level,
+)
+from es_to_clickhouse_spark.session import get_spark  # noqa: E402
+from scale_bench import (  # noqa: E402
+    KEY_COLS,
+    SRC,
+    _ortho_embeddings,
+    _replicate,
+)
+
+DST1000 = os.path.join(ROOT, ".scale_data", "sf100_emb")
+SCALES = [
+    ("sf0.1", os.path.join(SRC, "embeddings.parquet")),
+    ("10x", os.path.join(ROOT, ".scale_data", "sf1", "embeddings.parquet")),
+    ("100x", os.path.join(ROOT, ".scale_data", "sf10", "embeddings.parquet")),
+    ("1000x", os.path.join(DST1000, "embeddings.parquet")),
+]
+WARM = 2
+
+
+def synthesize_1000x(spark) -> None:
+    df = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    rep = _ortho_embeddings(
+        _replicate(df, KEY_COLS["embeddings"], 1000), 1000
+    )
+    out = rep.select(df.columns)
+    out.write.mode("overwrite").parquet(
+        os.path.join(DST1000, "embeddings.parquet")
+    )
+    n = spark.read.parquet(os.path.join(DST1000, "embeddings.parquet")).count()
+    assert n == df.count() * 1000
+    print(f"synth1000 embeddings: {n:,}", flush=True)
+
+
+def time_assign(spark, path: str, fn) -> dict:
+    emb = spark.read.parquet(path)
+    n = emb.count()
+    k = max(8, n // 256)
+    cents = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    warms = []
+    rows = None
+    for _ in range(WARM + 1):
+        t0 = time.monotonic()
+        rows = fn(emb, cents).count()
+        warms.append(time.monotonic() - t0)
+    return {
+        "n": n,
+        "k": k,
+        "sec": round(min(warms[1:]), 3),
+        "cold": round(warms[0], 3),
+        "rows": rows,
+    }
+
+
+def main() -> None:
+    spark = get_spark("assign_decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--run-only" not in sys.argv[1:]:
+        synthesize_1000x(spark)
+    results: dict[str, dict] = {}
+    for label, path in SCALES:
+        if not os.path.exists(path):
+            raise SystemExit(f"{label} missing at {path}")
+        entry: dict = {}
+        entry["two_level"] = time_assign(spark, path, ivf_assign_two_level)
+        if label != "1000x":  # the dense N x k matrix is the avoided plan
+            entry["dense"] = time_assign(spark, path, ivf_assign)
+        results[label] = entry
+        print(f"  {label}: {entry}", flush=True)
+
+    lines = [
+        "",
+        "## Assign-stage three decades — dense N x k vs two-level"
+        " O(N*sqrt(k)) (r11, tools/assign_decade_bench.py)",
+        "",
+        "The isolated IVF assignment (k = max(8, n/256) corpus-scaled"
+        " cells,",
+        "2k -> 2M vectors). The dense assign is ~N^2/256 under the scaled"
+        " cell",
+        "rule; the two-level quantizer routes through isqrt(k)"
+        " super-centroids.",
+        "Dense is deliberately not run at 1000x (2M x 7,812 dot products"
+        " is the",
+        "plan the escalation exists to avoid).",
+        "",
+        "| scale | n | k | dense s | two-level s | two-level decade ratio |",
+        "|---|---|---|---|---|---|",
+    ]
+    prev = None
+    for label, _ in SCALES:
+        e = results[label]
+        tl = e["two_level"]
+        ratio = f"{tl['sec'] / prev:.1f}x" if prev else "—"
+        dense = e.get("dense", {}).get("sec", "(skipped)")
+        lines.append(
+            f"| {label} | {tl['n']:,} | {tl['k']:,} | {dense} "
+            f"| {tl['sec']} | {ratio} |"
+        )
+        prev = tl["sec"]
+    lines.append("")
+    with open(os.path.join(ROOT, "SCALE_BENCH.md"), "a") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    with open(
+        os.path.join(ROOT, ".scale_data", "assign_decade.json"), "w"
+    ) as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

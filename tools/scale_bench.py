@@ -99,7 +99,11 @@ def _replicate(df: DataFrame, keys: list[str], factor: int) -> DataFrame:
     rep = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
     for k in keys:
         dt = dict(df.dtypes)[k]
-        rep = rep.withColumn(k, (F.col(k) + F.col("_r") * STRIDE).cast(dt))
+        # the stride product in LONG: int32 overflows at _r >= 215
+        # (ANSI mode raises; values for factor <= 214 are unchanged)
+        rep = rep.withColumn(
+            k, (F.col(k) + F.col("_r").cast("long") * STRIDE).cast(dt)
+        )
     return rep
 
 
