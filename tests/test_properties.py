@@ -350,15 +350,30 @@ def test_bench_prior_baseline_covers_heavy_set():
     """Every HEAVY query must have a non-empty comparison basis from the
     committed BENCH_r*.json records (r5 was the first heavy recording;
     it lives only in a truncated tail) — otherwise the regression gate
-    for the real cost centers is vacuous."""
+    for the real cost centers is vacuous. EXCEPTION: a query whose
+    BASELINE_RESETS round is newer than every committed recording has
+    no valid prior BY DESIGN (the rewrite that reset it shipped this
+    round; the next driver recording re-seeds its baseline) — require
+    that the reset round explains the gap instead of masking rot."""
+    import glob
     import os
+    import re
 
     import bench
 
-    prior = bench.best_prior_per_query(
-        os.path.dirname(os.path.abspath(bench.__file__))
-    )
-    missing = [q for q in bench.HEAVY if q not in prior]
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    latest = max(rounds) if rounds else 0
+    prior = bench.best_prior_per_query(here)
+    missing = [
+        q
+        for q in bench.HEAVY
+        if q not in prior and bench.BASELINE_RESETS.get(q, 0) <= latest
+    ]
     assert not missing, f"heavy queries with no regression baseline: {missing}"
     assert all(v > 0 for v in prior.values())
 
@@ -422,9 +437,10 @@ def test_bench_noise_floor_normalization():
         # known floor (0.3) to 3.0 — best is 1.5
         norm = bench.best_prior_per_query(d, current_floor=0.45)
         assert abs(norm["qa"] - 1.5) < 1e-9
-        # faster machine scales priors DOWN (stricter gate)
+        # faster machine scales priors DOWN (stricter gate) — but only
+        # to the burst clamp (r11): 0.15/0.3 = 0.5 clamps to 0.8
         norm_fast = bench.best_prior_per_query(d, current_floor=0.15)
-        assert abs(norm_fast["qa"] - 0.5) < 1e-9
+        assert abs(norm_fast["qa"] - 1.0 * bench.DOWNSCALE_CLAMP) < 1e-9
 
     # r9 fix pinned: a floorless round's FAST-day minimum must not win
     # the baseline unscaled on a slow day (that defeated the whole
@@ -532,3 +548,44 @@ def test_bench_adjudicate_flags_verdicts(monkeypatch, tmp_path):
     regs = {"qa": {"min": 1.8}}
     bench.adjudicate_flags(regs, str(tmp_path))
     assert regs["qa"]["verdict"] == "unadjudicated"
+
+
+def test_bench_prior_window_ages_out_fastday_outliers(tmp_path):
+    """r11: the baseline uses only the most recent PRIOR_WINDOW rounds —
+    a one-time fast-day recording older than the window must age out
+    (best-ever priors permanently flagged stable code: g4 measured
+    ~2.1 s by driver, builder and judge in every round since its 1.44 s
+    r7-era outlier), while recordings inside the window still feed the
+    min."""
+    import json as _json
+
+    import bench
+
+    for rnd, sec in [(1, 0.5), (6, 2.0), (7, 1.9), (8, 2.1), (9, 2.0),
+                     (10, 2.2)]:
+        with open(tmp_path / f"BENCH_r{rnd:02d}.json", "w") as f:
+            _json.dump({"queries": {"qa": sec}}, f)
+    prior = bench.best_prior_per_query(str(tmp_path))
+    # r01's 0.5 outlier is outside the 5-round window {6..10}
+    assert prior["qa"] == 1.9
+
+
+def test_bench_prior_downscale_clamp(tmp_path):
+    """r11: a prior round with a burst-inflated floor must not scale its
+    timings DOWN by the full floor ratio (that fabricates a baseline
+    faster than anything ever measured raw); the clamp bounds the
+    down-scale at DOWNSCALE_CLAMP while leaving the r8 up-scale
+    direction (today slower) untouched."""
+    import json as _json
+
+    import bench
+
+    with open(tmp_path / "BENCH_r09.json", "w") as f:
+        _json.dump({"queries": {"qa": 2.0},
+                    "noise_floor": {"median": 0.6}}, f)
+    # today's floor 0.3 -> raw ratio 0.5, clamped to 0.8: 2.0*0.8 = 1.6
+    fast = bench.best_prior_per_query(str(tmp_path), current_floor=0.3)
+    assert abs(fast["qa"] - 2.0 * bench.DOWNSCALE_CLAMP) < 1e-9
+    # today's floor 1.2 -> up-scale 2.0x, unclamped: 2.0*2.0 = 4.0
+    slow = bench.best_prior_per_query(str(tmp_path), current_floor=1.2)
+    assert abs(slow["qa"] - 4.0) < 1e-9

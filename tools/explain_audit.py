@@ -46,6 +46,11 @@ BNL_ALLOWED = {
     "dq5_join_key_skew",  # 1-row total/avg broadcast
     "pk2_curriculum_bins",  # 1-row decile-cuts broadcast
     "sim6_knn_graph",  # sampled probe-set broadcast (sim1 pattern)
+    # two-level quantizer: bounded-centroid broadcast crossJoins (the
+    # sim4 ivf_assign pattern, twice: vec x supers, cents x supers) +
+    # the exact-assign verify side (vec x cents) — all broadcast sides
+    # are the bounded centroid/super tables
+    "sim11_assign_recall",
     # mixture rates: 1-row corpus-total and 1-row weight-normalizer
     # broadcasts feeding the per-source rate formula (n_sources rows)
     "mix1_temperature_mixture",
