@@ -381,22 +381,32 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
         rounds = 0            # appears mid-run stops counting (ADVICE r9)
         seen_errors: set[str] = set()
         while True:
+            available = None
             try:
                 # re-listed EVERY round like the reference daemons —
                 # tables created mid-run join the next round
                 available = list_fn()
-            except OSError as e:
+            except (OSError, ValueError) as e:
+                # OSError = transport; ValueError = garbled response
+                # surviving the retry budget. A one-shot mode fails the
+                # invocation; a CONTINUOUS daemon must outlive a
+                # transient catalog blip and retry next round — exiting
+                # here turned one reset into a dead pipeline (the chaos
+                # tests' liveness contract).
                 print(json.dumps({"error": f"catalog: {e}"}))
-                return 1
-            tables, pattern_failures = _expand_patterns(
-                args.tables, available, seen_errors=seen_errors
-            )
-            for table in tables:
-                try:
-                    print(json.dumps(sync_one(table)))
-                except OSError as e:  # urllib/socket errors
-                    print(json.dumps({"table": table, "error": str(e)}))
-                    failures += 1
+                failures += 1
+                if args.mode != "continuous":
+                    return 1
+            if available is not None:
+                tables, pattern_failures = _expand_patterns(
+                    args.tables, available, seen_errors=seen_errors
+                )
+                for table in tables:
+                    try:
+                        print(json.dumps(sync_one(table)))
+                    except (OSError, ValueError) as e:
+                        print(json.dumps({"table": table, "error": str(e)}))
+                        failures += 1
             rounds += 1
             if args.mode != "continuous" or (
                 args.max_rounds is not None and rounds >= args.max_rounds

@@ -620,7 +620,11 @@ def read_index_http(
     per-hit ``_source`` text, which ``to_json`` of a struct would
     reorder and prune.
 
-    ``with_status=True`` returns ``(df, all_slices_complete)`` instead:
+    ``with_status=True`` returns ``(df, all_slices_complete, rdd)``
+    instead (``rdd`` = the cached transport RDD — the caller MUST
+    ``unpersist`` it once the DataFrame is materialized, e.g. after
+    ``localCheckpoint``; a poll daemon caching one per round would
+    otherwise leak executor memory):
     each slice reports drained-to-exhaustion vs partial through a
     sentinel line in the (then cached) transport RDD, the same device
     as ``mongo_wire``'s watermark sentinels. An incremental-sync caller
@@ -637,7 +641,7 @@ def read_index_http(
         rdd = rdd.cache()
         sent = rdd.filter(lambda s: s.startswith(SLICE_SENTINEL)).collect()
         data = rdd.filter(lambda s: not s.startswith(SLICE_SENTINEL))
-        return build_df(data), _slices_complete(sent, n)
+        return build_df(data), _slices_complete(sent, n), rdd
 
     if schema is not None and not store_source:
         want_id = any(f.name == "_id" for f in schema.fields)
@@ -881,7 +885,9 @@ def sync_incremental_es_http(
         store_source=store_source,
         with_status=True,
     )
-    df, complete = df[0].localCheckpoint(), df[1]  # one wire drain
+    df, complete, _rdd = df
+    df = df.localCheckpoint()  # one wire drain materialized here
+    _rdd.unpersist()  # transport cache released (poll daemons leak otherwise)
     out = flatten_es(df, stringify=False)
     n = out.count()
     if n == 0:

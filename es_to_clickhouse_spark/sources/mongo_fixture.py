@@ -36,10 +36,14 @@ class FakeMongod(socketserver.ThreadingTCPServer):
 
     def __init__(self, docs, log, fail_after=None,
                  collections=("events", "orders", "system.views"),
-                 chaos=None):
+                 chaos=None, fail_catalog_calls=()):
         self.docs, self.log, self.fail_after = docs, log, fail_after
         self.collections = collections
         self.chaos = chaos  # sources.chaos_fixture.Chaos or None
+        #: 1-based listCollections call numbers to kill (connection
+        #: drop before replying) — deterministic daemon-liveness tests
+        self.fail_catalog_calls = set(fail_catalog_calls)
+        self._catalog_calls = 0
 
         outer = self
 
@@ -65,6 +69,10 @@ class FakeMongod(socketserver.ThreadingTCPServer):
                             outer.chaos.maybe_sleep()
                     served += 1
                     if "listCollections" in cmd:
+                        outer._catalog_calls += 1
+                        if outer._catalog_calls in outer.fail_catalog_calls:
+                            self.request.close()  # transient catalog blip
+                            return
                         reply = {
                             "cursor": {
                                 "firstBatch": [
@@ -113,10 +121,11 @@ class FakeMongod(socketserver.ThreadingTCPServer):
 
 def serve_collection(docs, log=None, fail_after=None,
                      collections=("events", "orders", "system.views"),
-                     chaos=None):
+                     chaos=None, fail_catalog_calls=()):
     """Start a loopback fake mongod serving ``docs``. Returns
     ``(server, port, log)`` — caller shuts the server down."""
     log = [] if log is None else log
-    srv = FakeMongod(docs, log, fail_after, collections, chaos=chaos)
+    srv = FakeMongod(docs, log, fail_after, collections, chaos=chaos,
+                     fail_catalog_calls=fail_catalog_calls)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, srv.server_address[1], log

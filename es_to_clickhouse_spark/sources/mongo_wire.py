@@ -646,8 +646,10 @@ def sync_incremental_mongo_wire(
     new_last = commit_watermark_prefix(wm_lines, fallback=last)
     lines = raw.filter(lambda s: not s.startswith(WM_SENTINEL))
     if lines.isEmpty():  # idle round: nothing drained, nothing to commit
+        raw.unpersist()
         return mode, 0, last
     df = spark.read.json(lines).localCheckpoint()  # one wire drain
+    raw.unpersist()  # transport cache released (poll daemons leak otherwise)
     out = flatten_mongo(df)
     n = out.count()
     target.append(collection, out)

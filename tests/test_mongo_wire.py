@@ -679,3 +679,43 @@ def test_cli_mongo_wire_mode(fake_mongod, spark, tmp_path, capsys):
     # typo'd plain name fails loudly
     rc = main(base + ["--tables", "nope"], environ={})
     assert rc == 1
+
+
+def test_cli_continuous_survives_catalog_blip(spark, tmp_path, capsys):
+    """Daemon liveness (r11): a transient catalog failure in --mode
+    continuous must not kill the poll loop — the round logs the error
+    and the NEXT round retries (previously one reset catalog call
+    exited the daemon). The 2nd listCollections call dies; rounds 1 and
+    3 sync normally."""
+    import json as _json
+
+    from es_to_clickhouse_spark.__main__ import main
+    from es_to_clickhouse_spark.sources.mongo_fixture import serve_collection
+
+    docs = [{"_id": f"id-{i:02d}", "n": i} for i in range(3)]
+    srv, port, _log = serve_collection(docs, fail_catalog_calls={2})
+    try:
+        wh = str(tmp_path / "wh")
+        rc = main(
+            [
+                "--mode", "continuous", "--warehouse", wh,
+                "--mongo-uri", f"mongodb://127.0.0.1:{port}",
+                "--mongo-database", "db",
+                "--tables", "events", "--max-rounds", "3",
+                "--interval", "0",
+            ],
+            environ={},
+        )
+        out = [
+            _json.loads(ln)
+            for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        # one entry per round: sync, catalog error, sync — 3 rounds ran
+        syncs = [o for o in out if o.get("table") == "events"]
+        caterr = [o for o in out if "catalog" in str(o.get("error", ""))]
+        assert len(syncs) == 2 and len(caterr) == 1, out
+        assert syncs[0]["rows"] == 3 and syncs[1]["rows"] == 0
+        assert rc == 1  # the blip is still reported in the exit code
+    finally:
+        srv.shutdown()
