@@ -238,13 +238,20 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
     return out
 
 
+#: everything from this line on in SCALE_BENCH.md belongs to OTHER
+#: tools (decade bench, layout demo, assign bench — they append);
+#: write_report regenerates only its own table above it
+MARKER = "<!-- appended sections preserved below -->"
+
+
 def write_report(base: dict, scaled: dict, factor: int) -> None:
     lines = [
         "# Scale-evidence bench — heavy set at sf0.1 vs synthesized sf1",
         "",
         f"Generated by `python tools/scale_bench.py` ({factor}x replication of",
         "sf0.1 with per-replica key strides, bijective token renames and",
-        "embedding rotation — see the module docstring for why that synthesis",
+        "seeded signed-permutation orthogonal embedding transforms — see the",
+        "module docstring for why that synthesis",
         "keeps the dup *rate* constant instead of making every row a 10x",
         "duplicate). Timings are warm min of "
         f"{WARM_PASSES} through the noop sink on local[32]; `rows` is the",
@@ -283,7 +290,14 @@ def write_report(base: dict, scaled: dict, factor: int) -> None:
             "scale as designed on 10x data.",
         ]
     lines.append("")
-    with open(os.path.join(ROOT, "SCALE_BENCH.md"), "w") as f:
+    path = os.path.join(ROOT, "SCALE_BENCH.md")
+    tail = MARKER + "\n"
+    if os.path.exists(path):
+        old = open(path).read()
+        if MARKER in old:
+            tail = old[old.index(MARKER):]
+    lines.append(tail)
+    with open(path, "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
 
