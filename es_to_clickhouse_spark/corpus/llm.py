@@ -206,6 +206,98 @@ def d6_embedding_neardup(spark, sf_dir):
     )
 
 
+@query(
+    "d18_embedding_neardup_cell",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id < greatest(8, (SELECT count(*) FROM embeddings) // 256)
+    ), sups AS (
+      SELECT cent_id AS sup_id, cv AS sv FROM cents
+      ORDER BY cent_id
+      LIMIT greatest(2, CAST(floor(sqrt(CAST((SELECT count(*) FROM cents)
+                                             AS DOUBLE))) AS BIGINT))
+    ), cmap AS (
+      SELECT cent_id, sup_id FROM (
+        SELECT c.cent_id, s.sup_id,
+               row_number() OVER (
+                 PARTITION BY c.cent_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(c.cv AS DOUBLE[]),
+                            CAST(s.sv AS DOUBLE[])), 6) DESC, s.sup_id
+               ) AS rn
+        FROM cents c CROSS JOIN sups s)
+      WHERE rn = 1
+    ), vsup AS (
+      SELECT vec_id, sup_id FROM (
+        SELECT e.vec_id, s.sup_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(s.sv AS DOUBLE[])), 6) DESC, s.sup_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN sups s)
+      WHERE rn = 1
+    ), cell AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(c.cv AS DOUBLE[])), 6) DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e
+        JOIN vsup v ON v.vec_id = e.vec_id
+        JOIN cmap m ON m.sup_id = v.sup_id
+        JOIN cents c ON c.cent_id = m.cent_id)
+      WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a
+    JOIN cell ca ON ca.vec_id = a.vec_id
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    JOIN cell cb ON cb.vec_id = b.vec_id AND cb.cent_id = ca.cent_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+)
+def d18_embedding_neardup_cell(spark, sf_dir):
+    """d6's semantics at scale: label-SCOPED embedding near-dup with the
+    blocking key extended to (label, IVF cell). d6's plain metadata
+    blocking is quadratic by design — label blocks grow linearly with
+    the corpus, so in-block pairs grow ~N²/|labels| (measured,
+    SCALE_BENCH.md r11: 717 s / 967k tail pairs at 100x). Compounding
+    the block key with the corpus-scaled IVF cell (count ~n/256,
+    assigned via the O(N·sqrt(k)) two-level quantizer) bounds expected
+    block size like d14's pair stage, so candidate pairs stay ~linear
+    in corpus size; pairs whose members straddle a cell boundary are
+    the same recall tradeoff SemDeDup accepts (quantified per cell by
+    `sim11_assign_recall`). This is the variant a real
+    dedup-within-language/source pipeline runs at 100 TB; d6 remains
+    the didactic metadata-blocked form."""
+    from es_to_clickhouse_spark.operators.similarity import (
+        ivf_assign_two_level,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cents = max(8, emb.count() // 256)
+    cents = emb.where(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    cell = ivf_assign_two_level(emb, cents).select("vec_id", "cent_id")
+    base = emb.join(cell, "vec_id").withColumn(
+        "_blk",
+        F.concat(F.col("label"), F.lit("|"), F.col("cent_id").cast("string")),
+    )
+    return embedding_neardup_pairs(
+        base, "vec_id", "embedding", "_blk", threshold=0.4
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 

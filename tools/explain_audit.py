@@ -51,6 +51,7 @@ BNL_ALLOWED = {
     # the exact-assign verify side (vec x cents) — all broadcast sides
     # are the bounded centroid/super tables
     "sim11_assign_recall",
+    "d18_embedding_neardup_cell",  # same two-level quantizer crossJoins
     # mixture rates: 1-row corpus-total and 1-row weight-normalizer
     # broadcasts feeding the per-source rate formula (n_sources rows)
     "mix1_temperature_mixture",

@@ -60,6 +60,7 @@ WIDE_QUERIES = [
     "d6_embedding_neardup",
     "txt10_contamination_check",
     "sim6_knn_graph",
+    "d18_embedding_neardup_cell",
 ]
 TABLES = ["documents", "embeddings"]
 
