@@ -730,3 +730,116 @@ def q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name LIKE 'NATION_1%'
+      GROUP BY l.l_partkey
+    )
+    SELECT v.l_partkey AS p_partkey, round(v.value, 2) AS value
+    FROM v, (SELECT 1.5 * avg(value) AS th FROM v) t
+    WHERE v.value > t.th
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 adapted (no partsupp: per-part "stock value" is the
+    revenue routed through suppliers of the NATION_1x block, computed
+    from lineitem). The original's correlated HAVING-subquery threshold
+    (a fixed FRACTION of the global total, which goes vacuous as SF
+    grows) becomes a scale-invariant 1.5x-of-mean cut so the output
+    stays proportional at every SF. One shuffle for the per-part agg;
+    the scalar threshold re-aggregates the SMALL grouped result (|part|
+    rows, not |lineitem|) and broadcasts as a 1-row cross join — the
+    decorrelation every 100 TB optimizer wants. Supplier and nation
+    are dimension-sized: explicit broadcast."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").where(
+        F.col("n_name").like("NATION_1%")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev(li)).alias("value"))
+    )
+    th = v.agg((F.lit(1.5) * F.avg("value")).alias("th"))
+    return (
+        v.join(F.broadcast(th))
+        .where(F.col("value") > F.col("th"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name LIKE 'NATION_1%'
+      AND s.s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh
+        JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE p.p_name LIKE 'cold%' AND sh.qty > 50)
+    ORDER BY s_name
+    """,
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 adapted (no partsupp/availqty: "has excess stock of
+    forest parts" becomes "shipped > 50 units of a cold-prefixed part
+    in 1996"). Plan shape preserved: the nested IN over a grouped
+    subquery decorrelates into (a) a partial-aggregated groupBy on
+    (partkey, suppkey) over the date-pruned lineitem slice, (b) a join
+    against the name-filtered part — fact-sized at 100 TB, so NO
+    broadcast hint there (AQE may still elect one at bench SF), and
+    (c) a LEFT SEMI join into supplier on the resulting small suppkey
+    set, which IS broadcast — semi-join via broadcast kills the
+    shuffle on the dimension side entirely."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("cold%"))
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = t(spark, sf_dir, "nation").where(
+        F.col("n_name").like("NATION_1%")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    cand = (
+        shipped.join(p, shipped.l_partkey == p.p_partkey)
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(cand), s.s_suppkey == cand.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

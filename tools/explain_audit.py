@@ -30,6 +30,7 @@ sys.path.insert(0, "/root/repo")
 BNL_ALLOWED = {
     "f14_progress_math",
     "q22_dormant_customers",  # 1-row scalar avg(c_acctbal) broadcast
+    "q11_important_stock",  # 1-row scalar 1.5x-mean threshold broadcast
     "txt7_tfidf_terms",  # 1-row corpus-size N broadcast
     "g1_pagerank_trade",  # 1-row dangling-mass broadcast per iteration
     "a14_histogram",  # 1-row min/max bounds broadcast
