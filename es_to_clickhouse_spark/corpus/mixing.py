@@ -220,3 +220,99 @@ def cur1_curation_funnel(spark, sf_dir):
         F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
         F.coalesce("n_mixed", F.lit(0)).alias("n_mixed"),
     )
+
+
+_HS = 2**32
+_SP_TRAIN = int(0.8 * _HS)
+_SP_VAL = int((0.8 + 0.1) * _HS)
+_H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
+
+
+@query(
+    "mix3_leakage_safe_split",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 40))
+               AS fingerprint
+      FROM documents
+    ), lab AS (
+      SELECT fingerprint,
+             CASE WHEN hd < {_SP_TRAIN} THEN 'train'
+                  WHEN hd < {_SP_VAL} THEN 'val'
+                  ELSE 'test' END AS doc_split,
+             CASE WHEN hc < {_SP_TRAIN} THEN 'train'
+                  WHEN hc < {_SP_VAL} THEN 'val'
+                  ELSE 'test' END AS cl_split
+      FROM (SELECT fingerprint,
+                   {_H32.format(x="'split'||CAST(doc_id AS VARCHAR)")} AS hd,
+                   {_H32.format(x="'split'||fingerprint")} AS hc
+            FROM fp)
+    ), m AS (
+      SELECT 'doc_hash' AS method, doc_split AS split, fingerprint FROM lab
+      UNION ALL
+      SELECT 'cluster_hash' AS method, cl_split AS split, fingerprint FROM lab
+    ), per_fp AS (
+      SELECT method, fingerprint,
+             count(*) FILTER (split = 'train') AS nt,
+             count(*) FILTER (split = 'val') AS nv,
+             count(*) FILTER (split = 'test') AS ns,
+             count(*) AS n,
+             count(DISTINCT split) AS nsp
+      FROM m GROUP BY method, fingerprint
+    )
+    SELECT method,
+           CAST(sum(nt) AS BIGINT) AS n_train,
+           CAST(sum(nv) AS BIGINT) AS n_val,
+           CAST(sum(ns) AS BIGINT) AS n_test,
+           count(*) FILTER (n > 1 AND nsp > 1) AS leaked_clusters
+    FROM per_fp GROUP BY method
+    """,
+)
+def mix3_leakage_safe_split(spark, sf_dir):
+    """Leakage guard for train/val/test splits: the SAME 0.8/0.1/0.1 hash
+    range keyed two ways — on doc_id (the naive split) and on a duplicate-
+    cluster key (operators/mixture.cluster_safe_split). The cluster key is
+    a prefix fingerprint (md5 of the first 40 normalized chars — the
+    boilerplate-prefix near-dup surrogate; any granularity composes: exact
+    md5, MinHash band, CC label). Output contrasts per-split doc counts
+    AND the leak metric: multi-doc clusters that straddle a split
+    boundary. Doc-keyed splitting leaks (a duplicate pair whose ids hash
+    apart puts training text in the eval set); cluster-keyed is leak-free
+    BY CONSTRUCTION — the query measures both rather than asserting.
+    Plan: both labels are row-local hashes (no shuffle to assign), then
+    ONE uniform-key shuffle per method on the 128-bit fingerprint for the
+    per-cluster straddle check and a 2-row re-agg — the md5 key keeps it
+    skew-proof at 100 TB."""
+    from es_to_clickhouse_spark.operators.mixture import cluster_safe_split
+    from es_to_clickhouse_spark.operators.sketch import hash_split
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring(norm, 1, 40)).alias("fingerprint")
+    )
+    doc = d.select(
+        F.lit("doc_hash").alias("method"),
+        hash_split(F.col("doc_id"), w, salt="split"),
+        "fingerprint",
+    )
+    clu = cluster_safe_split(d, "fingerprint", w, salt="split").select(
+        F.lit("cluster_hash").alias("method"), "split", "fingerprint"
+    )
+    m = doc.unionByName(clu)
+    per_fp = m.groupBy("method", "fingerprint").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("nt"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("nv"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("ns"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("split").alias("nsp"),
+    )
+    return per_fp.groupBy("method").agg(
+        F.sum("nt").alias("n_train"),
+        F.sum("nv").alias("n_val"),
+        F.sum("ns").alias("n_test"),
+        F.count(
+            F.when((F.col("n") > 1) & (F.col("nsp") > 1), 1)
+        ).alias("leaked_clusters"),
+    )

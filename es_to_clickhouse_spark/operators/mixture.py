@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from es_to_clickhouse_spark.operators.sketch import HASH_SPACE, hash32
+from es_to_clickhouse_spark.operators.sketch import HASH_SPACE, hash32, hash_split
 
 
 def temperature_rates(
@@ -135,3 +135,31 @@ def epoch_replicate(
     return j.where(
         (F.col("epoch") < F.col("_nf")) | (hash32(keyed, salt) < F.col("_cut"))
     ).drop("_nf", "_cut")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed on a CLUSTER id, not the row id —
+    the leakage guard for dedup-aware splits.
+
+    Hashing the row key (``hash_split``) puts two near-identical
+    documents on opposite sides of the train/test boundary whenever
+    their ids hash differently — the held-out copy then "evaluates" the
+    model on training data. Keying the same hash range on the duplicate-
+    cluster id (content fingerprint, LSH cluster label, canonical doc of
+    a near-dup group) makes split membership a pure function of the
+    cluster, so a cluster's members land in ONE split by construction —
+    under reshards, reruns, and incremental appends alike.
+
+    Row-local (no shuffle): the cluster id is already a column, and the
+    label is a hash of it. Pair with ``operators/dedup`` to derive the
+    cluster column; any upstream choice of fingerprint granularity
+    (exact md5, MinHash band, CC label) composes unchanged.
+    """
+    return df.withColumn(
+        "split", hash_split(F.col(cluster_col), weights, salt=salt)
+    )
