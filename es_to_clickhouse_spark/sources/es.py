@@ -555,6 +555,225 @@ class ScrollSession:
         return rows, max_time, max_update
 
 
+@dataclass
+class SearchAfterSession(ScrollSession):
+    """Point-in-time + ``search_after`` pagination — the public ES 8.x
+    cursor that replaces scroll (scroll is deprecated for deep
+    pagination upstream; the reference daemon predates that,
+    es/es_to_bytehouse.py:577-673). Same drain surface as
+    :class:`ScrollSession`, so :func:`read_index_http` runs UNCHANGED
+    over either session (the two ``drain_http*_status`` methods are the
+    polymorphic seam):
+
+    - open:  ``POST {host}/{index}/_pit?keep_alive={timeout}`` → pit id
+      (a frozen snapshot of the index: pages are consistent even while
+      writes land, like a scroll context but shareable and cheaper)
+    - page:  ``POST {host}/_search`` with the pit id, a total sort
+      (``sort_field`` asc if set, then the PIT-only ``_shard_doc``
+      tiebreak) and, from the second page on, ``search_after`` = the
+      LAST hit's ``sort`` tuple from the previous page
+    - close: ``DELETE {host}/_pit`` with the latest pit id (responses
+      may rotate it via ``pit_id``)
+
+    THE contract difference vs scroll, and the reason this session
+    exists: the cursor is STATELESS — the sort tuple IS the position,
+    held by the client. A scroll page consumes the server-side cursor
+    on arrival, so a lost response is a lost page and pages must never
+    be retried (see ScrollSession.max_retries); here EVERY request is
+    idempotent and transient-retried up to ``max_retries``, so a
+    flaky-network drain completes instead of degrading to partial.
+    Failure past the retry budget keeps partial rows and reports
+    ``completed=False``, and the PIT is closed best-effort — identical
+    partial-progress semantics to the scroll drain, reached less often.
+
+    ``slice_id``/``slice_max`` slice the PIT search exactly like sliced
+    scroll (``slice`` in the body alongside ``pit``), so the
+    executor-parallel fan-out is unchanged."""
+
+    #: ascending sort field for watermark-ordered incremental reads;
+    #: None = pure doc-order pagination on the ``_shard_doc`` tiebreak.
+    sort_field: str | None = None
+
+    def open_pit_request(self, index: str) -> dict:
+        return {
+            "method": "POST",
+            "url": f"{self.host}/{index}/_pit",
+            "params": {"keep_alive": self.timeout},
+            "body": {},
+        }
+
+    def search_request(
+        self,
+        pit_id: str,
+        query: dict | None = None,
+        search_after: list | None = None,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
+    ) -> dict:
+        sort: list = []
+        if self.sort_field:
+            sort.append({self.sort_field: "asc"})
+        sort.append({"_shard_doc": "asc"})
+        body = {
+            "size": self.size,
+            "query": query or {"match_all": {}},
+            "pit": {"id": pit_id, "keep_alive": self.timeout},
+            "sort": sort,
+            # total-hit counting walks the whole match set per page —
+            # pure waste for a drain that sees every page anyway
+            "track_total_hits": False,
+        }
+        if slice_id is not None and slice_max is not None:
+            if not 0 <= slice_id < slice_max or slice_max < 2:
+                raise ValueError(
+                    f"slice id {slice_id} must be in [0, max) with"
+                    f" max >= 2, got max={slice_max}"
+                )
+            body["slice"] = {"id": slice_id, "max": slice_max}
+        if search_after is not None:
+            body["search_after"] = search_after
+        return {
+            "method": "POST",
+            "url": f"{self.host}/_search",
+            "body": body,
+        }
+
+    def close_pit_request(self, pit_id: str) -> dict:
+        return {
+            "method": "DELETE",
+            "url": f"{self.host}/_pit",
+            "body": {"id": pit_id},
+        }
+
+    def drain(
+        self,
+        index: str,
+        responses: list[dict | Exception],
+        query: dict | None = None,
+        store_source: bool = False,
+    ) -> tuple[list[dict], list[dict]]:
+        """Pure fold over recorded responses (protocol golden twin of
+        ScrollSession.drain). ``responses[0]`` is the PIT-open body;
+        the rest are search pages (or an Exception for a failed fetch
+        past the retry budget)."""
+        transcript: list[dict] = [self.open_pit_request(index)]
+        rows: list[dict] = []
+        if not responses:
+            return rows, transcript
+        pit_id = responses[0].get("id")
+        after: list | None = None
+        for page in responses[1:]:
+            transcript.append(
+                self.search_request(pit_id, query, search_after=after)
+            )
+            if isinstance(page, Exception):
+                break  # partial progress kept; close still runs below
+            pit_id = page.get("pit_id", pit_id)
+            hits = page.get("hits", {}).get("hits", [])
+            if not hits:
+                break
+            rows.extend(scroll_docs(page, store_source=store_source))
+            after = hits[-1].get("sort")
+            if after is None:
+                break  # no sort tuple: cannot form the next cursor
+        if pit_id:
+            transcript.append(self.close_pit_request(pit_id))
+        return rows, transcript
+
+    def drain_http_status(
+        self,
+        index: str,
+        query: dict | None = None,
+        store_source: bool = False,
+        max_pages: int = 10_000,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
+    ) -> tuple[list[dict], bool]:
+        rows: list[dict] = []
+        pit_id: str | None = None
+        after: list | None = None
+        completed = False
+        try:
+            pit_id = self._send(
+                self.open_pit_request(index), idempotent=True
+            ).get("id")
+            for _ in range(max_pages):
+                page = self._send(
+                    self.search_request(
+                        pit_id, query, after, slice_id, slice_max
+                    ),
+                    idempotent=True,  # stateless cursor: retry-safe
+                )
+                pit_id = page.get("pit_id", pit_id)
+                hits = page.get("hits", {}).get("hits", [])
+                if not hits:
+                    completed = True
+                    break
+                rows.extend(scroll_docs(page, store_source=store_source))
+                after = hits[-1].get("sort")
+                if after is None:
+                    break  # completed stays False: tail state unknown
+        except (OSError, ValueError):
+            pass  # partial progress kept; close still runs below
+        finally:
+            if pit_id:
+                try:
+                    self._send(
+                        self.close_pit_request(pit_id), idempotent=True
+                    )
+                except (OSError, ValueError):
+                    pass
+        return rows, completed
+
+    def drain_http_pages_status(
+        self,
+        index: str,
+        query: dict | None = None,
+        max_pages: int = 10_000,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
+    ) -> tuple[list[str], bool]:
+        """Raw-page transport (typed production reads): pages pass to
+        the JVM unopened except the control parse, which here also
+        lifts the last hit's ``sort`` tuple — the next cursor."""
+        pages: list[str] = []
+        pit_id: str | None = None
+        after: list | None = None
+        completed = False
+        try:
+            pit_id = self._send(
+                self.open_pit_request(index), idempotent=True
+            ).get("id")
+            for _ in range(max_pages):
+                text = self._send_text(
+                    self.search_request(
+                        pit_id, query, after, slice_id, slice_max
+                    ),
+                    idempotent=True,
+                )
+                page = json.loads(text)  # control only; hits stay raw
+                pit_id = page.get("pit_id", pit_id)
+                hits = page.get("hits", {}).get("hits", [])
+                if not hits:
+                    completed = True
+                    break
+                pages.append(text)
+                after = hits[-1].get("sort")
+                if after is None:
+                    break
+        except (OSError, ValueError):
+            pass
+        finally:
+            if pit_id:
+                try:
+                    self._send(
+                        self.close_pit_request(pit_id), idempotent=True
+                    )
+                except (OSError, ValueError):
+                    pass
+        return pages, completed
+
+
 #: Prefix marking a per-slice status line inside the drained RDD (never
 #: a valid JSON page/row start — same device as mongo_wire.WM_SENTINEL).
 SLICE_SENTINEL = "\x00slice\x00"

@@ -731,3 +731,285 @@ def test_scroll_http_loopback_empty_index_no_cleanup():
     assert [(r["method"], r["path"]) for r in log] == [
         ("POST", "/idx-empty/_search")
     ]
+
+
+# ------------------------------------- PIT + search_after pagination
+
+
+def _sa_page(ids, pit_id=None):
+    """A search_after page: each hit carries its sort tuple (the
+    cursor), optionally rotating the pit id."""
+    page = {
+        "hits": {
+            "hits": [
+                {"_id": i, "_source": {"v": i}, "sort": [i]} for i in ids
+            ]
+        }
+    }
+    if pit_id is not None:
+        page["pit_id"] = pit_id
+    return page
+
+
+def test_search_after_protocol_golden():
+    """PIT + search_after transcript: open PIT with keep_alive, first
+    search WITHOUT search_after, every later search carrying the LAST
+    hit's sort tuple, the _shard_doc tiebreak + track_total_hits off
+    on every page, and the close DELETE with the latest (rotated)
+    pit id."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+
+    responses = [
+        {"id": "pit-1"},
+        _sa_page(["a", "b"]),
+        _sa_page(["c"], pit_id="pit-2"),  # rotated
+        _sa_page([]),
+    ]
+    rows, transcript = SearchAfterSession(size=2, timeout="5m").drain(
+        "idx-a", responses
+    )
+    assert [r["_id"] for r in rows] == ["a", "b", "c"]
+    assert [(t["method"], t["url"].split("/", 3)[-1]) for t in transcript] == [
+        ("POST", "idx-a/_pit"),
+        ("POST", "_search"),
+        ("POST", "_search"),
+        ("POST", "_search"),
+        ("DELETE", "_pit"),
+    ]
+    assert transcript[0]["params"] == {"keep_alive": "5m"}
+    first, second, third = (t["body"] for t in transcript[1:4])
+    assert "search_after" not in first
+    assert first["sort"] == [{"_shard_doc": "asc"}]
+    assert first["track_total_hits"] is False
+    assert first["pit"] == {"id": "pit-1", "keep_alive": "5m"}
+    assert second["search_after"] == ["b"]
+    assert third["search_after"] == ["c"]
+    assert third["pit"]["id"] == "pit-2"  # rotation honored
+    assert transcript[-1]["body"] == {"id": "pit-2"}
+
+
+class _PitHandler:
+    """Functional loopback PIT server: serves the doc set through the
+    real search_after contract — opens pits, applies the search_after
+    cursor against per-slice doc lists, and can inject transient 503s
+    by request ordinal to exercise the retry-completes contract."""
+
+    @staticmethod
+    def make(docs, log, fail_ordinals=frozenset()):
+        import urllib.parse
+        from http.server import BaseHTTPRequestHandler
+
+        state = {"n": 0}
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _record(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n)) if n else None
+                parsed = urllib.parse.urlsplit(self.path)
+                log.append(
+                    {
+                        "method": self.command,
+                        "path": parsed.path,
+                        "params": dict(
+                            urllib.parse.parse_qsl(parsed.query)
+                        ),
+                        "body": body,
+                    }
+                )
+                return body
+
+            def _reply(self, obj, code=200):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):
+                body = self._record()
+                state["n"] += 1
+                if state["n"] in fail_ordinals:
+                    self._reply({"error": "transient"}, code=503)
+                    return
+                if self.path.startswith("/") and "/_pit" in self.path:
+                    self._reply({"id": "pit-1"})
+                    return
+                # functional search: slice, cursor, page size
+                sl = body.get("slice")
+                mine = [
+                    (pos, d)
+                    for pos, d in enumerate(docs)
+                    if sl is None or pos % sl["max"] == sl["id"]
+                ]
+                after = body.get("search_after")
+                if after is not None:
+                    mine = [(p, d) for p, d in mine if p > after[0]]
+                page = mine[: body["size"]]
+                self._reply(
+                    {
+                        "hits": {
+                            "hits": [
+                                {
+                                    "_id": d["_id"],
+                                    "_source": {
+                                        k: v
+                                        for k, v in d.items()
+                                        if k != "_id"
+                                    },
+                                    "sort": [p],
+                                }
+                                for p, d in page
+                            ]
+                        }
+                    }
+                )
+
+            def do_DELETE(self):
+                self._record()
+                self._reply({"succeeded": True})
+
+        return Handler
+
+
+def _serve_pit(docs, fail_ordinals=frozenset()):
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    log: list[dict] = []
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _PitHandler.make(docs, log, fail_ordinals)
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, log, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+_PIT_DOCS = [{"_id": f"d{i}", "k": i} for i in range(7)]
+
+
+def test_search_after_http_loopback_full_session():
+    """Live search_after drain over a real socket: the cursor walks the
+    whole doc set in sort order, every page request carries the
+    previous page's last sort tuple, and the PIT is closed."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+
+    srv, log, host = _serve_pit(_PIT_DOCS)
+    try:
+        rows, completed = SearchAfterSession(
+            host=host, size=3
+        ).drain_http_status("idx-a")
+    finally:
+        srv.shutdown()
+    assert completed
+    assert [r["_id"] for r in rows] == [f"d{i}" for i in range(7)]
+    paths = [(r["method"], r["path"]) for r in log]
+    assert paths == [
+        ("POST", "/idx-a/_pit"),
+        ("POST", "/_search"),  # d0 d1 d2
+        ("POST", "/_search"),  # d3 d4 d5
+        ("POST", "/_search"),  # d6
+        ("POST", "/_search"),  # empty -> stop
+        ("DELETE", "/_pit"),
+    ]
+    assert log[2]["body"]["search_after"] == [2]
+    assert log[4]["body"]["search_after"] == [6]
+
+
+def test_search_after_retry_completes_where_scroll_cannot():
+    """THE reason the session exists: a transient 503 on a PAGE fetch.
+    The stateless cursor retries the identical request and the drain
+    COMPLETES with every row — a scroll page can never be retried
+    (the server-side cursor may have advanced), so the same fault
+    degrades a scroll drain to partial rows."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+
+    # ordinal 3 = the second _search (after _pit=1, first _search=2)
+    srv, log, host = _serve_pit(_PIT_DOCS, fail_ordinals={3})
+    try:
+        rows, completed = SearchAfterSession(
+            host=host, size=3, backoff_s=0.01
+        ).drain_http_status("idx-a")
+    finally:
+        srv.shutdown()
+    assert completed
+    assert [r["_id"] for r in rows] == [f"d{i}" for i in range(7)]
+    # the failed ordinal was re-issued with an IDENTICAL body
+    searches = [r["body"] for r in log if r["path"] == "/_search"]
+    assert searches[1] == searches[2]
+
+
+def test_search_after_failure_keeps_partial_and_closes_pit():
+    """Past the retry budget (a 404-class definite error is not
+    retried): partial rows kept, completed=False, PIT still closed —
+    the scroll drain's failure contract, reached less often."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+
+    # a 503 on EVERY remaining ordinal exhausts the retry budget
+    srv, log, host = _serve_pit(_PIT_DOCS, fail_ordinals={3, 4, 5, 6, 7})
+    try:
+        rows, completed = SearchAfterSession(
+            host=host, size=3, max_retries=2, backoff_s=0.01
+        ).drain_http_status("idx-a")
+    finally:
+        srv.shutdown()
+    assert not completed
+    assert [r["_id"] for r in rows] == ["d0", "d1", "d2"]
+    assert log[-1] == {
+        "method": "DELETE",
+        "path": "/_pit",
+        "params": {},
+        "body": {"id": "pit-1"},
+    }
+
+
+def test_read_index_http_runs_unchanged_over_search_after_session():
+    """The polymorphic seam: read_index_http fans the SAME sliced
+    executor drain out over a SearchAfterSession — typed raw-page path,
+    slice bodies riding alongside the pit, per-slice completion
+    sentinels — with zero changes to the reader."""
+    import pyspark.sql.types as T2
+
+    from es_to_clickhouse_spark.session import get_spark
+    from es_to_clickhouse_spark.sources.es import (
+        read_index_http,
+        SearchAfterSession,
+    )
+
+    spark = get_spark("tests", cpus=8)
+    schema = T2.StructType(
+        [
+            T2.StructField("_id", T2.StringType()),
+            T2.StructField("k", T2.LongType()),
+        ]
+    )
+    srv, log, host = _serve_pit(_PIT_DOCS)
+    try:
+        df, complete, rdd = read_index_http(
+            spark,
+            SearchAfterSession(host=host, size=3),
+            "idx-a",
+            slices=2,
+            schema=schema,
+            with_status=True,
+        )
+        got = sorted((r["_id"], r["k"]) for r in df.collect())
+        rdd.unpersist()
+    finally:
+        srv.shutdown()
+    assert complete
+    assert got == [(f"d{i}", i) for i in range(7)]
+    # both slices opened their own PIT and closed it
+    assert sum(1 for r in log if r["path"] == "/idx-a/_pit") == 2
+    assert sum(1 for r in log if r["method"] == "DELETE") == 2
+    slices_seen = {
+        json.dumps(r["body"].get("slice"), sort_keys=True)
+        for r in log
+        if r["path"] == "/_search"
+    }
+    assert slices_seen == {
+        '{"id": 0, "max": 2}',
+        '{"id": 1, "max": 2}',
+    }
