@@ -2938,3 +2938,72 @@ def txt20_lexical_richness(spark, sf_dir):
             4,
         ).alias("hapax_rate"),
     )
+
+
+@query(
+    "d19_incremental_neardup",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS ts
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(ts, x -> md5('0:' || x)), 'min') AS mh0,
+             list_aggregate(list_transform(ts, x -> md5('1:' || x)), 'min') AS mh1,
+             list_aggregate(list_transform(ts, x -> md5('2:' || x)), 'min') AS mh2,
+             list_aggregate(list_transform(ts, x -> md5('3:' || x)), 'min') AS mh3
+      FROM tok
+    ), banded AS (
+      SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sig
+      UNION ALL
+      SELECT 1 AS band_id, md5(mh2 || '|' || mh3) AS band_key, doc_id FROM sig
+    ), kept AS (
+      SELECT band_id, band_key, doc_id,
+             count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+      FROM banded
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+      FROM kept b JOIN kept h
+        ON b.band_id = h.band_id AND b.band_key = h.band_key
+      WHERE b.doc_id % 3 = 0 AND h.doc_id % 3 != 0
+        AND b.bsz <= 50 AND h.bsz <= 50
+    ), j AS (
+      SELECT c.batch_id,
+             round(len(list_intersect(ta.ts, tb.ts))
+               / (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))),
+               4) AS jac
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.batch_id
+      JOIN tok tb ON tb.doc_id = c.hist_id
+    )
+    SELECT batch_id AS doc_id,
+           count(*) AS n_hist_matches,
+           max(jac) AS best_jaccard
+    FROM j WHERE jac >= 0.5 GROUP BY batch_id
+    """,
+)
+def d19_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup dedup: the arriving batch (doc_id % 3 = 0 —
+    d11's split device) screened against the historical corpus through
+    the persisted LSH band-bucket store instead of exact fingerprints.
+    One bucket join of batch band keys against the store, exact-Jaccard
+    verify (>= 0.5) on the collisions only, then a per-batch-doc rollup
+    (match count + best jaccard); batch docs absent from the output are
+    the novel set the ingest keeps. At 100 TB the store is insert-only
+    and bucketed by band key, so each append pays candidate-bounded
+    work — history text is never rescanned and history never re-pairs
+    with itself (operators/dedup.py incremental_neardup)."""
+    from es_to_clickhouse_spark.operators.dedup import incremental_neardup
+
+    d = t(spark, sf_dir, "documents")
+    return incremental_neardup(
+        d.where(F.col("doc_id") % 3 != 0),
+        d.where(F.col("doc_id") % 3 == 0),
+        "doc_id",
+        "text",
+        k=4,
+        bands=2,
+        threshold=0.5,
+        max_bucket=50,
+    )

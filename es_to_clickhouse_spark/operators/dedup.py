@@ -383,3 +383,86 @@ def embedding_neardup_pairs(
         F.greatest("_ida", "_idb").alias("id_b"),
         cos.alias("cos"),
     ).where(F.col("cos") >= threshold)
+
+
+def incremental_neardup(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    bands: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup screen of an ARRIVING batch against the historical
+    corpus — ``d11``'s exact anti-join generalized to MinHash-LSH.
+
+    The history side's (band_id, band_key, id) bucket rows are exactly
+    what a production ingest PERSISTS between appends (insert-only:
+    signatures never change), so each append pays ONE bucket join of
+    the batch's band keys against the store plus exact-Jaccard
+    verification of the collisions — never a rescan of history text
+    and never a history×history pair. The bucket-size guard runs over
+    the COMBINED population: a degenerate history bucket already at
+    the cap must not re-pair against every new arrival forever.
+
+    Output: one row per batch doc with >= 1 verified historical
+    near-dup — (id, n_hist_matches, best_jaccard). The batch ids
+    ABSENT from the output are the novel set an ingest keeps.
+    """
+    sc = history.sparkSession.sparkContext
+    h = history.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_side", F.lit("h")
+    )
+    b = batch.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_side", F.lit("b")
+    )
+    allx = h.unionByName(b).repartition(sc.defaultParallelism)
+    buckets = minhash_lsh_buckets(allx, text_col, k, bands).select(
+        "band_id", "band_key", F.col(id_col), "_side"
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        buckets = (
+            buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    bb = buckets.where(F.col("_side") == "b").select(
+        "band_id", "band_key", F.col(id_col).alias("_bid")
+    )
+    hb = buckets.where(F.col("_side") == "h").select(
+        "band_id", "band_key", F.col(id_col).alias("_hid")
+    )
+    cand = (
+        bb.join(hb, ["band_id", "band_key"])
+        .select("_bid", "_hid")
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    # hashed-token sets, checkpointed once — the lsh_neardup_pairs device
+    toks = allx.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))), lambda s: F.xxhash64(s)
+        ).alias("_tok"),
+    ).localCheckpoint(eager=False)
+    verified = (
+        cand.join(
+            toks.select(F.col(id_col).alias("_bid"), F.col("_tok").alias("_ta")),
+            "_bid",
+        )
+        .join(
+            toks.select(F.col(id_col).alias("_hid"), F.col("_tok").alias("_tb")),
+            "_hid",
+        )
+        .select(
+            "_bid",
+            F.round(jaccard(F.col("_ta"), F.col("_tb")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.groupBy(F.col("_bid").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_hist_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
