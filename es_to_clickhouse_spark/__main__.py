@@ -153,6 +153,16 @@ def build_parser(env: EnvConfig | None = None) -> argparse.ArgumentParser:
         "unseen indices, watermark ranges after [env: ES_HTTP_URL]",
     )
     p.add_argument(
+        "--es-cursor",
+        choices=["scroll", "search_after"],
+        default=env.es_cursor,
+        help="pagination cursor for the live ES source: 'scroll' "
+        "(reference parity) or 'search_after' (PIT + search_after — "
+        "the ES 8.x replacement; stateless cursor, so transient page "
+        "failures RETRY instead of degrading the round to partial) "
+        "[env: ES_CURSOR]",
+    )
+    p.add_argument(
         "--slices",
         type=int,
         default=env.slices,
@@ -324,11 +334,19 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
             # ES→ClickHouse pipeline, end-to-end jar-free
             from es_to_clickhouse_spark.sources.es import (
                 ScrollSession,
+                SearchAfterSession,
                 list_indices,
                 sync_incremental_es_http,
             )
 
-            sess = ScrollSession(host=args.es_http_url)
+            # the two sessions share the whole drain surface — the
+            # sync loop and read_index_http run unchanged over either
+            cursor_cls = (
+                SearchAfterSession
+                if args.es_cursor == "search_after"
+                else ScrollSession
+            )
+            sess = cursor_cls(host=args.es_http_url)
 
             def list_fn():
                 return [

@@ -80,6 +80,7 @@ class EnvConfig:
     # the reference's ES_HOST/ES_PORT (es/es_to_bytehouse.py:145-147)
     # collapsed to one URL; slices = executor fan-out per index
     es_http_url: str | None = None
+    es_cursor: str = "scroll"  # or "search_after" (PIT, ES 8.x)
     slices: int = 8
     # live MongoDB over the raw OP_MSG socket (sources/mongo_wire.py) —
     # the reference's MONGO_URI/MONGO_DATABASE surface
@@ -113,6 +114,7 @@ class EnvConfig:
                 e, ["TARGET_DATABASE", "TARGET_BH_DATABASE"], "default"
             ),
             es_http_url=env_first(e, ["ES_HTTP_URL"]),
+            es_cursor=env_first(e, ["ES_CURSOR"], "scroll"),
             slices=int(env_first(e, ["ES_SLICES"], 8)),
             mongo_uri=env_first(e, ["MONGO_URI"]),
             mongo_database=env_first(e, ["MONGO_DATABASE"], "test"),

@@ -79,6 +79,7 @@ def make_handler(docs, log=None, cleanups=None, index="events", mapping=None,
     drain contracts, not the catalog."""
     cursors: dict[str, list[dict]] = {}
     page_size: dict[str, int] = {}
+    pits: dict[str, str] = {}  # pit id -> index (PIT + search_after)
     counter = itertools.count()
     lock = threading.Lock()
 
@@ -138,6 +139,68 @@ def make_handler(docs, log=None, cleanups=None, index="events", mapping=None,
                     chaos.maybe_sleep()
             if path == "/_search/scroll":
                 return self._reply(self._page(body["scroll_id"]))
+            if path.endswith("/_pit"):
+                # POST /{index}/_pit?keep_alive=... — open a point in time
+                pid = f"pit-{next(counter)}"
+                with lock:
+                    pits[pid] = path.rsplit("/", 2)[-2].lstrip("/")
+                return self._reply({"id": pid})
+            if path == "/_search" and "pit" in body:
+                # functional PIT search_after: query + slice filter, a
+                # TOTAL sort (field values then the _shard_doc position),
+                # cursor = strictly-after the search_after tuple
+                with lock:
+                    if body["pit"]["id"] not in pits:
+                        data = b'{"error": "pit expired"}'
+                        self.send_response(404)
+                        self.send_header("Content-Length", str(len(data)))
+                        self.end_headers()
+                        self.wfile.write(data)
+                        return
+                rows = [
+                    (pos, d)
+                    for pos, d in enumerate(docs)
+                    if matches(body.get("query", {}), d)
+                ]
+                sl = body.get("slice")
+                if sl is not None:
+                    rows = [
+                        (p, d)
+                        for p, d in rows
+                        if slice_of(str(d["_id"]), sl["max"]) == sl["id"]
+                    ]
+                sort_fields = [list(s)[0] for s in body.get("sort", [])]
+
+                def key(pd):
+                    p, d = pd
+                    return tuple(
+                        p if f == "_shard_doc" else str(d.get(f, ""))
+                        for f in sort_fields
+                    )
+
+                rows.sort(key=key)
+                after = body.get("search_after")
+                if after is not None:
+                    rows = [pd for pd in rows if key(pd) > tuple(after)]
+                page = rows[: body.get("size", 10)]
+                return self._reply(
+                    {
+                        "hits": {
+                            "hits": [
+                                {
+                                    "_id": d["_id"],
+                                    "_source": {
+                                        k: v
+                                        for k, v in d.items()
+                                        if k != "_id"
+                                    },
+                                    "sort": list(key((p, d))),
+                                }
+                                for p, d in page
+                            ]
+                        }
+                    }
+                )
             # initial search: /{index}/_search
             sl = body.get("slice")
             rows = [d for d in docs if matches(body.get("query", {}), d)]
@@ -163,7 +226,14 @@ def make_handler(docs, log=None, cleanups=None, index="events", mapping=None,
             return self._reply(self._page(sid))
 
         def do_DELETE(self):
+            path = urllib.parse.urlsplit(self.path).path
             body = self._body()
+            if path == "/_pit":
+                if cleanups is not None:
+                    cleanups.append(body["id"])
+                with lock:
+                    pits.pop(body["id"], None)
+                return self._reply({"succeeded": True})
             if cleanups is not None:
                 cleanups.append(body["scroll_id"])
             with lock:

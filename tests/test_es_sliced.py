@@ -766,3 +766,99 @@ def test_slices_complete_fold():
     assert not _slices_complete([s(0, "C")], 2)  # missing report
     assert not _slices_complete([], 1)
     assert _slices_complete([s(0, "C"), s(1, "C"), s(1, "C")], 2)
+
+
+def test_sync_incremental_es_http_search_after_cursor(spark, tmp_path):
+    """The same live sync loop with the PIT + search_after cursor
+    (SearchAfterSession) instead of sliced scroll: full bootstrap,
+    watermark-ranged incremental round, idle no-op — and every PIT the
+    rounds opened was closed. The sync loop and read_index_http run
+    UNCHANGED; only the session class differs (the polymorphic drain
+    seam)."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.es import (
+        SearchAfterSession,
+        sync_incremental_es_http,
+    )
+    from es_to_clickhouse_spark.state import StateStore
+
+    docs = [
+        {"_id": "1", "id": 1, "name": "a", "created_at": "2024-05-01 10:00:00"},
+        {"_id": "2", "id": 2, "name": "b", "created_at": "2024-05-02 10:00:00"},
+    ]
+    from es_to_clickhouse_spark.sources.es_fixture import serve_index
+
+    log: list[dict] = []
+    cleanups: list[str] = []
+    srv, host = serve_index(docs, log, cleanups, index="ev", mapping=EV_MAPPING)
+    try:
+        sess = SearchAfterSession(host=host, size=1)  # force pagination
+        target = WarehouseTarget(spark, str(tmp_path / "wh"))
+        state = StateStore(spark, str(tmp_path / "wh"))
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("full", 2, "2024-05-02 10:00:00")
+        docs.append(
+            {"_id": "3", "id": 3, "name": "c",
+             "created_at": "2024-05-03 10:00:00"}
+        )
+        del log[:]
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("incremental", 1, "2024-05-03 10:00:00")
+        # the ranged predicate rode inside the PIT search bodies
+        searches = [
+            r for r in log
+            if r.get("path") == "/_search" and "pit" in r.get("body", {})
+        ]
+        assert searches, "no PIT search recorded"
+        assert all(
+            "range" in s["body"]["query"]["bool"]["filter"][0]
+            for s in searches
+        )
+        mode, n, wm = sync_incremental_es_http(
+            spark, sess, target, state, "ev", slices=2
+        )
+        assert (mode, n, wm) == ("incremental", 0, "2024-05-03 10:00:00")
+        # every opened PIT was closed (2 slices x 3 rounds)
+        opened = [r for r in log if str(r.get("path", "")).endswith("/_pit")]
+        assert len(cleanups) >= 2  # post-log-clear rounds closed theirs
+        assert opened, "no PIT opened through the sync loop"
+    finally:
+        srv.shutdown()
+
+
+def test_cli_es_cursor_search_after(spark, tmp_path, capsys):
+    """`--es-cursor search_after` through the CLI: identical sync
+    results to the scroll cursor, served by the PIT protocol."""
+    from es_to_clickhouse_spark.__main__ import main
+
+    docs = [
+        {"_id": str(i), "id": i, "name": f"n{i}",
+         "created_at": f"2024-05-0{1 + i} 10:00:00"}
+        for i in range(3)
+    ]
+    srv, host, log = _es_sync_parts(tmp_path, docs)
+    try:
+        wh = str(tmp_path / "wh")
+        base = ["--mode", "incremental", "--warehouse", wh,
+                "--es-http-url", host, "--es-cursor", "search_after"]
+        rc = main(base + ["--tables", "ev"], environ={})
+        assert rc == 0
+        out = [
+            json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        assert out == [
+            {"table": "ev", "mode": "full_es_http", "rows": 3,
+             "watermark": "2024-05-03 10:00:00"}
+        ]
+        # the wire spoke PIT, not scroll
+        assert any(str(r.get("path", "")).endswith("/_pit") for r in log)
+        assert not any(
+            r.get("path") == "/_search/scroll" for r in log
+        )
+    finally:
+        srv.shutdown()
