@@ -248,3 +248,70 @@ def test_ch_http_sync_survives_chaos(seed, spark, tmp_path):
     finally:
         src_srv.shutdown()
         sink_srv.shutdown()
+
+
+# --------------------------------------------------- ES search_after
+
+
+@pytest.mark.parametrize("seed", ["p1", "p2"])
+def test_es_search_after_sync_survives_chaos(seed, spark, tmp_path):
+    """The PIT + search_after cursor under the SAME chaos schedule as
+    the sliced-scroll test — plus the property that motivates the
+    cursor: every request is idempotent, so a mid-drain reset RETRIES
+    the identical stateless request instead of abandoning the page.
+    With reset_prob=0.08 and a 3-retry budget, a slice fails only on
+    ~4 consecutive resets (p ~ 4e-5) — rounds effectively always
+    complete, and the no-loss / convergence invariants hold
+    regardless."""
+    from es_to_clickhouse_spark.sink import WarehouseTarget
+    from es_to_clickhouse_spark.sources.es import (
+        SearchAfterSession,
+        sync_incremental_es_http,
+    )
+    from es_to_clickhouse_spark.sources.es_fixture import serve_index
+    from es_to_clickhouse_spark.state import StateStore
+
+    docs = [
+        {"_id": str(i), "id": i,
+         "created_at": f"2024-05-01 10:{i // 60:02d}:{i % 60:02d}"}
+        for i in range(240)
+    ]
+    by_time = {d["created_at"]: d["id"] for d in docs}
+    mapping = {"id": {"type": "long"}, "created_at": {"type": "date"}}
+    chaos = Chaos(seed, reset_prob=0.08, slow_prob=0.05, slow_s=0.01)
+    srv, host = serve_index(docs, index="ev", mapping=mapping, chaos=chaos)
+    try:
+        sess = SearchAfterSession(host=host, size=20, backoff_s=0.01)
+        target = WarehouseTarget(spark, str(tmp_path / "wh"))
+        state = StateStore(spark, str(tmp_path / "wh"))
+
+        def warehouse_ids() -> set[int]:
+            try:
+                wh = spark.read.parquet(str(tmp_path / "wh" / "ev"))
+            except Exception:
+                return set()
+            return {int(r["id"]) for r in wh.select("id").collect()}
+
+        done_rounds = 0
+        for _ in range(MAX_ROUNDS):
+            mode, n, wm = sync_incremental_es_http(
+                spark, sess, target, state, "ev", slices=4
+            )
+            got = warehouse_ids()
+            if wm:
+                missing = {
+                    i for t, i in by_time.items() if t <= wm
+                } - got
+                assert not missing, (
+                    f"watermark {wm} overshot undrained ids "
+                    f"{sorted(missing)[:5]}..."
+                )
+            if got >= {d["id"] for d in docs} and n == 0:
+                done_rounds += 1
+                if done_rounds >= 2:
+                    break
+        assert warehouse_ids() == {d["id"] for d in docs}
+        assert state.get("ev").last_sync_time == max(by_time)
+        assert chaos.faults > 0, "chaos never fired — test is vacuous"
+    finally:
+        srv.shutdown()

@@ -61,6 +61,7 @@ WIDE_QUERIES = [
     "txt10_contamination_check",
     "sim6_knn_graph",
     "d18_embedding_neardup_cell",
+    "d19_incremental_neardup",
 ]
 TABLES = ["documents", "embeddings"]
 
