@@ -466,3 +466,104 @@ def incremental_neardup(
         F.count(F.lit(1)).alias("n_hist_matches"),
         F.max("jaccard").alias("best_jaccard"),
     )
+
+
+def neardup_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    bands: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The two tables an ingest PERSISTS between appends so
+    :func:`screen_against_store` never rescans history text:
+
+    - buckets: (band_id, band_key, id) — the LSH band rows;
+    - tokens:  (id, tok_hashes) — the xxhash64'd distinct-token sets
+      the exact-Jaccard verify reads.
+
+    Both are insert-only (signatures never change once written), so at
+    100 TB they live as parquet bucketed by band_key / id and every
+    append unions the batch's rows in."""
+    buckets = minhash_lsh_buckets(df, text_col, k, bands).select(
+        "band_id", "band_key", F.col(id_col)
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))), lambda s: F.xxhash64(s)
+        ).alias("tok_hashes"),
+    )
+    return buckets, toks
+
+
+def screen_against_store(
+    store_buckets: DataFrame,
+    store_tokens: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    bands: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """:func:`incremental_neardup` against a PERSISTED store: the
+    production append path, where history signatures come off disk
+    instead of being re-derived from text. Semantics are identical —
+    the bucket cap still runs over the COMBINED population (store
+    buckets unioned with the batch's new band rows), so a degenerate
+    history bucket at the cap never re-pairs with new arrivals.
+    Output: (id, n_hist_matches, best_jaccard) per matched batch doc."""
+    batch_buckets, batch_tokens = neardup_store(
+        batch.repartition(batch.sparkSession.sparkContext.defaultParallelism),
+        id_col,
+        text_col,
+        k,
+        bands,
+    )
+    hb = store_buckets.select(
+        "band_id", "band_key", F.col(id_col).alias("_hid")
+    ).withColumn("_side", F.lit("h"))
+    bb = batch_buckets.select(
+        "band_id", "band_key", F.col(id_col).alias("_hid")
+    ).withColumn("_side", F.lit("b"))
+    both = hb.unionByName(bb)
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        both = (
+            both.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    cand = (
+        both.where(F.col("_side") == "b")
+        .select("band_id", "band_key", F.col("_hid").alias("_bid"))
+        .join(
+            both.where(F.col("_side") == "h").select(
+                "band_id", "band_key", "_hid"
+            ),
+            ["band_id", "band_key"],
+        )
+        .select("_bid", "_hid")
+        .distinct()
+    )
+    bt = batch_tokens.select(
+        F.col(id_col).alias("_bid"), F.col("tok_hashes").alias("_ta")
+    ).localCheckpoint(eager=False)
+    ht = store_tokens.select(
+        F.col(id_col).alias("_hid"), F.col("tok_hashes").alias("_tb")
+    )
+    verified = (
+        cand.join(bt, "_bid")
+        .join(ht, "_hid")
+        .select(
+            "_bid",
+            F.round(jaccard(F.col("_ta"), F.col("_tb")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.groupBy(F.col("_bid").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_hist_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )

@@ -1332,3 +1332,46 @@ def test_wav_pcm_stats_real_bytes_signed_and_fail_closed(spark):
     assert g.rms == round(math.sqrt(energy / 5), 4)
     for aid in (2, 3, 4, 5, 6):
         assert got[aid].n_samples is None and got[aid].energy is None, aid
+
+
+def test_screen_against_persisted_store_matches_direct(spark, tmp_path):
+    """The persisted-store append path (neardup_store written to
+    parquet, read back, screened with screen_against_store) returns
+    EXACTLY the direct incremental_neardup result — the store is a
+    faithful substitute for rescanning history text, which is the whole
+    point of persisting it between appends."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.operators.dedup import (
+        incremental_neardup,
+        neardup_store,
+        screen_against_store,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+
+    direct = incremental_neardup(
+        hist, batch, "doc_id", "text", threshold=0.5, max_bucket=50
+    )
+
+    buckets, toks = neardup_store(hist, "doc_id", "text")
+    buckets.write.mode("overwrite").parquet(str(tmp_path / "b"))
+    toks.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    stored = screen_against_store(
+        spark.read.parquet(str(tmp_path / "b")),
+        spark.read.parquet(str(tmp_path / "t")),
+        batch,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        max_bucket=50,
+    )
+
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(direct.collect(), key=key)
+    b = sorted(stored.collect(), key=key)
+    assert len(a) > 0, "vacuous: no near-dups screened at this SF"
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
