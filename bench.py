@@ -98,6 +98,9 @@ HEAVY = [
     "g4_cheapest_route",
     # all-pairs jaccard audit stage, salted constant-block (2.6 s warm)
     "d17_signal_agreement",
+    # r11: incremental near-dup screen against the LSH store (1.4 s
+    # warm at sf0.1; no prior rounds — baseline starts at r11)
+    "d19_incremental_neardup",
 ]
 
 WARM_PASSES = 5

@@ -1375,3 +1375,57 @@ def test_screen_against_persisted_store_matches_direct(spark, tmp_path):
     b = sorted(stored.collect(), key=key)
     assert len(a) > 0, "vacuous: no near-dups screened at this SF"
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_neardup_store_accumulates_across_append_rounds(spark, tmp_path):
+    """Three append rounds: each batch screens against the store AS OF
+    its arrival, then its own signature rows append to the store —
+    and every round's result equals a from-scratch incremental_neardup
+    over (all earlier docs, this batch). Pins the insert-only store
+    update path: what lands in the store after round i is exactly what
+    round i+1's screen must see (the incremental == recompute
+    discipline, applied to the dedup store)."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.operators.dedup import (
+        incremental_neardup,
+        neardup_store,
+        screen_against_store,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rounds = [docs.where(F.col("doc_id") % 3 == r) for r in (0, 1, 2)]
+
+    bdir, tdir = str(tmp_path / "b"), str(tmp_path / "t")
+    b0, t0 = neardup_store(rounds[0], "doc_id", "text")
+    b0.write.mode("overwrite").parquet(bdir)
+    t0.write.mode("overwrite").parquet(tdir)
+
+    matched_any = 0
+    for i in (1, 2):
+        batch = rounds[i]
+        stored = screen_against_store(
+            spark.read.parquet(bdir),
+            spark.read.parquet(tdir),
+            batch,
+            "doc_id",
+            "text",
+            threshold=0.5,
+            max_bucket=50,
+        )
+        hist = docs.where(F.col("doc_id") % 3 < i)
+        direct = incremental_neardup(
+            hist, batch, "doc_id", "text", threshold=0.5, max_bucket=50
+        )
+        key = lambda r: r["doc_id"]  # noqa: E731
+        a = sorted(stored.collect(), key=key)
+        b = sorted(direct.collect(), key=key)
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        matched_any += len(a)
+        # append this batch's signatures: the insert-only store update
+        nb, nt = neardup_store(batch, "doc_id", "text")
+        nb.write.mode("append").parquet(bdir)
+        nt.write.mode("append").parquet(tdir)
+
+    assert matched_any > 0, "vacuous: no round screened any near-dup"
