@@ -160,6 +160,9 @@ BASELINE_RESETS: dict[str, int] = {
     # fixed 24-probe hash top-K. Probe-set SIZE and membership changed,
     # so prior timings measure a different workload.
     "sim6_knn_graph": 11,
+    # r11 NEW operator (incremental near-dup vs the LSH store): no
+    # committed recording exists yet — the r11 driver bench seeds it.
+    "d19_incremental_neardup": 11,
 }
 
 
