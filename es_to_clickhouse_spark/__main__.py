@@ -252,6 +252,15 @@ def main(argv: list[str] | None = None, environ: dict | None = None) -> int:
     env = EnvConfig.from_env(environ)
     parser = build_parser(env)
     args = parser.parse_args(argv)
+    if args.es_cursor not in ("scroll", "search_after"):
+        # argparse only checks `choices` on EXPLICIT flags — an invalid
+        # ES_CURSOR env value arrives as the default and would silently
+        # fall back to scroll, the exact failure mode the user opted
+        # out of. Fail loudly instead.
+        parser.error(
+            f"invalid ES_CURSOR / --es-cursor {args.es_cursor!r}: "
+            "expected 'scroll' or 'search_after'"
+        )
     live_capable = args.mode in ("incremental", "continuous")
     ch_http_mode = live_capable and args.ch_http_url
     es_http_mode = live_capable and args.es_http_url

@@ -225,7 +225,6 @@ def cur1_curation_funnel(spark, sf_dir):
 _HS = 2**32
 _SP_TRAIN = int(0.8 * _HS)
 _SP_VAL = int((0.8 + 0.1) * _HS)
-_H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
 
 
 @query(

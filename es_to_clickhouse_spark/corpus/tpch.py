@@ -836,6 +836,11 @@ def q20_promotion_suppliers(spark, sf_dir):
         shipped.join(p, shipped.l_partkey == p.p_partkey)
         .where(F.col("qty") > 50)
         .select("l_suppkey")
+        # dedup BEFORE broadcasting: the semi join needs distinct
+        # suppkeys only, and without this the broadcast relation scales
+        # with qualifying (part, supplier) pairs — fact-derived, exactly
+        # what the module header forbids shipping to every executor
+        .distinct()
     )
     return (
         s.join(F.broadcast(cand), s.s_suppkey == cand.l_suppkey, "left_semi")

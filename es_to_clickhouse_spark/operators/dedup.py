@@ -410,61 +410,18 @@ def incremental_neardup(
     Output: one row per batch doc with >= 1 verified historical
     near-dup — (id, n_hist_matches, best_jaccard). The batch ids
     ABSENT from the output are the novel set an ingest keeps.
+
+    ONE implementation, two entry points: this derives the history
+    store in-flight and delegates to :func:`screen_against_store` (the
+    persisted-store append path), so the cap semantics, rounding and
+    rollup can never diverge between the two
+    (tests/test_operators.py pins their equality through a parquet
+    round-trip).
     """
-    sc = history.sparkSession.sparkContext
-    h = history.select(F.col(id_col), F.col(text_col)).withColumn(
-        "_side", F.lit("h")
-    )
-    b = batch.select(F.col(id_col), F.col(text_col)).withColumn(
-        "_side", F.lit("b")
-    )
-    allx = h.unionByName(b).repartition(sc.defaultParallelism)
-    buckets = minhash_lsh_buckets(allx, text_col, k, bands).select(
-        "band_id", "band_key", F.col(id_col), "_side"
-    )
-    if max_bucket is not None:
-        w = Window.partitionBy("band_id", "band_key")
-        buckets = (
-            buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .where(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
-    bb = buckets.where(F.col("_side") == "b").select(
-        "band_id", "band_key", F.col(id_col).alias("_bid")
-    )
-    hb = buckets.where(F.col("_side") == "h").select(
-        "band_id", "band_key", F.col(id_col).alias("_hid")
-    )
-    cand = (
-        bb.join(hb, ["band_id", "band_key"])
-        .select("_bid", "_hid")
-        .distinct()  # a pair may collide in several bands — verify once
-    )
-    # hashed-token sets, checkpointed once — the lsh_neardup_pairs device
-    toks = allx.select(
-        F.col(id_col),
-        F.transform(
-            F.array_distinct(tokens(F.col(text_col))), lambda s: F.xxhash64(s)
-        ).alias("_tok"),
-    ).localCheckpoint(eager=False)
-    verified = (
-        cand.join(
-            toks.select(F.col(id_col).alias("_bid"), F.col("_tok").alias("_ta")),
-            "_bid",
-        )
-        .join(
-            toks.select(F.col(id_col).alias("_hid"), F.col("_tok").alias("_tb")),
-            "_hid",
-        )
-        .select(
-            "_bid",
-            F.round(jaccard(F.col("_ta"), F.col("_tb")), 4).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return verified.groupBy(F.col("_bid").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("n_hist_matches"),
-        F.max("jaccard").alias("best_jaccard"),
+    par = history.sparkSession.sparkContext.defaultParallelism
+    hb, ht = neardup_store(history.repartition(par), id_col, text_col, k, bands)
+    return screen_against_store(
+        hb, ht, batch, id_col, text_col, k, bands, threshold, max_bucket
     )
 
 

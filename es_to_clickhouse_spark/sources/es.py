@@ -725,6 +725,65 @@ class SearchAfterSession(ScrollSession):
                     pass
         return rows, completed
 
+    def drain_http_incremental(
+        self,
+        index: str,
+        time_field: str,
+        since: str,
+        update_field: str | None = None,
+        since_update: str | None = None,
+        mapping_response: dict | None = None,
+        store_source: bool = False,
+        max_pages: int = 10_000,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
+    ) -> tuple[list[dict], str, str | None]:
+        """PIT twin of the scroll incremental fold (same range
+        predicate via :func:`range_query` against the ORIGINAL field
+        name, same sanitized running-max watermark over drained rows) —
+        WITHOUT the scroll path's non-retryable pages: the inherited
+        scroll method would silently open a scroll context and abandon
+        the round to partial on one transient page fault, contradicting
+        this class's contract, so it is overridden. Sort rides the
+        original time field then the ``_shard_doc`` tiebreak; a failure
+        past the retry budget keeps partial rows and the watermark
+        stops at what was actually seen (identical failure contract,
+        reached less often)."""
+        from dataclasses import replace
+
+        from es_to_clickhouse_spark.functions import sanitize_field_name
+
+        original = original_time_field(time_field, mapping_response)
+        query = json.loads(
+            range_query(original, since, update_field, since_update)
+        )["query"]
+        sess = replace(self, sort_field=original)
+        rows, _completed = sess.drain_http_status(
+            index,
+            query=query,
+            store_source=store_source,
+            max_pages=max_pages,
+            slice_id=slice_id,
+            slice_max=slice_max,
+        )
+        # post-hoc fold == the scroll path's in-flight running max:
+        # both range over exactly the drained rows
+        max_time, max_update = since, since_update
+        for row in rows:
+            flat = {
+                sanitize_field_name(k): v
+                for k, v in row.items()
+                if k not in ("_id", "_source")
+            }
+            t = flat.get(time_field, "")
+            if t and t > max_time:
+                max_time = t
+            if update_field:
+                u = flat.get(update_field, "")
+                if u and (max_update is None or u > max_update):
+                    max_update = u
+        return rows, max_time, max_update
+
     def drain_http_pages_status(
         self,
         index: str,

@@ -862,3 +862,40 @@ def test_cli_es_cursor_search_after(spark, tmp_path, capsys):
         )
     finally:
         srv.shutdown()
+
+
+def test_search_after_incremental_matches_scroll(fake_es):
+    """SearchAfterSession.drain_http_incremental (the PIT override —
+    the inherited scroll fold would open scroll contexts with
+    non-retryable pages, against the class contract) returns the SAME
+    row set and watermark as the scroll incremental drain, sliced and
+    unsliced alike."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+
+    host, log, cleanups = fake_es
+    since = "2024-01-10 00:00:00"
+    s_rows, s_max, _ = ScrollSession(host=host, size=7).drain_http_incremental(
+        "idx", "ts", since
+    )
+    del log[:]
+    p = SearchAfterSession(host=host, size=7)
+    p_rows, p_max, _ = p.drain_http_incremental("idx", "ts", since)
+    assert sorted(r["_id"] for r in p_rows) == sorted(
+        r["_id"] for r in s_rows
+    )
+    assert p_max == s_max
+    # the wire spoke PIT (sorted by ts then _shard_doc), never scroll
+    searches = [r for r in log if r.get("path") == "/_search"]
+    assert searches and all("pit" in r["body"] for r in searches)
+    assert all(
+        list(searches[0]["body"]["sort"][0]) == ["ts"] for _ in [0]
+    )
+    assert not any(r.get("path") == "/_search/scroll" for r in log)
+    # sliced partial watermarks fold to the same global max
+    sliced = [
+        p.drain_http_incremental("idx", "ts", since, slice_id=i, slice_max=3)
+        for i in range(3)
+    ]
+    ids = sorted(r["_id"] for rows, _, _ in sliced for r in rows)
+    assert ids == sorted(r["_id"] for r in s_rows)
+    assert max(m for _, m, _ in sliced) == s_max
