@@ -899,3 +899,36 @@ def test_search_after_incremental_matches_scroll(fake_es):
     ids = sorted(r["_id"] for rows, _, _ in sliced for r in rows)
     assert ids == sorted(r["_id"] for r in s_rows)
     assert max(m for _, m, _ in sliced) == s_max
+
+
+def test_search_after_incremental_or_ranges_parity():
+    """The OR-of-ranges incremental shape (time field + update field,
+    minimum_should_match=1) through the PIT override: same rows and
+    same BOTH watermarks as the scroll fold on the same corpus."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+    from es_to_clickhouse_spark.sources.es_fixture import serve_index
+
+    docs = [
+        {"_id": f"u{i}", "n": i,
+         "ts": f"2024-02-{1 + i:02d} 09:00:00",
+         "updated": f"2024-03-{1 + (7 - i):02d} 09:00:00"}
+        for i in range(7)
+    ]
+    srv, host = serve_index(docs, index="up")
+    try:
+        since, since_u = "2024-02-03 00:00:00", "2024-03-03 00:00:00"
+        s_rows, s_t, s_u = ScrollSession(host=host, size=2).drain_http_incremental(
+            "up", "ts", since, update_field="updated", since_update=since_u
+        )
+        p_rows, p_t, p_u = SearchAfterSession(
+            host=host, size=2
+        ).drain_http_incremental(
+            "up", "ts", since, update_field="updated", since_update=since_u
+        )
+        assert sorted(r["_id"] for r in p_rows) == sorted(
+            r["_id"] for r in s_rows
+        )
+        assert p_rows, "vacuous: OR-ranges matched nothing"
+        assert (p_t, p_u) == (s_t, s_u)
+    finally:
+        srv.shutdown()
