@@ -140,34 +140,13 @@ def s22_sliced_scroll_scan(spark, sf_dir):
     return df
 
 
-@query(
-    "s23_es_to_ch_pipeline",
-    """
-    SELECT event_id, user_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at, value
-    FROM events WHERE event_id % 50 = 7
-    """,
-)
-def s23_es_to_ch_pipeline(spark, sf_dir):
-    """The reference's WHOLE pipeline (es/es_to_bytehouse.py: the
-    daemon end to end), oracle-checked over TWO real sockets:
-
-    1. a loopback ES fixture (sources/es_fixture.py) is seeded with a
-       bounded events sample and serves `_cat/indices` + `_mapping` +
-       sliced scroll;
-    2. :func:`sources.es.sync_incremental_es_http` drains it with
-       executor-parallel sliced scroll (4 slices), flattens, and LANDS
-       the rows on a loopback ClickHouse through the LIVE sink
-       (ClickHouseHttpTarget: CREATE DATABASE/TABLE DDL, token-deduped
-       NDJSON INSERT from the executors) while committing sync state;
-    3. the returned DataFrame is the ClickHouse side read BACK with the
-       distributed range read (read_table: executor-side range fetch,
-       DESCRIBE-typed JVM-side parse).
-
-    A row must survive scroll JSON → flatten → INSERT NDJSON → DESCRIBE
-    typing → range-partitioned re-read byte-for-byte to match the
-    oracle. The 1/50 sample keeps the fixture bounded (s22's contract);
-    both servers shut down after the eager localCheckpoint."""
+def _es_to_ch_roundtrip(spark, sf_dir, residue, session_cls, state_prefix):
+    """Shared body of the ES→CH pipeline queries (s23/s26): seed a
+    loopback ES fixture with a bounded events sample, drain it through
+    the live sync loop with the given SESSION CLASS (scroll or PIT +
+    search_after — the polymorphic drain seam), land rows on a loopback
+    ClickHouse via the token-deduped live sink, read them back with the
+    distributed range read."""
     import tempfile
 
     from es_to_clickhouse_spark.sources.ch_fixture import serve_clickhouse
@@ -175,16 +154,13 @@ def s23_es_to_ch_pipeline(spark, sf_dir):
         ClickHouseHttpSource,
         ClickHouseHttpTarget,
     )
-    from es_to_clickhouse_spark.sources.es import (
-        ScrollSession,
-        sync_incremental_es_http,
-    )
+    from es_to_clickhouse_spark.sources.es import sync_incremental_es_http
     from es_to_clickhouse_spark.sources.es_fixture import serve_index
     from es_to_clickhouse_spark.state import StateStore
 
     seed = (
         t(spark, sf_dir, "events")
-        .where(F.col("event_id") % 50 == 7)
+        .where(F.col("event_id") % 50 == residue)
         .select(
             "event_id",
             "user_id",
@@ -213,9 +189,9 @@ def s23_es_to_ch_pipeline(spark, sf_dir):
         ch = ClickHouseHttpSource(host=ch_host, database="tgt_db")
         mode, n, _wm = sync_incremental_es_http(
             spark,
-            ScrollSession(host=es_host, size=500),
+            session_cls(host=es_host, size=500),
             ClickHouseHttpTarget(ch),
-            StateStore(spark, tempfile.mkdtemp(prefix="s23_state_")),
+            StateStore(spark, tempfile.mkdtemp(prefix=state_prefix)),
             "events",
             slices=4,
         )
@@ -233,6 +209,65 @@ def s23_es_to_ch_pipeline(spark, sf_dir):
         es_srv.shutdown()
         ch_srv.shutdown()
     return df
+
+
+@query(
+    "s23_es_to_ch_pipeline",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at, value
+    FROM events WHERE event_id % 50 = 7
+    """,
+)
+def s23_es_to_ch_pipeline(spark, sf_dir):
+    """The reference's WHOLE pipeline (es/es_to_bytehouse.py: the
+    daemon end to end), oracle-checked over TWO real sockets:
+
+    1. a loopback ES fixture (sources/es_fixture.py) is seeded with a
+       bounded events sample and serves `_cat/indices` + `_mapping` +
+       sliced scroll;
+    2. :func:`sources.es.sync_incremental_es_http` drains it with
+       executor-parallel sliced scroll (4 slices), flattens, and LANDS
+       the rows on a loopback ClickHouse through the LIVE sink
+       (ClickHouseHttpTarget: CREATE DATABASE/TABLE DDL, token-deduped
+       NDJSON INSERT from the executors) while committing sync state;
+    3. the returned DataFrame is the ClickHouse side read BACK with the
+       distributed range read (read_table: executor-side range fetch,
+       DESCRIBE-typed JVM-side parse).
+
+    A row must survive scroll JSON → flatten → INSERT NDJSON → DESCRIBE
+    typing → range-partitioned re-read byte-for-byte to match the
+    oracle. The 1/50 sample keeps the fixture bounded (s22's contract);
+    both servers shut down after the eager localCheckpoint."""
+    from es_to_clickhouse_spark.sources.es import ScrollSession
+
+    return _es_to_ch_roundtrip(spark, sf_dir, 7, ScrollSession, "s23_state_")
+
+
+@query(
+    "s26_es_pit_to_ch_pipeline",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_at, value
+    FROM events WHERE event_id % 50 = 21
+    """,
+)
+def s26_es_pit_to_ch_pipeline(spark, sf_dir):
+    """s23's exact ES→CH pipeline with the PIT + search_after cursor
+    (SearchAfterSession) in place of sliced scroll — the ES 8.x
+    pagination the reference daemon predates, oracle-checked end to
+    end: the sync loop, the executor fan-out, the flatten, the
+    token-deduped live sink and the distributed read-back all run
+    UNCHANGED over the swapped session (the polymorphic drain seam the
+    --es-cursor CLI flag exposes); only the wire protocol differs
+    (PIT open → stateless idempotent-retryable searches → PIT close).
+    A disjoint 1/50 sample (residue 21) keeps the two pipeline oracles
+    independent."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+
+    return _es_to_ch_roundtrip(
+        spark, sf_dir, 21, SearchAfterSession, "s26_state_"
+    )
 
 
 @query(
