@@ -354,6 +354,15 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup pairs, blocked (label / coarse quantizer /
     LSH bucket) to avoid the global cross join.
 
+    SCALE WARNING — this is the documented BASELINE, quadratic within
+    each block (~N²/labels candidate pairs; measured 717 s at 100× data
+    with ~2.5e9 in-label pairs, SCALE_BENCH.md). For production corpora
+    route to the compound (label × IVF-cell) variant —
+    ``d18_embedding_neardup_cell`` in ``corpus/pipeline.py``, which
+    bounds every block by the two-level quantizer's cell population
+    (9.1 s at the same 100× decade) — or to SemDeDup (``d14``) /
+    MinHash-LSH (``d8``) when approximate recall is acceptable.
+
     Per-row norms are hoisted OUT of the pair stage: cosine(a, b) =
     dot(a, b) / (||a|| * ||b||), and the norms are pure row functions, so
     each quadratic pair pays ONE zip_with/aggregate fold instead of
@@ -479,6 +488,15 @@ def screen_against_store(
         k,
         bands,
     )
+    # A re-ingest of an overlapping batch can append the same doc id to
+    # the store twice; duplicated token rows would multiply the verify
+    # join (inflating n_hist_matches) and duplicated bucket rows would
+    # inflate the cap's population count (ADVICE r11). Idempotent
+    # screening: collapse the store to one row per identity first.
+    store_buckets = store_buckets.dropDuplicates(
+        ["band_id", "band_key", id_col]
+    )
+    store_tokens = store_tokens.dropDuplicates([id_col])
     hb = store_buckets.select(
         "band_id", "band_key", F.col(id_col).alias("_hid")
     ).withColumn("_side", F.lit("h"))

@@ -278,10 +278,21 @@ class ScrollSession:
             url += "?" + urllib.parse.urlencode(request["params"])
 
         def one() -> str | dict:
+            # body None = send NO payload (PIT open on ES < 8.12 rejects
+            # any body); the Content-Type header goes with the payload
+            body = request.get("body")
             req = urllib.request.Request(
                 url,
-                data=json.dumps(request["body"]).encode("utf-8"),
-                headers={"Content-Type": "application/json"},
+                data=(
+                    None
+                    if body is None
+                    else json.dumps(body).encode("utf-8")
+                ),
+                headers=(
+                    {}
+                    if body is None
+                    else {"Content-Type": "application/json"}
+                ),
                 method=request["method"],
             )
             with urllib.request.urlopen(req, timeout=30) as resp:
@@ -595,11 +606,15 @@ class SearchAfterSession(ScrollSession):
     sort_field: str | None = None
 
     def open_pit_request(self, index: str) -> dict:
+        # body None (not {}): Elasticsearch 8.0-8.11 rejects ANY request
+        # body on POST /{index}/_pit (body support arrived in 8.12), so
+        # the open must go out with no payload at all to span the full
+        # 8.x line the cursor advertises (ADVICE r11).
         return {
             "method": "POST",
             "url": f"{self.host}/{index}/_pit",
             "params": {"keep_alive": self.timeout},
-            "body": {},
+            "body": None,
         }
 
     def search_request(
@@ -660,7 +675,17 @@ class SearchAfterSession(ScrollSession):
         rows: list[dict] = []
         if not responses:
             return rows, transcript
-        pit_id = responses[0].get("id")
+        # A failed PIT open (Exception past the retry budget, or a
+        # response with no 'id') folds to the zero-progress contract —
+        # same tolerance ScrollSession.drain has for an Exception in
+        # any position (ADVICE r11): nothing was read, nothing to
+        # close, the transcript shows the one attempted open.
+        opened = responses[0]
+        if isinstance(opened, Exception) or not isinstance(opened, dict):
+            return rows, transcript
+        pit_id = opened.get("id")
+        if not pit_id:
+            return rows, transcript
         after: list | None = None
         for page in responses[1:]:
             transcript.append(

@@ -1377,6 +1377,37 @@ def test_screen_against_persisted_store_matches_direct(spark, tmp_path):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_screen_against_store_idempotent_under_reingest(spark, tmp_path):
+    """A re-ingest that appends the same doc ids to the store twice
+    must not change the screen result: without the store-side
+    dropDuplicates, duplicated token rows multiply the verify join
+    (inflating n_hist_matches) and duplicated bucket rows inflate the
+    cap's population count (ADVICE r11)."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.operators.dedup import (
+        neardup_store,
+        screen_against_store,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+
+    buckets, toks = neardup_store(hist, "doc_id", "text")
+    kw = dict(threshold=0.5, max_bucket=50)
+    once = screen_against_store(buckets, toks, batch, "doc_id", "text", **kw)
+    doubled = screen_against_store(
+        buckets.union(buckets), toks.union(toks), batch, "doc_id", "text", **kw
+    )
+    key = lambda r: r["doc_id"]  # noqa: E731
+    a = sorted(once.collect(), key=key)
+    b = sorted(doubled.collect(), key=key)
+    assert len(a) > 0, "vacuous: no near-dups screened at this SF"
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_neardup_store_accumulates_across_append_rounds(spark, tmp_path):
     """Three append rounds: each batch screens against the store AS OF
     its arrival, then its own signature rows append to the store —

@@ -346,6 +346,47 @@ def test_bench_prior_parser_recovers_truncated_tail():
     ]
 
 
+def test_bench_prior_parser_recovers_midmap_truncation():
+    """r11's driver tail starts INSIDE the heavy_queries median map, so
+    neither median-map key survives — but the complete *_min maps later
+    in the line do. The salvage must fall back to those (min-basis is a
+    valid, slightly-tight prior: best_prior already takes mins), else
+    every BASELINE_RESETS=11 query loses its regression baseline and
+    the coverage guard goes red (judge r11 #1)."""
+    import bench
+
+    rec = {
+        "parsed": None,
+        "tail": 'r": 0.646, "sim6_knn_graph": 0.488, "d14_semantic_dedup":'
+        ' 5.202}, "heavy_queries_min": {"sim6_knn_graph": 0.41,'
+        ' "d19_incremental_neardup": 0.069}, "heavy_queries_stddev":'
+        ' {"sim6_knn_graph": 0.02}, "heavy_min_total": 26.58, "sf": 0.1}\n',
+    }
+    maps = bench._timing_maps(rec)
+    assert {"sim6_knn_graph": 0.41, "d19_incremental_neardup": 0.069} in maps
+    # the stddev map is NOT a timing map and must not be salvaged
+    assert {"sim6_knn_graph": 0.02} not in maps
+    # a median map that DID survive wins; mins are not mixed in
+    rec2 = {
+        "parsed": None,
+        "tail": '"heavy_queries": {"a": 1.0}, "heavy_queries_min":'
+        ' {"a": 0.5}}\n',
+    }
+    assert bench._timing_maps(rec2) == [{"a": 1.0}]
+    # and the REAL r11 record now yields priors for the reset queries
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    r11 = os.path.join(here, "BENCH_r11.json")
+    if os.path.exists(r11):
+        import json as _json
+
+        got = bench._timing_maps(_json.load(open(r11)))
+        names = {k for m in got for k in m}
+        assert {"sim6_knn_graph", "d14_semantic_dedup",
+                "d19_incremental_neardup"} <= names
+
+
 def test_bench_prior_baseline_covers_heavy_set():
     """Every HEAVY query must have a non-empty comparison basis from the
     committed BENCH_r*.json records (r5 was the first heavy recording;

@@ -965,6 +965,41 @@ def test_search_after_failure_keeps_partial_and_closes_pit():
     }
 
 
+def test_pit_open_sends_no_body():
+    """POST /{index}/_pit must go out with NO payload: Elasticsearch
+    8.0-8.11 rejects any request body on PIT open (body support arrived
+    in 8.12), so even an empty {} breaks the advertised 8.x span
+    (ADVICE r11). Pinned at both layers: the pure builder emits body
+    None, and the real-socket send transmits zero content bytes."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+
+    sess = SearchAfterSession(size=3)
+    assert sess.open_pit_request("idx-a")["body"] is None
+
+    srv, log, host = _serve_pit(_PIT_DOCS)
+    try:
+        SearchAfterSession(host=host, size=3).drain_http_status("idx-a")
+    finally:
+        srv.shutdown()
+    opens = [r for r in log if r["path"] == "/idx-a/_pit"]
+    assert opens and all(r["body"] is None for r in opens)
+
+
+def test_search_after_drain_tolerates_failed_open():
+    """A PIT open that failed past the retry budget (an Exception in
+    position 0) or returned no 'id' folds to the zero-progress
+    contract — ([], [the one attempted open]) — instead of raising or
+    building search bodies with pit.id=None (ADVICE r11; matches
+    ScrollSession.drain's tolerance for an Exception anywhere)."""
+    from es_to_clickhouse_spark.sources.es import SearchAfterSession
+
+    sess = SearchAfterSession(size=2)
+    for first in (OSError("pit open failed"), {}, {"id": None}):
+        rows, transcript = sess.drain("idx-a", [first, _sa_page(["a"])])
+        assert rows == []
+        assert transcript == [sess.open_pit_request("idx-a")]
+
+
 def test_read_index_http_runs_unchanged_over_search_after_session():
     """The polymorphic seam: read_index_http fans the SAME sliced
     executor drain out over a SearchAfterSession — typed raw-page path,
