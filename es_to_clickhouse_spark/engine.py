@@ -49,6 +49,9 @@ class SyncReport:
     rows: int
     seconds: float
     watermark: str | None = None
+    #: batch rows dropped as near-dups of the persisted LSH store
+    #: (0 unless the engine has a ``neardup`` store configured)
+    neardup_dropped: int = 0
 
 
 def _mono_time(new: str | None, old: str | None) -> str | None:
@@ -92,6 +95,14 @@ class SyncEngine:
     id_field: str | None = None  # source column to expose as _id
     store_source: bool = False  # keep whole doc as _source JSON (STORE_SOURCE)
     reporter: ProgressReporter = field(default_factory=ProgressReporter)
+    #: optional ingest-time near-dup screen
+    #: (operators.dedup.PersistedNearDupStore): each incremental round
+    #: screens its batch against the parquet-persisted LSH store, drops
+    #: verified near-dups from the sink append, and appends the novel
+    #: rows' signatures — history text is never rescanned, history
+    #: signatures never re-derived. Tables missing the store's id/text
+    #: columns pass through untouched.
+    neardup: object | None = None
 
     # -- transforms ----------------------------------------------------
 
@@ -148,8 +159,29 @@ class SyncEngine:
             )
             if id_src:
                 metrics.append(F.max(id_src).cast("string").alias("max_id"))
-            self.target.append(target_name, df.observe(obs, *metrics))
-            observed = obs.get
+            nd = self.neardup
+            nd_dropped = 0
+            if (
+                nd is not None
+                and getattr(nd, "id_col", None) in cols
+                and nd.text_col in cols
+            ):
+                # full sync SEEDS the near-dup store: screen (virgin
+                # store → everything is novel), drop in-history dups on
+                # a re-run, append the kept rows' signatures — the
+                # incremental rounds then screen against these without
+                # ever rescanning this text
+                df_all = df.localCheckpoint()
+                novel, matched = nd.ingest(df_all)
+                nd_dropped = matched.count()
+                observed = df_all.agg(*metrics).first().asDict()
+                rows_kept = observed["n"] - nd_dropped
+                if rows_kept > 0:
+                    self.target.append(target_name, novel)
+                observed["n"] = rows_kept
+            else:
+                self.target.append(target_name, df.observe(obs, *metrics))
+                observed = obs.get
             wm = observed.get("max_t")
             wm_u = observed.get("max_u")
             rows = observed["n"]
@@ -166,7 +198,14 @@ class SyncEngine:
                 last_sync_count=rows,
             )
             self.state.commit(st)
-            rep = SyncReport(t.name, "full", rows, time.time() - t0, st.last_sync_time)
+            rep = SyncReport(
+                t.name,
+                "full",
+                rows,
+                time.time() - t0,
+                st.last_sync_time,
+                neardup_dropped=nd_dropped,
+            )
             self.reporter.table_done(rep.table, rep.rows, rep.seconds)
             reports.append(rep)
         return reports
@@ -249,7 +288,6 @@ class SyncEngine:
                 self.reporter.table_done(rep.table, rep.rows, rep.seconds)
                 reports.append(rep)
                 continue
-            obs = Observation(f"sync_incremental:{target_name}")
             metrics = [F.count(F.lit(1)).alias("n")]
             if st.time_field:
                 metrics.append(F.max(st.time_field).cast("string").alias("max_t"))
@@ -267,11 +305,39 @@ class SyncEngine:
                 )
             if id_src:
                 metrics.append(F.max(id_src).cast("string").alias("max_id"))
-            self.target.append(target_name, batch.observe(obs, *metrics))
-            observed = obs.get
-            rows = observed["n"]
+            nd = self.neardup
+            nd_dropped = 0
+            if (
+                nd is not None
+                and getattr(nd, "id_col", None) in batch.columns
+                and nd.text_col in batch.columns
+            ):
+                # Ingest-time near-dup screen. One source scan: the
+                # checkpoint materializes the batch; the screen, the
+                # watermark agg, the sink append and the store append
+                # all read it from executor storage.
+                batch_all = batch.localCheckpoint()
+                novel, matched = nd.ingest(batch_all)
+                nd_dropped = matched.count()
+                # Watermarks come from the FULL batch: a round whose
+                # newest rows are all near-dups must still advance the
+                # watermark, else those rows re-fetch (and re-screen)
+                # every round forever.
+                observed = batch_all.agg(*metrics).first().asDict()
+                rows = observed["n"] - nd_dropped
+                if rows > 0:
+                    # all-dup rounds skip the append entirely — same
+                    # junk-empty-part concern as the idle-round probe
+                    self.target.append(target_name, novel)
+            else:
+                obs = Observation(f"sync_incremental:{target_name}")
+                self.target.append(
+                    target_name, batch.observe(obs, *metrics)
+                )
+                observed = obs.get
+                rows = observed["n"]
             max_time = observed.get("max_t")
-            if rows > 0:
+            if rows > 0 or nd_dropped > 0:
                 # commit only when rows moved (es/es_to_bytehouse.py:996-1004),
                 # and merge every watermark MONOTONICALLY: a late-update
                 # batch's maxima can sit below the stored marks
@@ -295,7 +361,12 @@ class SyncEngine:
                     )
                 )
             rep = SyncReport(
-                t.name, "incremental", rows, time.time() - t0, max_time
+                t.name,
+                "incremental",
+                rows,
+                time.time() - t0,
+                max_time,
+                neardup_dropped=nd_dropped,
             )
             self.reporter.table_done(rep.table, rep.rows, rep.seconds)
             reports.append(rep)

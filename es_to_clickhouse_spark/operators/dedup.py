@@ -497,12 +497,23 @@ def screen_against_store(
         ["band_id", "band_key", id_col]
     )
     store_tokens = store_tokens.dropDuplicates([id_col])
+    # the batch's band rows feed both the touched-key build side and
+    # the union below — checkpoint so the batch minhash derives once
+    batch_buckets = batch_buckets.localCheckpoint(eager=False)
     hb = store_buckets.select(
         "band_id", "band_key", F.col(id_col).alias("_hid")
     ).withColumn("_side", F.lit("h"))
     bb = batch_buckets.select(
         "band_id", "band_key", F.col(id_col).alias("_hid")
     ).withColumn("_side", F.lit("b"))
+    # 100 TB store design: the store is orders of magnitude bigger than
+    # any append batch, and only buckets the BATCH touches can produce
+    # a candidate pair — so prune the store scan to the batch's band
+    # keys with a broadcast semi-join BEFORE the cap window. Cap
+    # semantics are unchanged (untouched buckets contribute no pairs
+    # and their population was never consulted for touched ones).
+    touched = bb.select("band_id", "band_key").distinct()
+    hb = hb.join(F.broadcast(touched), ["band_id", "band_key"], "semi")
     both = hb.unionByName(bb)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
@@ -511,6 +522,11 @@ def screen_against_store(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
+    # referenced on BOTH sides of the candidate self-join below: the
+    # lazy checkpoint makes the (pruned, capped, batch-bounded) bucket
+    # population evaluate ONCE — without it the store files are
+    # scanned twice per screen
+    both = both.localCheckpoint(eager=False)
     cand = (
         both.where(F.col("_side") == "b")
         .select("band_id", "band_key", F.col("_hid").alias("_bid"))
@@ -542,3 +558,118 @@ def screen_against_store(
         F.count(F.lit(1)).alias("n_hist_matches"),
         F.max("jaccard").alias("best_jaccard"),
     )
+
+
+class PersistedNearDupStore:
+    """Parquet-persisted LSH near-dup store — the PRODUCTION form of
+    :func:`incremental_neardup`, wired into the live ingest paths
+    (``SyncEngine.neardup`` for batch rounds, ``StreamingSync.neardup``
+    for foreachBatch micro-batches).
+
+    Layout under ``path`` (both tables insert-only — signatures never
+    change once written, so an append round never rewrites history):
+
+    - ``buckets/``: (band_id, band_key, id) — appended files are
+      repartitioned BY band_key, so one band_key's rows co-locate in
+      one file per append; at 100 TB this is what lets the per-append
+      bucket join prune to the band_key hash ranges a batch actually
+      touches instead of the whole store.
+    - ``tokens/``: (id, tok_hashes) — repartitioned by id for the same
+      reason on the verify join side.
+
+    Each ingest round pays ONLY its own batch's minhash derivation plus
+    the bucket join against the store files — history TEXT is never
+    rescanned and history signatures are never re-derived
+    (tests pin this at plan level: the screen's only file scans are the
+    store paths). Near-dup batch rows are dropped from the sink and
+    their signatures are NOT appended (they would only re-match what
+    the store already holds); novel rows' signatures append after the
+    screen result is materialized, so a round can never match itself.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str,
+        text_col: str,
+        k: int = 4,
+        bands: int = 2,
+        threshold: float = 0.5,
+        max_bucket: int | None = None,
+        files_per_append: int = 8,
+    ) -> None:
+        self.path = str(path)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.bands = bands
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+        self.files_per_append = files_per_append
+
+    @property
+    def buckets_dir(self) -> str:
+        return f"{self.path}/buckets"
+
+    @property
+    def tokens_dir(self) -> str:
+        return f"{self.path}/tokens"
+
+    def _exists(self, spark) -> bool:
+        import os
+
+        return os.path.isdir(self.buckets_dir) and os.path.isdir(
+            self.tokens_dir
+        )
+
+    def screen(self, batch: DataFrame) -> DataFrame:
+        """(id, n_hist_matches, best_jaccard) for every batch doc with a
+        verified historical near-dup — empty (same schema) on a virgin
+        store, so the first round keeps everything."""
+        spark = batch.sparkSession
+        if not self._exists(spark):
+            id_type = batch.schema[self.id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [],
+                f"{self.id_col} {id_type}, n_hist_matches bigint,"
+                " best_jaccard double",
+            )
+        return screen_against_store(
+            spark.read.parquet(self.buckets_dir),
+            spark.read.parquet(self.tokens_dir),
+            batch,
+            self.id_col,
+            self.text_col,
+            self.k,
+            self.bands,
+            self.threshold,
+            self.max_bucket,
+        )
+
+    def append(self, docs: DataFrame) -> None:
+        """Insert-only store update: derive (buckets, tokens) for these
+        docs and append, files bucketed by band_key / id."""
+        buckets, toks = neardup_store(
+            docs, self.id_col, self.text_col, self.k, self.bands
+        )
+        buckets.repartition(self.files_per_append, "band_key").write.mode(
+            "append"
+        ).parquet(self.buckets_dir)
+        toks.repartition(self.files_per_append, self.id_col).write.mode(
+            "append"
+        ).parquet(self.tokens_dir)
+
+    def ingest(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """One append round: screen → split novel/matched → append the
+        novel signatures. Returns (novel, matched); ``matched`` is
+        MATERIALIZED (localCheckpoint) before the store grows, so the
+        batch can never match its own signatures, and ``novel`` reads
+        only ``batch`` + the checkpointed match set — callers should
+        pass a checkpointed/cached batch to keep the round at one
+        source scan."""
+        matched = self.screen(batch).localCheckpoint()
+        novel = batch.join(
+            matched.select(self.id_col), on=self.id_col, how="left_anti"
+        )
+        self.append(novel)
+        return novel, matched

@@ -48,6 +48,14 @@ class StreamingSync:
     #: the SAME dedup tokens and the server drops the duplicate blocks:
     #: effectively-once end-to-end (T4 upgrade, see module docstring)
     ch_target: object | None = None
+    #: optional ingest-time near-dup screen
+    #: (operators.dedup.PersistedNearDupStore) — the foreachBatch twin
+    #: of SyncEngine.neardup: each micro-batch screens against the
+    #: parquet-persisted LSH store, drops verified near-dups from the
+    #: sink, appends the novel rows' signatures. State still commits
+    #: the FULL batch's watermark (wm is computed before the screen),
+    #: so all-dup micro-batches cannot stall the stream's progress.
+    neardup: object | None = None
 
     def _handle_batch(self, table: str, source_name: str, batch: DataFrame, batch_id: int) -> None:
         """One micro-batch: flatten → append → state commit (the streaming
@@ -59,10 +67,22 @@ class StreamingSync:
         wm = batch_watermarks(out, time_field)
         if wm.rows == 0:
             return
-        self.target.append(table, out)
-        if self.ch_target is not None:
-            # checkpoint-durable epoch: replayed batch → replayed tokens
-            self.ch_target.append(table, out, epoch=f"{table}:{batch_id}")
+        nd = self.neardup
+        if (
+            nd is not None
+            and getattr(nd, "id_col", None) in out.columns
+            and nd.text_col in out.columns
+        ):
+            out, _ = nd.ingest(out.localCheckpoint())
+            if out.isEmpty():
+                # all near-dups: nothing to append, but the state
+                # commit below still advances the full-batch watermark
+                out = None
+        if out is not None:
+            self.target.append(table, out)
+            if self.ch_target is not None:
+                # checkpoint-durable epoch: replayed batch → replayed tokens
+                self.ch_target.append(table, out, epoch=f"{table}:{batch_id}")
         self.state.commit(
             SyncState(
                 table_name=table,

