@@ -156,10 +156,12 @@ BASELINE_RESETS: dict[str, int] = {
     # both sides of the oracle) — the deliberate cost of the second-
     # decade fix (59.7x -> 10.7x at 100x data); r11 additionally routed
     # the assign through the two-level quantizer (O(N*sqrt(k)) instead
-    # of the dense N x k matrix). The pinned-8-cell plan's priors are
-    # not this plan's baseline (judge r10 adjudicated the 1.77x flag as
-    # exactly this accepted tradeoff and prescribed the reset).
-    "d14_semantic_dedup": 11,
+    # of the dense N x k matrix); r12 replaced the dense-id-assuming
+    # `vec_id < n/256` centroid rule with the hash-sampled
+    # density-independent one (sampled_centroids — the third-decade
+    # 23.6x autopsy, SCALE_BENCH.md r12), which changes the centroid
+    # set and therefore the measured plan again.
+    "d14_semantic_dedup": 12,
     # r11 replaced sim6's corpus-scaled probe predicate (vec_id % 25 —
     # O(N^2/25) probe x corpus work, DNF at the 100x decade) with a
     # fixed 24-probe hash top-K. Probe-set SIZE and membership changed,

@@ -673,3 +673,96 @@ class PersistedNearDupStore:
         )
         self.append(novel)
         return novel, matched
+
+
+def substring_dedup_profile(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """Exact repeated-SUBSTRING dedup signal (word w-gram granularity):
+    per document, the maximal token spans whose every w-gram also
+    appears in at least one OTHER document — the substring-level
+    complement of doc-level Jaccard (d5) and of eval-contamination
+    (txt10), i.e. the "dedup repeated spans, not whole docs" stage of a
+    training-data pipeline (Lee et al. 2022-style, re-expressed as
+    three uniform-key shuffles instead of a suffix array).
+
+    Pipeline: position-tagged w-gram hashes per doc (one HOF pass,
+    checkpointed before the explode) → grams appearing in >= 2 DISTINCT
+    docs (groupBy on the 64-bit gram hash — uniform, no skew) →
+    per-doc island merge of flagged positions (token ranges overlap
+    while gram starts are <= w-1 apart) → per-doc span profile.
+
+    Output: (id, n_dup_grams, n_spans, max_span_tokens,
+    repeated_tokens). At 100 TB every shuffle is keyed by gram hash or
+    doc id (both uniform); the dup-gram set is data-dependent small and
+    AQE may broadcast it into the semi-join.
+    """
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        df.repartition(n_tasks)
+        .select(
+            F.col(id_col),
+            F.filter(F.split(text_col, " "), lambda x: x != "").alias("_ts"),
+        )
+        .where(F.size("_ts") >= w)
+    )
+
+    def gram(i: Column) -> Column:
+        return F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.xxhash64(F.slice(F.col("_ts"), i, F.lit(w))).alias("g"),
+        )
+
+    grams = (
+        tok.select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - (w - 1)), gram
+            ).alias("_gs"),
+        )
+        # barrier before the explode (txt10's measured lesson), and the
+        # two downstream consumers (dup-set build + position semi-join)
+        # share one hashing pass
+        .localCheckpoint(eager=False)
+        .select(id_col, F.explode("_gs").alias("_pg"))
+        .select(id_col, F.col("_pg.pos").alias("_pos"), F.col("_pg.g").alias("_g"))
+    )
+    dup = (
+        grams.select("_g", id_col)
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("_g")
+    )
+    flagged = grams.join(dup, "_g", "left_semi")
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    isl = (
+        flagged.withColumn("_prev", F.lag("_pos").over(win))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_pos") - F.col("_prev") > w - 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = isl.groupBy(id_col, "_isl").agg(
+        F.min("_pos").alias("_s"),
+        F.max("_pos").alias("_e"),
+        F.count(F.lit(1)).alias("_ng"),
+    )
+    span_len = F.col("_e") - F.col("_s") + w
+    return spans.groupBy(id_col).agg(
+        F.sum("_ng").alias("n_dup_grams"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max(span_len).alias("max_span_tokens"),
+        F.sum(span_len).alias("repeated_tokens"),
+    )

@@ -386,3 +386,36 @@ def pq_assign(
             F.col("_b._d").alias("dist"),
         )
     )
+
+
+def sampled_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    per_cell: int = 256,
+    floor: int = 8,
+) -> DataFrame:
+    """Deterministic corpus-scaled centroid sample for IVF/SemDeDup:
+    ~n/per_cell centroids chosen by KEY HASH, not by id VALUE.
+
+    The previous rule — ``id < max(floor, n/per_cell)`` — silently
+    assumed ids are DENSE from 0: on any corpus whose ids are strided,
+    sharded, or sparse (every real 100 TB layout; the replicated scale
+    testbed at factor >= 4) the value-threshold saturates at however
+    many ids happen to be small, the centroid count stops scaling with
+    the corpus, cell populations grow linearly, and the within-cell
+    quadratic comes back — measured as d14's 23.6x third decade with
+    only 2,000 of the intended 7,812 centroids existing
+    (SCALE_BENCH.md r12). A hash cut keeps the expected count at
+    max(floor, n/per_cell) under ANY id distribution, is a row-local
+    scan-stage predicate (no sort, no limit, no shuffle), and the
+    integer comparison ``h32 * 1 < cut`` replays bit-identically in
+    DuckDB (same md5 device as hash_sample/sk2)."""
+    from es_to_clickhouse_spark.operators.sketch import hash32
+
+    n = df.count()  # bounded driver scalar (same as the old rule's)
+    k = max(floor, n // per_cell)
+    cut = ((1 << 32) * k) // n
+    return df.where(hash32(F.col(id_col), "cent") < cut).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )

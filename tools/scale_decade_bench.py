@@ -83,7 +83,90 @@ def synthesize_100x(spark) -> None:
         print(f"synth100 {t}: {n0:,} -> {n1:,}", flush=True)
 
 
+DST1000 = os.path.join(ROOT, ".scale_data", "sf100")
+#: the two queries whose second-decade ratios (d14 6.4x, txt10 7.4x)
+#: had not yet been shown to amortize at 1000x the way d5/d9/d19's did
+#: (r11 VERDICT #5). txt10 reads documents only (synthesized for the
+#: r11 third decade); d14 reads embeddings only (synthesized here at
+#: factor 1000 with the same per-replica orthogonal transform).
+THIRD_QUERIES = ["txt10_contamination_check", "d14_semantic_dedup"]
+FACTOR1000 = 1000
+
+
+def synthesize_1000x(spark) -> None:
+    os.makedirs(DST1000, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(DST1000, f"{t}.parquet")
+        if os.path.exists(dst):
+            print(f"synth1000 {t}: exists, skipping", flush=True)
+            continue
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        rep = _replicate(df, KEY_COLS[t], FACTOR1000)
+        if t == "documents":
+            rep = _salt_documents(rep)
+        else:
+            rep = _ortho_embeddings(rep, FACTOR1000)
+        out = rep.select(df.columns)
+        out.write.mode("overwrite").parquet(dst)
+        n0 = df.count()
+        n1 = spark.read.parquet(dst).count()
+        assert n1 == n0 * FACTOR1000, f"{t}: {n1} != {n0}*{FACTOR1000}"
+        print(f"synth1000 {t}: {n0:,} -> {n1:,}", flush=True)
+
+
+def third_decade_main() -> None:
+    """``--third``: measure THIRD_QUERIES at 100x and 1000x in ONE solo
+    session (self-consistent decade ratio — no cross-host comparison)
+    and append the verdict table to SCALE_BENCH.md."""
+    spark = get_spark("scale_decade3")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--run-only" not in sys.argv[1:]:
+        synthesize_1000x(spark)
+    argv = sys.argv[1:]
+    names = (
+        argv[argv.index("--queries") + 1].split(",")
+        if "--queries" in argv
+        else THIRD_QUERIES
+    )
+    results = {}
+    for label, d in (("100x", DST100), ("1000x", DST1000)):
+        print(f"=== {label} ===", flush=True)
+        results[label] = time_queries(spark, d, names)
+    lines = [
+        "",
+        "## Third decade — 1000x for d14 (2M embeddings) and txt10 "
+        "(5M docs) (r12, tools/scale_decade_bench.py --third)",
+        "",
+        "The two second-decade ratios (d14 6.4x, txt10 7.4x) that had",
+        "not yet been shown to amortize at 1000x; 100x re-measured in",
+        "the same solo session so the decade ratio is host-consistent.",
+        "",
+        "| query | 100x s | 1000x s | decade ratio | rows 100x | rows "
+        "1000x | output ratio |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for q in names:
+        m = results["100x"][q]
+        s = results["1000x"][q]
+        lines.append(
+            f"| {q} | {m['sec']} | {s['sec']} "
+            f"| {s['sec'] / m['sec']:.1f}x | {m['rows']:,} | {s['rows']:,} "
+            f"| {s['rows'] / max(m['rows'], 1):.1f}x |"
+        )
+    lines.append("")
+    with open(os.path.join(ROOT, "SCALE_BENCH.md"), "a") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    with open(
+        os.path.join(ROOT, ".scale_data", "scale_third_decade.json"), "w"
+    ) as f:
+        json.dump(results, f, indent=1)
+
+
 def main() -> None:
+    if "--third" in sys.argv[1:]:
+        third_decade_main()
+        return
     spark = get_spark("scale_decade")
     spark.sparkContext.setLogLevel("ERROR")
     if "--run-only" not in sys.argv[1:]:
