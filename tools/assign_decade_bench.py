@@ -32,7 +32,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from es_to_clickhouse_spark.operators.similarity import (  # noqa: E402
     ivf_assign,
+    ivf_assign_hierarchical,
     ivf_assign_two_level,
+    sampled_centroids,
 )
 from es_to_clickhouse_spark.session import get_spark  # noqa: E402
 from scale_bench import (  # noqa: E402
@@ -42,7 +44,8 @@ from scale_bench import (  # noqa: E402
     _replicate,
 )
 
-DST1000 = os.path.join(ROOT, ".scale_data", "sf100_emb")
+# r12: shares the third-decade synthesis (scale_decade_bench --third)
+DST1000 = os.path.join(ROOT, ".scale_data", "sf100")
 SCALES = [
     ("sf0.1", os.path.join(SRC, "embeddings.parquet")),
     ("10x", os.path.join(ROOT, ".scale_data", "sf1", "embeddings.parquet")),
@@ -53,6 +56,9 @@ WARM = 2
 
 
 def synthesize_1000x(spark) -> None:
+    if os.path.exists(os.path.join(DST1000, "embeddings.parquet")):
+        print("synth1000 embeddings: exists, skipping", flush=True)
+        return
     df = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     rep = _ortho_embeddings(
         _replicate(df, KEY_COLS["embeddings"], 1000), 1000
@@ -69,10 +75,12 @@ def synthesize_1000x(spark) -> None:
 def time_assign(spark, path: str, fn) -> dict:
     emb = spark.read.parquet(path)
     n = emb.count()
-    k = max(8, n // 256)
-    cents = emb.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
-    )
+    # hash-sampled, NOT `vec_id < k`: the value-threshold rule saturates
+    # on the strided replicated ids — the r11 1000x row here silently
+    # measured 2,000 centroids where it claimed 7,812 (the same bug the
+    # d14 third decade exposed; operators/similarity.sampled_centroids)
+    cents = sampled_centroids(emb)
+    k = cents.count()
     warms = []
     rows = None
     for _ in range(WARM + 1):
@@ -93,12 +101,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--run-only" not in sys.argv[1:]:
         synthesize_1000x(spark)
+    argv = sys.argv[1:]
+    only = (
+        set(argv[argv.index("--scales") + 1].split(","))
+        if "--scales" in argv
+        else None
+    )
     results: dict[str, dict] = {}
     for label, path in SCALES:
+        if only is not None and label not in only:
+            continue
         if not os.path.exists(path):
             raise SystemExit(f"{label} missing at {path}")
         entry: dict = {}
         entry["two_level"] = time_assign(spark, path, ivf_assign_two_level)
+        entry["hierarchical"] = time_assign(
+            spark, path, ivf_assign_hierarchical
+        )
         if label != "1000x":  # the dense N x k matrix is the avoided plan
             entry["dense"] = time_assign(spark, path, ivf_assign)
         results[label] = entry
@@ -106,8 +125,10 @@ def main() -> None:
 
     lines = [
         "",
-        "## Assign-stage three decades — dense N x k vs two-level"
-        " O(N*sqrt(k)) (r11, tools/assign_decade_bench.py)",
+        "## Assign-stage decades — dense vs two-level vs log-depth"
+        " hierarchical (r12 re-run: hash-sampled centroids fix the"
+        " dense-id saturation the r11 1000x row carried;"
+        " tools/assign_decade_bench.py)",
         "",
         "The isolated IVF assignment (k = max(8, n/256) corpus-scaled"
         " cells,",
@@ -119,18 +140,22 @@ def main() -> None:
         " is the",
         "plan the escalation exists to avoid).",
         "",
-        "| scale | n | k | dense s | two-level s | two-level decade ratio |",
-        "|---|---|---|---|---|---|",
+        "| scale | n | k | dense s | two-level s | two-level decade"
+        " ratio | hierarchical s (fanout 64) |",
+        "|---|---|---|---|---|---|---|",
     ]
     prev = None
     for label, _ in SCALES:
+        if label not in results:
+            continue
         e = results[label]
         tl = e["two_level"]
         ratio = f"{tl['sec'] / prev:.1f}x" if prev else "—"
         dense = e.get("dense", {}).get("sec", "(skipped)")
+        hier = e.get("hierarchical", {}).get("sec", "—")
         lines.append(
             f"| {label} | {tl['n']:,} | {tl['k']:,} | {dense} "
-            f"| {tl['sec']} | {ratio} |"
+            f"| {tl['sec']} | {ratio} | {hier} |"
         )
         prev = tl["sec"]
     lines.append("")
