@@ -167,9 +167,15 @@ BASELINE_RESETS: dict[str, int] = {
     # fixed 24-probe hash top-K. Probe-set SIZE and membership changed,
     # so prior timings measure a different workload.
     "sim6_knn_graph": 11,
-    # r11 NEW operator (incremental near-dup vs the LSH store): no
-    # committed recording exists yet — the r11 driver bench seeds it.
-    "d19_incremental_neardup": 11,
+    # r11 NEW operator (incremental near-dup vs the LSH store); r12
+    # redesigned the shared screen (store-side dedupe for re-ingest
+    # idempotency, broadcast semi-prune of the store bucket scan to the
+    # batch's band keys, lazy checkpoints so the store scans once) — a
+    # deliberate fixed overhead at sf0.1 (~1.9 s vs 1.4 s) for the
+    # at-scale win (1000x: 37.4 s vs 38.1 s with ONE store scan and a
+    # batch-pruned read; SCALE_BENCH.md r12). The old screen's priors
+    # are not this plan's baseline.
+    "d19_incremental_neardup": 12,
     # r12 adds d18 to the heavy set (judge r11 #3 — track the at-scale
     # near-dup variant, not just the d6 baseline): the r12 driver bench
     # seeds its baseline.
