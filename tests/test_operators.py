@@ -1588,3 +1588,34 @@ def test_ivf_assign_hierarchical(spark):
     sc = sampled_centroids(emb, per_cell=16)
     h = ivf_assign_hierarchical(emb, sc, fanout=4)
     assert h.count() == emb.count()
+
+
+def test_sampled_centroids_density_independent(spark):
+    """The centroid sample must depend on KEY HASHES, never on id
+    VALUES: striding every id by 1e6 (the replicated-testbed layout
+    that saturated the old `vec_id < n/256` rule into d14's 23.6x
+    decade) must leave the expected count intact — and the selection
+    is a deterministic function of the keys."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.operators.similarity import sampled_centroids
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    dense = sampled_centroids(emb, per_cell=4)
+    k = dense.count()
+    # expected max(8, n/4) +- binomial noise; the old rule would also
+    # pass here (dense ids), the strided check below is the teeth
+    assert 0.5 * max(8, n // 4) <= k <= 1.5 * max(8, n // 4)
+    strided = sampled_centroids(
+        emb.withColumn("vec_id", F.col("vec_id") * 1_000_000), per_cell=4
+    )
+    # same expected density under the stride; the old value-threshold
+    # rule returns at most ONE id here (only vec_id=0 < n/4)
+    ks = strided.count()
+    assert 0.5 * max(8, n // 4) <= ks <= 1.5 * max(8, n // 4)
+    # deterministic: same keys -> same set, twice
+    a = sorted(r.cent_id for r in dense.collect())
+    b = sorted(r.cent_id for r in sampled_centroids(emb, per_cell=4).collect())
+    assert a == b
