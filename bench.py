@@ -233,6 +233,52 @@ def _timing_maps(rec: dict) -> list[dict]:
     return maps
 
 
+#: rows for the compute-bound calibration sample (judge r12 item 3).
+#: The w1 noise floor is a ~0.3 s scheduler-bound query — it was stable
+#: in every r12 run while the heavy phase ran 1.3x apart, because a
+#: short query never feels sustained 32-core contention or GC pressure.
+#: This calibration job is the opposite: a fixed data-independent
+#: whole-stage-codegen aggregate sized to ~2-3 s of saturated all-core
+#: compute, so its cross-round ratio tracks the machine speed the HEAVY
+#: set actually experiences. Identical code every round — same contract
+#: as the w1 floor.
+COMPUTE_CAL_ROWS = 9_000_000_000
+COMPUTE_CAL_PASSES = 3
+
+
+def _compute_cal_passes(spark, n: int) -> list[float]:
+    out = []
+    for _ in range(n):
+        t0 = time.time()
+        # (id % p) first keeps the product inside int64 under ANSI mode
+        # at any row count; the sum of 6e9 values < 1e6 stays < 6e15.
+        spark.range(COMPUTE_CAL_ROWS, numPartitions=DEFAULT_CPUS).selectExpr(
+            "sum((id % 1000003) * 2654435761 % 1000003) as s"
+        ).collect()
+        out.append(time.time() - t0)
+    return out
+
+
+def _compute_floor_median(rec: dict) -> float | None:
+    """Extract a round's recorded compute-bound calibration median
+    (present since r13) from parsed, flat, or truncated-tail records.
+    Returns None for pre-r13 records — callers fall back to the w1
+    floor ratio for those."""
+    import re
+
+    flat = rec.get("parsed") or rec
+    cf = flat.get("compute_floor")
+    if isinstance(cf, dict) and isinstance(cf.get("median"), (int, float)):
+        return float(cf["median"]) or None
+    if isinstance(rec.get("tail"), str):
+        hit = re.search(
+            r'"compute_floor":\s*\{[^{}]*"median":\s*([0-9.]+)', rec["tail"]
+        )
+        if hit:
+            return float(hit.group(1)) or None
+    return None
+
+
 def _noise_floor_median(rec: dict) -> float | None:
     """Extract a round's recorded noise-floor median (the fixed noise
     query's median, present since r6) from whatever shape the record
@@ -253,7 +299,9 @@ def _noise_floor_median(rec: dict) -> float | None:
 
 
 def best_prior_per_query(
-    here: str, current_floor: float | None = None
+    here: str,
+    current_floor: float | None = None,
+    current_compute: float | None = None,
 ) -> dict[str, float]:
     """Per-query best (lowest) recorded timing across all prior rounds'
     BENCH_r*.json — the baseline a median must not exceed by >1.5x.
@@ -286,25 +334,39 @@ def best_prior_per_query(
     recs = []
     floors = []
     rounds_seen = []
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    # Two sources, same schema: the driver's BENCH_r{N}.json (whose
+    # 2000-char stdout tail can truncate ANY map — r11 cut mid-median-map,
+    # r12's tail started inside heavy_queries_stddev and held no complete
+    # flat map at all) and the builder's committed bench_r{N}_local.json
+    # recordings, which are complete JSON with the same keys and floor
+    # record. Reading both means a truncated driver artifact can no
+    # longer erase a round's baseline (judge r12 #1): the local recording
+    # for the same round supplies the intact maps.
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))) + sorted(
+        glob.glob(os.path.join(here, "bench_r*_local.json"))
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        hit = re.search(r"BENCH_r(\d+)\.json$", path)
-        rnd = int(hit.group(1)) if hit else None
-        recs.append((rec, _noise_floor_median(rec), rnd))
+        hit = re.search(
+            r"(?:BENCH_r(\d+)\.json|bench_r(\d+)_local\.json)$", path
+        )
+        rnd = int(hit.group(1) or hit.group(2)) if hit else None
+        recs.append((rec, _noise_floor_median(rec), rnd, _compute_floor_median(rec)))
         if rnd is not None:
             rounds_seen.append(rnd)
-    window = set(sorted(rounds_seen)[-PRIOR_WINDOW:])
+    window = set(sorted(set(rounds_seen))[-PRIOR_WINDOW:])
     recs = [r for r in recs if r[2] is None or r[2] in window]
-    for _, floor, _ in recs:
+    for _, floor, _, _ in recs:
         if floor:
             floors.append(floor)
     fallback_floor = min(floors) if floors else None
+    heavy_set = set(HEAVY)
     best: dict[str, float] = {}
-    for rec, floor, rnd in recs:
+    for rec, floor, rnd, compute in recs:
         scale = 1.0
         if current_floor and (floor or fallback_floor):
             # clamped downward: see DOWNSCALE_CLAMP for why a full
@@ -312,14 +374,25 @@ def best_prior_per_query(
             scale = max(
                 current_floor / (floor or fallback_floor), DOWNSCALE_CLAMP
             )
+        # Heavy-set scale (judge r12 item 3): the scheduler-bound w1
+        # floor under-corrects sustained 32-core load — r12's three runs
+        # all had stable w1 floors while the heavy phase ran 1.3x apart
+        # and 9 untouched queries false-flagged. When BOTH this run and
+        # the prior round recorded the compute-bound calibration, scale
+        # heavy-set priors by THAT ratio instead; pre-r13 records fall
+        # back to the w1 ratio above.
+        heavy_scale = scale
+        if current_compute and compute:
+            heavy_scale = max(current_compute / compute, DOWNSCALE_CLAMP)
         for timing_map in _timing_maps(rec):
             for name, sec in timing_map.items():
                 reset = BASELINE_RESETS.get(name)
                 if reset is not None and rnd is not None and rnd < reset:
                     continue  # pre-rewrite plan: not this plan's baseline
                 if isinstance(sec, (int, float)) and sec > 0:
+                    s = heavy_scale if name in heavy_set else scale
                     best[name] = min(
-                        best.get(name, float("inf")), float(sec) * scale
+                        best.get(name, float("inf")), float(sec) * s
                     )
     return best
 
@@ -352,8 +425,10 @@ def remeasure_main(names: list[str]) -> None:
         return out[1:]
 
     noise = passes("w1_latest_per_key", REMEASURE_NOISE_PASSES)
+    compute = _compute_cal_passes(spark, COMPUTE_CAL_PASSES)
     result = {
         "noise_median": round(statistics.median(noise), 3),
+        "compute_median": round(statistics.median(compute), 3),
         "remeasured": {},
     }
     for name in names:
@@ -403,7 +478,11 @@ def adjudicate_flags(
             entry["remeasure_error"] = repr(e)[:200]
         return
     child_floor = child.get("noise_median")
-    prior_child = best_prior_per_query(here, current_floor=child_floor)
+    prior_child = best_prior_per_query(
+        here,
+        current_floor=child_floor,
+        current_compute=child.get("compute_median"),
+    )
     for name, entry in regressions.items():
         rm = child.get("remeasured", {}).get(name)
         if not rm:
@@ -502,7 +581,24 @@ def main() -> None:
     noise = noise_passes(NOISE_PASSES // 2)
 
     timings, mins, stddevs, cold = run_set(HEADLINE, WARM_PASSES)
+    # Compute-bound calibration brackets the HEAVY phase the way the w1
+    # floor brackets the whole bench: half the samples before, half
+    # after, so sustained host load DURING the heavy window lands in the
+    # median (judge r12 item 3 — the w1 floor was stable in all three
+    # r12 runs while the heavy phase ran 1.3x apart).
+    compute = _compute_cal_passes(spark, 2)
     h_timings, h_mins, h_stddevs, h_cold = run_set(HEAVY, HEAVY_WARM_PASSES)
+    compute += _compute_cal_passes(spark, 2)
+    compute_med = statistics.median(compute)
+    compute_floor = {
+        "rows": COMPUTE_CAL_ROWS,
+        "passes": len(compute),
+        "median": round(compute_med, 3),
+        "stddev": round(statistics.pstdev(compute), 3),
+        "spread": round((max(compute) - min(compute)) / compute_med, 3)
+        if compute_med
+        else None,
+    }
 
     noise += noise_passes(NOISE_PASSES // 2)
     noise_med = statistics.median(noise)
@@ -522,7 +618,9 @@ def main() -> None:
     # gate, so a slow host day can't manufacture false regressions (r8:
     # 19 of them on an unchanged hot path). The raw best rides along in
     # each regression record so a reader can see both frames.
-    prior = best_prior_per_query(here, current_floor=noise_med)
+    prior = best_prior_per_query(
+        here, current_floor=noise_med, current_compute=compute_med
+    )
     prior_raw = best_prior_per_query(here)
     # The gate compares this run's MIN, not its median: on a shared
     # bursty host (r9: load ~5 from outside the container with zero
@@ -560,15 +658,22 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    # Self-adjudication (r10 VERDICT item 5): flags on a bursty floor
-    # used to require a manual fresh-session re-measure to call noise
-    # vs real. Now the bench does it itself: stop THIS JVM (so the
-    # child runs solo) and re-time the flagged queries in a fresh one.
-    if regressions and not floor_stable:
+    # Self-adjudication (r10 VERDICT item 5; un-gated r13 per judge r12
+    # item 2): flags used to be re-measured only when the floor was
+    # bursty, but r12 proved a stable 0.3 s scheduler-bound floor does
+    # NOT certify the heavy phase ran on a quiet host — driver and judge
+    # both had floor_stable:true AND 9-flag storms on provably untouched
+    # code, with near-disjoint flag sets. A storm is a host signature,
+    # not a code one, and the one instrument that can tell them apart is
+    # the fresh solo child JVM. So: whenever ANY flag exists, stop THIS
+    # JVM (the child runs solo) and re-time the flagged queries there —
+    # ~1 min of child time buys a pre-adjudicated verdict on every flag.
+    if regressions:
         print(
-            f"floor unstable (spread {noise_floor.get('spread')}); "
-            f"re-measuring {len(regressions)} flagged queries in a "
-            "fresh solo JVM...",
+            f"{len(regressions)} flagged "
+            f"(floor_stable={floor_stable}, "
+            f"spread {noise_floor.get('spread')}); "
+            "re-measuring flagged queries in a fresh solo JVM...",
             file=sys.stderr,
         )
         spark.stop()
@@ -611,6 +716,7 @@ def main() -> None:
                 # run reproduces them
                 "floor_stable": floor_stable,
                 "noise_floor": noise_floor,
+                "compute_floor": compute_floor,
                 "sf": sf_num,
             }
         )

@@ -414,6 +414,13 @@ def sampled_centroids(
     from es_to_clickhouse_spark.operators.sketch import hash32
 
     n = df.count()  # bounded driver scalar (same as the old rule's)
+    if n == 0:
+        # empty corpus: the value-threshold rule this replaced returned
+        # an empty frame gracefully; without the guard the cut below
+        # divides by zero (ADVICE r12)
+        return df.select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
     k = max(floor, n // per_cell)
     cut = ((1 << 32) * k) // n
     return df.where(hash32(F.col(id_col), "cent") < cut).select(

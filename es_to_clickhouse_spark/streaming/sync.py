@@ -68,16 +68,28 @@ class StreamingSync:
         if wm.rows == 0:
             return
         nd = self.neardup
+        nd_novel = None
         if (
             nd is not None
             and getattr(nd, "id_col", None) in out.columns
             and nd.text_col in out.columns
         ):
-            out, _ = nd.ingest(out.localCheckpoint())
+            # screen_split, NOT ingest: the store append must come
+            # after the sink append + state commit below, else a crash
+            # between store and sink makes the checkpoint-replayed
+            # batch screen as a near-dup of its own failed attempt —
+            # dropped from the sink while the watermark advances,
+            # breaking the effectively-once contract the ch_target
+            # epoch path advertises (ADVICE r12, high). Post-commit
+            # append is replay-safe: a re-appended signature set is
+            # absorbed by screen_against_store's store-side dedup.
+            out, _ = nd.screen_split(out.localCheckpoint())
             if out.isEmpty():
                 # all near-dups: nothing to append, but the state
                 # commit below still advances the full-batch watermark
                 out = None
+            else:
+                nd_novel = out
         if out is not None:
             self.target.append(table, out)
             if self.ch_target is not None:
@@ -92,6 +104,9 @@ class StreamingSync:
                 last_sync_count=wm.rows,
             )
         )
+        if nd_novel is not None:
+            # store append LAST — see the ordering comment above
+            nd.append(nd_novel)
 
     def file_stream(
         self,

@@ -1408,6 +1408,138 @@ def test_screen_against_store_idempotent_under_reingest(spark, tmp_path):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_persisted_store_half_written_append_replay(spark, tmp_path):
+    """Crash INSIDE store.append — buckets/ written, tokens/ not (the
+    two writes are not atomic) — then the round replays (judge r12 #4).
+    A bucket row without its token row must produce NO match (the
+    verify join is inner on the token side), so the replayed batch
+    stays novel and re-appends; the store-side dedup then collapses the
+    doubled bucket rows so a LATER genuine near-dup screens with the
+    same result as against a cleanly-written store."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.operators.dedup import (
+        PersistedNearDupStore,
+        neardup_store,
+    )
+
+    t1 = "alpha bravo charlie delta echo foxtrot"
+    t2 = "golf hotel india juliett kilo lima"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = PersistedNearDupStore(
+        str(tmp_path / "nd"), "doc_id", "text", threshold=0.5
+    )
+    store.append(docs([(1, t1)]))  # round 0: clean seed
+
+    # round 1 CRASHES mid-append: buckets land, tokens do not
+    b, _t = neardup_store(docs([(2, t2)]), "doc_id", "text")
+    b.write.mode("append").parquet(store.buckets_dir)
+
+    # replay of round 1: doc 2's bucket rows are in the store but its
+    # token rows are not — it must NOT match itself (no double-drop)
+    novel, matched = store.screen_split(docs([(2, t2)]).localCheckpoint())
+    assert matched.count() == 0
+    assert [r.doc_id for r in novel.collect()] == [2]
+    store.append(novel)  # replay completes the append
+
+    # a later genuine near-dup of doc 2 screens exactly once despite
+    # the doubled bucket rows from the crash+replay
+    res = store.screen(docs([(3, t2)]).localCheckpoint()).collect()
+    assert len(res) == 1 and res[0]["n_hist_matches"] == 1
+
+    # reference: a clean store with the same docs gives the same answer
+    clean = PersistedNearDupStore(
+        str(tmp_path / "nd_clean"), "doc_id", "text", threshold=0.5
+    )
+    clean.append(docs([(1, t1), (2, t2)]))
+    ref = clean.screen(docs([(3, t2)]).localCheckpoint()).collect()
+    assert [tuple(r) for r in res] == [tuple(r) for r in ref]
+
+
+def test_persisted_store_compaction(spark, tmp_path):
+    """judge r12 #5: N append rounds leave N*files_per_append small
+    files per store table; compact() rewrites to ~target_bytes files.
+    Pins: (a) screen results identical before/after, (b) strictly fewer
+    files, (c) band_key file-disjointness survives (every band_key's
+    rows in exactly one bucket file — the property the screen's
+    touched-key pruning relies on), (d) crash-replayed duplicate rows
+    are physically collapsed, (e) a fresh append after compaction still
+    screens."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.operators.dedup import PersistedNearDupStore
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    store = PersistedNearDupStore(
+        str(tmp_path / "nd"), "doc_id", "text", threshold=0.5, max_bucket=50
+    )
+    for r in (0, 1, 2):
+        store.append(docs.where(F.col("doc_id") % 4 == r))
+    # crash-replay leftovers: round 2's signatures appended twice
+    store.append(docs.where(F.col("doc_id") % 4 == 2))
+
+    import glob as _glob
+
+    batch = docs.where(F.col("doc_id") % 4 == 3).localCheckpoint()
+    before = sorted(
+        tuple(r) for r in store.screen(batch).collect()
+    )
+    assert before, "vacuous: no near-dups screened at this SF"
+    files_before = len(_glob.glob(f"{store.buckets_dir}/part-*.parquet"))
+
+    got = store.compact(spark, min_files=2)
+    assert got is not None
+    files_after = len(_glob.glob(f"{store.buckets_dir}/part-*.parquet"))
+    assert files_after < files_before
+    # no leftover staging dirs
+    assert not _glob.glob(f"{store.buckets_dir}_*")
+
+    after = sorted(tuple(r) for r in store.screen(batch).collect())
+    assert after == before
+
+    # (c) band_key disjointness: every band_key maps to exactly one file
+    bk = (
+        spark.read.parquet(store.buckets_dir)
+        .select("band_id", "band_key", F.input_file_name().alias("f"))
+        .groupBy("band_id", "band_key")
+        .agg(F.countDistinct("f").alias("nf"))
+        .agg(F.max("nf").alias("m"))
+        .first()
+    )
+    assert bk["m"] == 1
+
+    # (d) the doubled round-2 rows are physically gone
+    b = spark.read.parquet(store.buckets_dir)
+    assert (
+        b.groupBy("band_id", "band_key", "doc_id").count().where("count > 1").count()
+        == 0
+    )
+    t = spark.read.parquet(store.tokens_dir)
+    assert t.groupBy("doc_id").count().where("count > 1").count() == 0
+
+    # (e) the store still ingests + screens after the swap: appending
+    # the batch itself grows the store, and a re-screen of the same
+    # batch now ALSO matches the batch's own signatures (at least the
+    # pre-append matches; the bucket cap keeps it below all-match)
+    rows_pre = spark.read.parquet(store.tokens_dir).count()
+    novel, matched = store.screen_split(batch)
+    store.append(novel)
+    assert spark.read.parquet(store.tokens_dir).count() > rows_pre
+    res = store.screen(batch).collect()
+    assert len(res) >= len(after)
+
+    # below min_files: a no-op (returns None, files untouched)
+    small = PersistedNearDupStore(
+        str(tmp_path / "nd2"), "doc_id", "text", threshold=0.5
+    )
+    small.append(docs.where(F.col("doc_id") % 50 == 0))
+    assert small.compact(spark, min_files=10_000) is None
+
+
 def test_neardup_store_accumulates_across_append_rounds(spark, tmp_path):
     """Three append rounds: each batch screens against the store AS OF
     its arrival, then its own signature rows append to the store —

@@ -419,6 +419,146 @@ def test_bench_prior_baseline_covers_heavy_set():
     assert all(v > 0 for v in prior.values())
 
 
+def test_bench_prior_reads_local_recordings_and_r12_tail_shape():
+    """judge r12 #1: BENCH_r12.json's 2000-char tail starts inside
+    heavy_queries_stddev and the 9-entry regressions map ate the rest —
+    NO complete flat timing map survives. The salvage must (a) return
+    nothing from such a tail (never mis-assign stddev/regression values
+    as timings) and (b) the baseline must instead come from the
+    builder's committed complete bench_r{N}_local.json recording."""
+    import json as _json
+    import os
+    import tempfile
+
+    import bench
+
+    # (a) the r12 truncation shape: tail opens mid-stddev-map, then a
+    # NESTED regressions map — neither is a salvageable flat timing map
+    rec = {
+        "parsed": None,
+        "tail": 'up": 0.096, "d18_embedding_neardup_cell": 0.513}, '
+        '"heavy_min_total": 37.09, "regressions": {"d17_dup_profile": '
+        '{"median": 2.9, "min": 2.8, "best_prior_normalized": 0.97, '
+        '"ratio": 2.98}}, "floor_stable": true, "sf": 0.1}\n',
+    }
+    assert bench._timing_maps(rec) == []
+
+    # the REAL r12 driver artifact, if present, must also salvage to
+    # nothing (this is the exact shape that broke the r12 guard)
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    r12 = os.path.join(here, "BENCH_r12.json")
+    if os.path.exists(r12):
+        real = _json.load(open(r12))
+        if real.get("parsed") is None and "tail" in real:
+            for m in bench._timing_maps(real):
+                assert all(isinstance(v, (int, float)) for v in m.values())
+
+    # (b) the local recording fills the hole the truncated tail left
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/BENCH_r12.json", "w") as f:
+            _json.dump(rec, f)
+        with open(f"{d}/bench_r12_local.json", "w") as f:
+            _json.dump(
+                {"queries": {"qa": 1.0},
+                 "heavy_queries": {"d14_semantic_dedup": 4.0},
+                 "noise_floor": {"median": 0.3}}, f,
+            )
+        prior = bench.best_prior_per_query(d)
+        assert prior["d14_semantic_dedup"] == 4.0
+        assert prior["qa"] == 1.0
+
+    # and the real tree: every HEAVY query has a prior even with the
+    # truncated BENCH_r12.json present (the round-boundary guard's
+    # failure mode at r11 AND r12)
+    prior = bench.best_prior_per_query(here)
+    for q in ("d14_semantic_dedup", "d19_incremental_neardup",
+              "d18_embedding_neardup_cell"):
+        assert q in prior, f"{q} lost its baseline again"
+
+    # window accounting: BENCH_r12 + bench_r12_local are ONE round, not
+    # two — duplicates must not shrink the PRIOR_WINDOW of distinct rounds
+    with tempfile.TemporaryDirectory() as d:
+        for rnd in range(1, bench.PRIOR_WINDOW + 2):
+            with open(f"{d}/BENCH_r{rnd:02d}.json", "w") as f:
+                _json.dump({"queries": {f"q{rnd}": 1.0}}, f)
+            with open(f"{d}/bench_r{rnd}_local.json", "w") as f:
+                _json.dump({"queries": {f"q{rnd}": 1.0}}, f)
+        prior = bench.best_prior_per_query(d)
+        # oldest round aged out, newest PRIOR_WINDOW rounds present
+        assert "q1" not in prior
+        assert f"q{bench.PRIOR_WINDOW + 1}" in prior
+
+
+def test_bench_compute_floor_normalization():
+    """judge r12 #3: the scheduler-bound w1 floor was stable in all
+    three r12 runs while the heavy phase ran 1.3x apart — heavy-set
+    priors must scale by the COMPUTE-bound calibration ratio when both
+    sides recorded it, falling back to the w1 ratio for pre-r13
+    records."""
+    import json as _json
+    import tempfile
+
+    import bench
+
+    # extraction across record shapes
+    assert bench._compute_floor_median({"compute_floor": {"median": 2.5}}) == 2.5
+    assert (
+        bench._compute_floor_median(
+            {"parsed": {"compute_floor": {"median": 2.0}}}
+        )
+        == 2.0
+    )
+    assert (
+        bench._compute_floor_median(
+            {"parsed": None,
+             "tail": '"compute_floor": {"rows": 1, "median": 2.25, "stddev": 0.1}'}
+        )
+        == 2.25
+    )
+    assert bench._compute_floor_median({"queries": {"a": 1.0}}) is None
+
+    heavy_q = bench.HEAVY[0]
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/BENCH_r13.json", "w") as f:
+            _json.dump(
+                {"queries": {"light_q": 1.0},
+                 "heavy_queries": {heavy_q: 4.0},
+                 "noise_floor": {"median": 0.3},
+                 "compute_floor": {"median": 2.0}}, f,
+            )
+        # host now 1.5x slower on SUSTAINED compute (3.0 vs 2.0) but the
+        # short w1 floor barely moved (0.33 vs 0.3) — exactly the r12
+        # storm signature. Heavy prior scales by the compute ratio
+        # (4.0 * 1.5 = 6.0); the light query stays on the w1 ratio
+        # (1.0 * 1.1).
+        norm = bench.best_prior_per_query(
+            d, current_floor=0.33, current_compute=3.0
+        )
+        assert abs(norm[heavy_q] - 6.0) < 1e-9
+        assert abs(norm["light_q"] - 1.1) < 1e-9
+        # pre-r13 record (no compute floor): heavy falls back to w1 ratio
+        with open(f"{d}/BENCH_r13.json", "w") as f:
+            _json.dump(
+                {"heavy_queries": {heavy_q: 4.0},
+                 "noise_floor": {"median": 0.3}}, f,
+            )
+        norm = bench.best_prior_per_query(
+            d, current_floor=0.33, current_compute=3.0
+        )
+        assert abs(norm[heavy_q] - 4.0 * 1.1) < 1e-9
+        # faster compute clamps down like the w1 path
+        with open(f"{d}/BENCH_r13.json", "w") as f:
+            _json.dump(
+                {"heavy_queries": {heavy_q: 4.0},
+                 "noise_floor": {"median": 0.3},
+                 "compute_floor": {"median": 2.0}}, f,
+            )
+        norm = bench.best_prior_per_query(
+            d, current_floor=0.3, current_compute=1.0
+        )
+        assert abs(norm[heavy_q] - 4.0 * bench.DOWNSCALE_CLAMP) < 1e-9
+
+
 def test_doc_counts_match_corpus():
     """README and COVERAGE.md quote the corpus size; generate the number
     from len(all_queries()) so the docs can't rot again (VERDICT r5 #7:
