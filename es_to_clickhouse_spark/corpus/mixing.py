@@ -222,6 +222,131 @@ def cur1_curation_funnel(spark, sf_dir):
     )
 
 
+@query(
+    "cur2_pareto_frontier",
+    """
+    WITH q AS (
+      SELECT doc_id, lang, n_chars,
+             (1000000 * len(list_distinct(toks))) // len(toks) AS ttr_ppm
+      FROM (SELECT *, list_filter(string_split(text, ' '), x -> x != '')
+                      AS toks
+            FROM documents)
+      WHERE len(toks) > 0
+    ), px AS (
+      SELECT ttr_ppm AS x, max(n_chars) AS my FROM q GROUP BY 1
+    ), th AS (
+      SELECT x, max(my) OVER (ORDER BY x DESC
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS dom
+      FROM px
+    )
+    SELECT q.doc_id, q.lang, q.ttr_ppm, q.n_chars
+    FROM q JOIN th ON th.x = q.ttr_ppm
+    WHERE dom IS NULL OR dom <= q.n_chars
+    """,
+)
+def cur2_pareto_frontier(spark, sf_dir):
+    """Two-criteria curation frontier: the documents no other document
+    strictly beats on BOTH lexical richness (type/token ratio, exact
+    integer ppm) and length — the selection a curation pass makes when
+    two quality axes should not be collapsed into one weighted scalar.
+    Built on :func:`operators.mixture.pareto_frontier_2d`: dominance is
+    factored through the DISTINCT ttr values (bounded by the ppm
+    quantization, never by corpus size), so the big table sees ONE
+    map-side-combinable groupBy and a broadcast-join row-local filter —
+    no all-pairs stage, no single-partition global window over data."""
+    from es_to_clickhouse_spark.operators.mixture import pareto_frontier_2d
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    q = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.lit(1000000).cast("bigint")
+         * F.size(F.array_distinct(toks))).alias("_num"),
+        F.size(toks).alias("_den"),
+    ).where(F.col("_den") > 0)
+    q = q.select(
+        "doc_id",
+        "lang",
+        F.expr("_num div _den").alias("ttr_ppm"),
+        "n_chars",
+    )
+    return pareto_frontier_2d(q, "ttr_ppm", "n_chars").select(
+        "doc_id", "lang", "ttr_ppm", "n_chars"
+    )
+
+
+@query(
+    "cur3_source_top_fraction",
+    """
+    WITH q AS (
+      SELECT source,
+             (1000000 * len(list_distinct(toks))) // len(toks) AS ttr_ppm,
+             doc_id, n_chars
+      FROM (SELECT *, list_filter(string_split(text, ' '), x -> x != '')
+                      AS toks
+            FROM documents)
+      WHERE len(toks) > 0
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ttr_ppm DESC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM q
+    ), kept AS (
+      SELECT * FROM r WHERE rk <= CAST(ceil(0.2 * n) AS BIGINT)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(ttr_ppm) AS BIGINT) AS cutoff_ttr_ppm,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM kept GROUP BY source
+    """,
+)
+def cur3_source_top_fraction(spark, sf_dir):
+    """Keep the top 20% of documents per source by lexical richness —
+    the standard per-domain quality cut a curation pass runs before
+    mixing (quality scores are only comparable WITHIN a source, so the
+    cut must be per-group, not global). Built on
+    :func:`operators.mixture.top_fraction_per_group`: the cut is the
+    exact integer rule rank <= ceil(frac * group_size) with a
+    deterministic (score DESC, doc_id ASC) tiebreak — never a float
+    percent_rank, whose tie behavior differs between engines. One
+    shuffle partitioned by source; groups rank independently (no
+    global sort). Reported as the per-source survival profile with the
+    effective score cutoff."""
+    from es_to_clickhouse_spark.operators.mixture import (
+        top_fraction_per_group,
+    )
+    from es_to_clickhouse_spark.operators.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    q = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.lit(1000000).cast("bigint")
+         * F.size(F.array_distinct(toks))).alias("_num"),
+        F.size(toks).alias("_den"),
+    ).where(F.col("_den") > 0)
+    q = q.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr("_num div _den").alias("ttr_ppm"),
+    )
+    kept = top_fraction_per_group(q, "source", "ttr_ppm", 0.2, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("ttr_ppm").cast("bigint").alias("cutoff_ttr_ppm"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
 _HS = 2**32
 _SP_TRAIN = int(0.8 * _HS)
 _SP_VAL = int((0.8 + 0.1) * _HS)

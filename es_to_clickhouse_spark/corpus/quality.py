@@ -874,6 +874,95 @@ def emb2_dimension_drift(spark, sf_dir):
 
 
 @query(
+    "emb3_matryoshka_fidelity",
+    """
+    WITH p AS (
+      SELECT a.vec_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS c_full,
+             round(list_cosine_similarity(CAST(a.embedding[1:8] AS DOUBLE[]),
+                                          CAST(b.embedding[1:8] AS DOUBLE[])), 6)
+               AS c8,
+             round(list_cosine_similarity(CAST(a.embedding[1:16] AS DOUBLE[]),
+                                          CAST(b.embedding[1:16] AS DOUBLE[])), 6)
+               AS c16,
+             round(list_cosine_similarity(CAST(a.embedding[1:32] AS DOUBLE[]),
+                                          CAST(b.embedding[1:32] AS DOUBLE[])), 6)
+               AS c32
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ), e AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(round(1e6 * abs(c_full - c8))  AS BIGINT)) AS BIGINT) AS s8,
+             CAST(max(CAST(round(1e6 * abs(c_full - c8))  AS BIGINT)) AS BIGINT) AS x8,
+             CAST(sum(CAST(round(1e6 * abs(c_full - c16)) AS BIGINT)) AS BIGINT) AS s16,
+             CAST(max(CAST(round(1e6 * abs(c_full - c16)) AS BIGINT)) AS BIGINT) AS x16,
+             CAST(sum(CAST(round(1e6 * abs(c_full - c32)) AS BIGINT)) AS BIGINT) AS s32,
+             CAST(max(CAST(round(1e6 * abs(c_full - c32)) AS BIGINT)) AS BIGINT) AS x32
+      FROM p
+    )
+    SELECT CAST(8  AS INT) AS prefix_len, n_pairs,
+           s8  // n_pairs AS mean_abs_err_ppm, x8  AS max_abs_err_ppm FROM e
+    UNION ALL
+    SELECT CAST(16 AS INT), n_pairs, s16 // n_pairs, x16 FROM e
+    UNION ALL
+    SELECT CAST(32 AS INT), n_pairs, s32 // n_pairs, x32 FROM e
+    """,
+)
+def emb3_matryoshka_fidelity(spark, sf_dir):
+    """Matryoshka-style prefix-truncation fidelity (Kusupati et al.
+    2022): how much cosine similarity moves when vectors are truncated
+    to their first 8/16/32 dimensions — the measurement behind the
+    standard ANN cost cut of indexing a prefix and re-ranking on the
+    full vector. Pairs are the deterministic (vec_id, vec_id+1)
+    chain — a co-partitioned sort-merge self-join that stays linear at
+    any corpus size (no sampling noise, no quadratic stage). Errors are
+    quantized to integer ppm BEFORE aggregation so the distributed sums
+    are order-free exact; all three prefixes fold in ONE pass over the
+    joined frame (wide aggregate, then a 3-row unpivot — the stack
+    carries 9 scalars, never the data)."""
+    from es_to_clickhouse_spark.operators.similarity import dot, norm
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("_ea"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("_eb")
+    )
+    j = a.join(b, "vec_id")
+
+    def cos(col_a, col_b, p=None):
+        va = F.slice(col_a, 1, p) if p else col_a
+        vb = F.slice(col_b, 1, p) if p else col_b
+        va, vb = va.cast("array<double>"), vb.cast("array<double>")
+        return F.round(dot(va, vb) / (norm(va) * norm(vb)), 6)
+
+    ea, eb = F.col("_ea"), F.col("_eb")
+    full = cos(ea, eb)
+    errs = j.select(
+        *[
+            F.round(1e6 * F.abs(full - cos(ea, eb, p)))
+            .cast("bigint")
+            .alias(f"_e{p}")
+            for p in (8, 16, 32)
+        ]
+    )
+    wide = errs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[
+            agg(f"_e{p}").alias(f"{tag}{p}")
+            for p in (8, 16, 32)
+            for agg, tag in ((F.sum, "s"), (F.max, "x"))
+        ],
+    )
+    return wide.selectExpr(
+        "stack(3, 8, n_pairs, s8 div n_pairs, x8,"
+        " 16, n_pairs, s16 div n_pairs, x16,"
+        " 32, n_pairs, s32 div n_pairs, x32)"
+        " as (prefix_len, n_pairs, mean_abs_err_ppm, max_abs_err_ppm)"
+    )
+
+
+@query(
     "f23_url_parse",
     """
     SELECT doc_id,

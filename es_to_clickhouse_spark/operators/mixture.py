@@ -137,6 +137,88 @@ def epoch_replicate(
     ).drop("_nf", "_cut")
 
 
+def pareto_frontier_2d(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Rows on the 2-criteria Pareto frontier: keep a row unless some
+    other row is STRICTLY better on both ``x_col`` and ``y_col``
+    (integer columns). Curation pipelines use this to pick documents
+    that trade off two quality axes (e.g. dedup-cleanliness vs length,
+    quality score vs freshness) without collapsing them into one
+    weighted scalar first.
+
+    Scale shape — the naive formulation is an all-pairs dominance test
+    (~N², or a single-partition global window, the Spark scale trap for
+    ``ORDER BY`` with no ``PARTITION BY``). Here dominance is factored
+    through the DISTINCT x values instead:
+
+    1. ``max(y) per x`` — one map-side-combinable groupBy; the result
+       has at most |distinct x| rows (bounded by the column's
+       quantization, e.g. ppm scores → <= 1e6+1 rows, independent of N).
+    2. suffix-max over x DESC on that SMALL frame — the only global
+       window, over the bounded aggregate, never the data.
+    3. broadcast the (x → best y at strictly greater x) map back; a row
+       survives iff that threshold is NULL (no greater x exists) or
+       <= its y. Row-local predicate, no data shuffle.
+
+    Strictness on both axes means ties survive together (two rows with
+    equal (x, y) are both on the frontier) — deterministic under
+    resharding with no tiebreak needed."""
+    per_x = df.groupBy(F.col(x_col).alias("_x")).agg(
+        F.max(y_col).alias("_my")
+    )
+    # suffix-max of _my over strictly greater _x: integer RANGE frame
+    # ending 1 before the current value excludes the current x group
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.col("_x").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    thresh = per_x.select(
+        "_x", F.max("_my").over(w).alias("_dom_y")
+    )
+    return (
+        df.join(
+            F.broadcast(thresh), df[x_col] == thresh["_x"], "left"
+        )
+        .where(F.col("_dom_y").isNull() | (F.col("_dom_y") <= F.col(y_col)))
+        .drop("_x", "_dom_y")
+    )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    frac: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows per group by ``order_col`` — the
+    "top 20% quality per source" selection every curation pass runs
+    before mixing. Exact and deterministic: the cut is
+    ``rank <= ceil(frac * group_size)`` with rank ordered by
+    (order_col DESC, tiebreak_col ASC), so reruns and reshards keep the
+    SAME rows (never a float percent_rank, whose >=/&gt; boundary
+    behavior differs between engines on ties).
+
+    One shuffle, partitioned by group: rank and group count share the
+    same window partition, so the data moves once; groups process
+    independently (no global sort), which is exactly the shape that
+    scales — skewed sources are the usual caveat and they bound at the
+    largest single group, same as any per-source statistic."""
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy(group_col)
+    wr = wg.orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(wr))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .where(F.col("_rk") <= F.ceil(F.lit(frac) * F.col("_n")))
+        .drop("_rk", "_n")
+    )
+
+
 def cluster_safe_split(
     df: DataFrame,
     cluster_col: str,
