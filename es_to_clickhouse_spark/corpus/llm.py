@@ -2919,6 +2919,104 @@ def txt20_lexical_richness(spark, sf_dir):
 
 
 @query(
+    "txt21_ngram_novelty",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(ts) - 4),
+               i -> md5(array_to_string(list_slice(ts, i, i + 4), ' '))))) AS gh
+      FROM tok WHERE len(ts) >= 5
+    ), fo AS (
+      SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh
+    ), nov AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM g JOIN fo USING (gh) GROUP BY g.doc_id
+    ), mx AS (SELECT max(doc_id) AS m FROM documents)
+    SELECT (10 * nov.doc_id) // (m + 1) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS grams,
+           CAST(sum(n_novel) AS BIGINT) AS novel,
+           (1000000 * CAST(sum(n_novel) AS BIGINT))
+             // CAST(sum(n_grams) AS BIGINT) AS novelty_ppm
+    FROM nov, mx GROUP BY 1
+    """,
+)
+def txt21_ngram_novelty(spark, sf_dir):
+    """Corpus novelty curve: per ingestion decile (doc_id order as the
+    arrival proxy), the fraction of each document's DISTINCT word
+    5-grams never seen in any earlier document — the profile that shows
+    when a crawl stops contributing new text and starts re-crawling
+    (novelty decays toward the boilerplate floor as the corpus grows).
+    "First seen" is exact: min(doc_id) per gram hash — one uniform-key
+    groupBy (the d20 gram-hash device, no skew) joined back to the
+    per-doc gram counts; NO cumulative/windowed state, so the same two
+    shuffles work at any corpus size. Counts are exact integers; the
+    ppm ratio is integer division."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = 5
+    tok = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("_ts"),
+    ).where(F.size("_ts") >= w)
+
+    def gram(i):
+        return F.xxhash64(F.slice(F.col("_ts"), i, F.lit(w)))
+
+    grams = (
+        tok.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size("_ts") - (w - 1)), gram)
+            ).alias("_gs"),
+        )
+        .localCheckpoint(eager=False)  # barrier before the explode
+        .select("doc_id", F.explode("_gs").alias("_gh"))
+    )
+    first = grams.groupBy("_gh").agg(F.min("doc_id").alias("_first"))
+    nov = (
+        grams.join(first, "_gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    mx = d.agg(F.max("doc_id").alias("_m"))
+    return (
+        nov.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(10 * doc_id) div (_m + 1)").alias("decile"),
+            "n_grams",
+            "n_novel",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("grams"),
+            F.sum("n_novel").alias("novel"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "grams",
+            "novel",
+            F.expr("(1000000 * novel) div grams").alias("novelty_ppm"),
+        )
+    )
+
+
+@query(
     "d19_incremental_neardup",
     """
     WITH tok AS (

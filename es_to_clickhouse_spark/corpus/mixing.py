@@ -223,6 +223,76 @@ def cur1_curation_funnel(spark, sf_dir):
 
 
 @query(
+    "mix4_budget_allocation",
+    f"""
+    WITH {_RATES_CTE},
+    b AS (SELECT all_tok // 2 AS budget FROM tot),
+    tw AS (SELECT CAST(SUM(wr_ppb) AS BIGINT) AS wsum FROM w),
+    base AS (
+      SELECT w.lang, w.wr_ppb,
+             (b.budget * w.wr_ppb) // tw.wsum AS quota,
+             (b.budget * w.wr_ppb) % tw.wsum AS rem,
+             b.budget AS budget
+      FROM w, tw, b
+    ), rr AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+             sum(quota) OVER () AS qsum
+      FROM base
+    )
+    SELECT lang,
+           CAST(wr_ppb AS BIGINT) AS weight_ppb,
+           CAST(quota AS BIGINT) AS quota,
+           CAST(CASE WHEN rk <= budget - qsum THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(quota + CASE WHEN rk <= budget - qsum THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM rr
+    """,
+)
+def mix4_budget_allocation(spark, sf_dir):
+    """Integer token-budget apportionment (largest-remainder /
+    Hamilton): the temperature weights (mix1's exact ppb-floored sqrt
+    shares) realized as INTEGER char allocations against a budget of
+    half the corpus — the number a sampler can actually execute, with
+    sum(alloc) == budget exactly and every language within one unit of
+    its exact share. Built on
+    :func:`operators.mixture.largest_remainder_allocation`: pure
+    integer quota/remainder math (bit-identical on any engine and any
+    rerun); every window runs over the per-language weight table (one
+    row per language), never the corpus. The budget and weight table
+    are the only driver scalars — both bounded by |languages|."""
+    from es_to_clickhouse_spark.operators.mixture import (
+        largest_remainder_allocation,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("tok"))
+    all_tok = int(
+        tok.agg(F.sum("tok").cast("long").alias("s")).first()["s"]
+    )
+    weights = tok.select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("tok").cast("double") / F.lit(float(all_tok)))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("weight_ppb"),
+    )
+    alloc = largest_remainder_allocation(
+        weights, "lang", "weight_ppb", all_tok // 2
+    )
+    return alloc.select(
+        "lang",
+        "weight_ppb",
+        F.col("quota").cast("long").alias("quota"),
+        F.col("extra").cast("long").alias("extra"),
+        F.col("alloc").cast("long").alias("alloc"),
+    )
+
+
+@query(
     "cur2_pareto_frontier",
     """
     WITH q AS (

@@ -137,6 +137,56 @@ def epoch_replicate(
     ).drop("_nf", "_cut")
 
 
+def largest_remainder_allocation(
+    weights: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Integer token-budget apportionment by the largest-remainder
+    (Hamilton) method: each group gets floor(budget * w_g / W) and the
+    leftover budget - sum(floors) units go, one each, to the groups
+    with the largest remainders (ties to the lowest group key). The
+    allocation a mixing schedule actually EXECUTES must be integer —
+    "13.7% of 2.1T tokens" is not a number a sampler can hit — and
+    largest-remainder is the standard rule that keeps every group
+    within one unit of its exact share while summing exactly to the
+    budget.
+
+    Pure integer arithmetic end to end (quota = budget*w div W,
+    remainder = budget*w mod W), so the result is bit-identical on any
+    engine and any rerun. All windows run over the WEIGHTS table —
+    one row per group, never the data — so the cost is O(groups log
+    groups) regardless of corpus size.
+
+    Output: (group, weight, quota, extra, alloc) with sum(alloc) ==
+    budget exactly."""
+    from pyspark.sql.window import Window
+
+    tot = weights.agg(F.sum(weight_col).alias("_W"))
+    base = weights.crossJoin(F.broadcast(tot)).select(
+        F.col(group_col),
+        F.col(weight_col),
+        F.expr(f"({budget} * {weight_col}) div _W").alias("quota"),
+        F.expr(f"({budget} * {weight_col}) % _W").alias("_rem"),
+    )
+    wq = Window.orderBy(F.col("_rem").desc(), F.col(group_col).asc())
+    wall = Window.partitionBy()
+    return (
+        base.withColumn("_rk", F.row_number().over(wq))
+        .withColumn("_left", F.lit(budget) - F.sum("quota").over(wall))
+        .select(
+            group_col,
+            weight_col,
+            "quota",
+            F.when(F.col("_rk") <= F.col("_left"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("extra"),
+        )
+        .withColumn("alloc", F.col("quota") + F.col("extra"))
+    )
+
+
 def pareto_frontier_2d(
     df: DataFrame, x_col: str, y_col: str
 ) -> DataFrame:

@@ -157,9 +157,18 @@ def ivf_assign_two_level(
     on a sample with :func:`ivf_assign` (the sim9 audit pattern).
 
     Both argmaxes are partial-aggregable ``max_by`` (never window
-    row_number — the ivf_assign shuffle argument); the vector rides
-    THROUGH the level-1 argmax inside the struct payload so the final
-    scoring needs no N-N re-join."""
+    row_number — the ivf_assign shuffle argument), and their
+    aggregation buffers carry ONLY fixed-size scalars (ids, sims) —
+    never the vector. An array inside a ``max_by`` buffer silently
+    demotes the whole aggregate to SortAggregateExec (hash aggregation
+    needs fixed-size mutable buffers), and the sort then spills the
+    ENTIRE m-times-expanded frame: measured at 2M x dim-768 the
+    vector-through-the-argmax variant spilled ~350 GB and died with
+    SPILL_OUT_OF_MEMORY / no-space-on-device (r13 realdim bench
+    autopsy), where the dim-64 runs had merely been silently slower.
+    The vectors are re-attached AFTER each argmax by an id-keyed join
+    against the lazily-checkpointed (id, vec, norm) frame — one
+    unexpanded shuffle instead of an m-times-expanded sort."""
     n_tasks = df.sparkSession.sparkContext.defaultParallelism
     cv = F.col("cv").cast("array<double>")
     cents = centroids.select(
@@ -182,13 +191,14 @@ def ivf_assign_two_level(
     def _sim(vc, nc, sc, sn):
         return F.round(dot(vc, sc) / (nc * sn), round_digits)
 
-    # centroid -> super (k x m, tiny)
+    # centroid -> super (k x m, tiny): scalar-only argmax buffer, then
+    # re-attach the centroid vectors by id (see the docstring's
+    # SortAggregate spill autopsy)
+    cents = cents.localCheckpoint(eager=False)
     cmap = (
         cents.crossJoin(F.broadcast(sups))
         .select(
             "cent_id",
-            "_cv",
-            "_cnm",
             "sup_id",
             _sim(F.col("_cv"), F.col("_cnm"), F.col("_sv"), F.col("_snm")).alias(
                 "sim"
@@ -197,23 +207,26 @@ def ivf_assign_two_level(
         .groupBy("cent_id")
         .agg(
             F.max_by(
-                F.struct("sup_id", "_cv", "_cnm"),
+                F.struct("sup_id"),
                 F.struct(F.col("sim"), (-F.col("sup_id")).alias("ns")),
             ).alias("_b")
         )
-        .select("cent_id", "_b.sup_id", "_b._cv", "_b._cnm")
+        .select("cent_id", "_b.sup_id")
+        .join(cents, "cent_id")
     )
-    # vector -> super (N x m); the vector rides through the argmax
+    # vector -> super (N x m): same shape — the argmax shuffles one
+    # scalar row per vector; the unexpanded id-keyed join brings the
+    # vector back
     v = F.col(vec_col).cast("array<double>")
-    big = df.repartition(n_tasks).select(
-        F.col(id_col), v.alias("_v"), norm(v).alias("_nm")
+    big = (
+        df.repartition(n_tasks)
+        .select(F.col(id_col), v.alias("_v"), norm(v).alias("_nm"))
+        .localCheckpoint(eager=False)
     )
     vsup = (
         big.crossJoin(F.broadcast(sups))
         .select(
             id_col,
-            "_v",
-            "_nm",
             "sup_id",
             _sim(F.col("_v"), F.col("_nm"), F.col("_sv"), F.col("_snm")).alias(
                 "sim"
@@ -222,11 +235,12 @@ def ivf_assign_two_level(
         .groupBy(id_col)
         .agg(
             F.max_by(
-                F.struct("sup_id", "_v", "_nm"),
+                F.struct("sup_id"),
                 F.struct(F.col("sim"), (-F.col("sup_id")).alias("ns")),
             ).alias("_b")
         )
-        .select(id_col, "_b.sup_id", "_b._v", "_b._nm")
+        .select(id_col, "_b.sup_id")
+        .join(big, id_col)
     )
     # vector -> cell within its super (N x k/m expected)
     return (
@@ -544,11 +558,15 @@ def ivf_assign_hierarchical(
     sizes = [k]
     while sizes[-1] > fanout:
         sizes.append(max(2, sizes[-1] // fanout))
+    nodes = nodes.localCheckpoint(eager=False)
     levels = [nodes]
     for s in sizes[1:]:
         levels.append(levels[-1].orderBy("_nid").limit(s))
     # child map per level: level-i nodes tagged with their level-(i+1)
-    # parent (k_i x k_{i+1} scoring — geometric series, << k² total)
+    # parent (k_i x k_{i+1} scoring — geometric series, << k² total).
+    # Argmax buffers carry scalars only; child vectors re-attach via an
+    # id join (the two-level SortAggregate-spill lesson — see its
+    # docstring).
     cmaps = []
     for child, parent in zip(levels[:-1], levels[1:]):
         p = parent.select(
@@ -556,12 +574,11 @@ def ivf_assign_hierarchical(
             F.col("_cv").alias("_pv"),
             F.col("_cnm").alias("_pnm"),
         )
+        child = child.localCheckpoint(eager=False)
         cmaps.append(
             child.crossJoin(F.broadcast(p))
             .select(
                 "_nid",
-                "_cv",
-                "_cnm",
                 "_pid",
                 _sim(
                     F.col("_cv"), F.col("_cnm"), F.col("_pv"), F.col("_pnm")
@@ -570,20 +587,27 @@ def ivf_assign_hierarchical(
             .groupBy("_nid")
             .agg(
                 F.max_by(
-                    F.struct("_pid", "_cv", "_cnm"),
+                    F.struct("_pid"),
                     F.struct(F.col("_s"), (-F.col("_pid")).alias("_np")),
                 ).alias("_b")
             )
-            .select("_nid", "_b._pid", "_b._cv", "_b._cnm")
+            .select("_nid", "_b._pid")
+            .join(child, "_nid")
         )
 
     # ---- vector descent: full scan of the top level, then children of
-    # the running pick; the vector rides through every argmax payload
+    # the running pick. Each argmax shuffles one scalar row per vector
+    # (never the vector — array buffers demote to SortAggregate and
+    # spill the fanout-times-expanded frame); the vector re-attaches
+    # per level by an id join against the checkpointed base frame.
     v = F.col(vec_col).cast("array<double>")
-    cur = (
+    base = (
         df.repartition(n_tasks)
         .select(F.col(id_col), v.alias("_v"), norm(v).alias("_nm"))
-        .crossJoin(
+        .localCheckpoint(eager=False)
+    )
+    cur = (
+        base.crossJoin(
             F.broadcast(
                 levels[-1].select(
                     F.col("_nid").alias("_pid"),
@@ -594,8 +618,6 @@ def ivf_assign_hierarchical(
         )
         .select(
             id_col,
-            "_v",
-            "_nm",
             "_pid",
             _sim(F.col("_v"), F.col("_nm"), F.col("_pv"), F.col("_pnm")).alias(
                 "_s"
@@ -604,21 +626,20 @@ def ivf_assign_hierarchical(
         .groupBy(id_col)
         .agg(
             F.max_by(
-                F.struct("_pid", "_v", "_nm", "_s"),
+                # _s rides along so the k <= fanout degenerate case (no
+                # descent levels) still emits the winning similarity
+                F.struct("_pid", "_s"),
                 F.struct(F.col("_s"), (-F.col("_pid")).alias("_np")),
             ).alias("_b")
         )
-        # _s rides along so the k <= fanout degenerate case (no descent
-        # levels) still emits the winning similarity
-        .select(id_col, "_b._pid", "_b._v", "_b._nm", "_b._s")
+        .select(id_col, "_b._pid", "_b._s")
     )
     for cmap in reversed(cmaps):
         cur = (
-            cur.join(F.broadcast(cmap), "_pid")
+            cur.join(base, id_col)
+            .join(F.broadcast(cmap), "_pid")
             .select(
                 id_col,
-                "_v",
-                "_nm",
                 F.col("_nid"),
                 _sim(
                     F.col("_v"), F.col("_nm"), F.col("_cv"), F.col("_cnm")
@@ -627,16 +648,11 @@ def ivf_assign_hierarchical(
             .groupBy(id_col)
             .agg(
                 F.max_by(
-                    F.struct(
-                        F.col("_nid").alias("_pid"),
-                        F.col("_v"),
-                        F.col("_nm"),
-                        F.col("_s"),
-                    ),
+                    F.struct(F.col("_nid").alias("_pid"), F.col("_s")),
                     F.struct(F.col("_s"), (-F.col("_nid")).alias("_nn")),
                 ).alias("_b")
             )
-            .select(id_col, "_b._pid", "_b._v", "_b._nm", "_b._s")
+            .select(id_col, "_b._pid", "_b._s")
         )
     return cur.select(
         id_col, F.col("_pid").alias("cent_id"), F.col("_s").alias("sim")

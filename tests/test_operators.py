@@ -1658,6 +1658,52 @@ def test_persisted_store_band_key_bucketed_files(spark, tmp_path):
             )
 
 
+def test_largest_remainder_allocation(spark):
+    """Hamilton apportionment invariants: sum(alloc) == budget exactly,
+    every group within one unit of its exact real-valued share, floors
+    never violated, remainder ties broken by group key, rerun
+    determinism."""
+    from es_to_clickhouse_spark.operators.mixture import (
+        largest_remainder_allocation,
+    )
+
+    weights = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3), ("d", 1)], "g string, w long"
+    )
+    budget = 10
+    rows = {
+        r.g: r for r in largest_remainder_allocation(
+            weights, "g", "w", budget
+        ).collect()
+    }
+    assert sum(r.alloc for r in rows.values()) == budget
+    # exact shares: a 50/12*... -> a: 10*5/12 = 4.17, b,c: 2.5, d: 0.83
+    # floors: 4, 2, 2, 0 (sum 8); two extras by remainder:
+    # rem a=2, b=6, c=6, d=10 -> d first, then b (tie b/c -> b by key)
+    assert (rows["a"].quota, rows["a"].extra) == (4, 0)
+    assert (rows["b"].quota, rows["b"].extra) == (2, 1)
+    assert (rows["c"].quota, rows["c"].extra) == (2, 0)
+    assert (rows["d"].quota, rows["d"].extra) == (0, 1)
+    for g, w in (("a", 5), ("b", 3), ("c", 3), ("d", 1)):
+        exact = budget * w / 12
+        assert abs(rows[g].alloc - exact) < 1.0
+    # rerun: bit-identical
+    again = {
+        r.g: (r.quota, r.extra)
+        for r in largest_remainder_allocation(
+            weights, "g", "w", budget
+        ).collect()
+    }
+    assert again == {g: (r.quota, r.extra) for g, r in rows.items()}
+    # degenerate: budget divides evenly -> zero extras
+    even = largest_remainder_allocation(
+        spark.createDataFrame([("a", 1), ("b", 1)], "g string, w long"),
+        "g", "w", 4,
+    ).collect()
+    assert all(r.extra == 0 for r in even)
+    assert sorted(r.alloc for r in even) == [2, 2]
+
+
 def test_pareto_frontier_2d(spark):
     """The 2-criteria curation frontier: keep a row unless another row
     strictly beats it on BOTH axes. Pins the dominance semantics
