@@ -376,15 +376,24 @@ def embedding_neardup_pairs(
 
     n_tasks = df.sparkSession.sparkContext.defaultParallelism
     v = F.col(vec_col).cast("array<double>")
+    # the vector rides the pair join in its RAW (float) width — the
+    # double cast happens per element inside the dot fold, which is
+    # bit-identical (every float is exactly representable) and halves
+    # the bytes through the quadratic stage's shuffles (the r13
+    # dim-768 disk-overflow lesson, operators/similarity.py)
     base = df.repartition(n_tasks).select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
-        v.alias("_v"),
+        F.col(vec_col).alias("_v"),
         norm(v).alias("_nm"),
     )
     pairs = salted_block_pairs(base, id_col, ["_v", "_nm"])
     cos = F.round(
-        dot(F.col("_v_a"), F.col("_v_b")) / (F.col("_nm_a") * F.col("_nm_b")),
+        dot(
+            F.col("_v_a").cast("array<double>"),
+            F.col("_v_b").cast("array<double>"),
+        )
+        / (F.col("_nm_a") * F.col("_nm_b")),
         4,
     )
     return pairs.select(

@@ -98,8 +98,12 @@ def ivf_assign(
     """
     n_tasks = df.sparkSession.sparkContext.defaultParallelism
     v = F.col(vec_col).cast("array<double>")
+    # shuffle the RAW (float) array, cast to double at the use site:
+    # pre-casting doubles every vector byte through the repartition
+    # exchange, and float->double per element inside the fold is
+    # bit-identical math (each float is exactly representable)
     big = df.repartition(n_tasks).select(
-        F.col(id_col), v.alias("_v"), norm(v).alias("_nm")
+        F.col(id_col), F.col(vec_col).alias("_v"), norm(v).alias("_nm")
     )
     cv = F.col("cv").cast("array<double>")
     cents = centroids.select(
@@ -109,7 +113,8 @@ def ivf_assign(
         F.col(id_col),
         F.col("cent_id"),
         F.round(
-            dot(F.col("_v"), F.col("_cv")) / (F.col("_nm") * F.col("_cnm")),
+            dot(F.col("_v").cast("array<double>"), F.col("_cv"))
+            / (F.col("_nm") * F.col("_cnm")),
             round_digits,
         ).alias("sim"),
     )
@@ -216,19 +221,23 @@ def ivf_assign_two_level(
     )
     # vector -> super (N x m): same shape — the argmax shuffles one
     # scalar row per vector; the unexpanded id-keyed join brings the
-    # vector back
+    # vector back. The checkpointed frame keeps the vector in its RAW
+    # (float) width — casting to double happens per element inside the
+    # folds (bit-identical), so the checkpoint, the join shuffle, and
+    # every downstream exchange move half the bytes.
     v = F.col(vec_col).cast("array<double>")
     big = (
         df.repartition(n_tasks)
-        .select(F.col(id_col), v.alias("_v"), norm(v).alias("_nm"))
+        .select(F.col(id_col), F.col(vec_col).alias("_v"), norm(v).alias("_nm"))
         .localCheckpoint(eager=False)
     )
+    _vd = F.col("_v").cast("array<double>")
     vsup = (
         big.crossJoin(F.broadcast(sups))
         .select(
             id_col,
             "sup_id",
-            _sim(F.col("_v"), F.col("_nm"), F.col("_sv"), F.col("_snm")).alias(
+            _sim(_vd, F.col("_nm"), F.col("_sv"), F.col("_snm")).alias(
                 "sim"
             ),
         )
@@ -248,7 +257,7 @@ def ivf_assign_two_level(
         .select(
             id_col,
             "cent_id",
-            _sim(F.col("_v"), F.col("_nm"), F.col("_cv"), F.col("_cnm")).alias(
+            _sim(_vd, F.col("_nm"), F.col("_cv"), F.col("_cnm")).alias(
                 "sim"
             ),
         )
@@ -600,12 +609,16 @@ def ivf_assign_hierarchical(
     # (never the vector — array buffers demote to SortAggregate and
     # spill the fanout-times-expanded frame); the vector re-attaches
     # per level by an id join against the checkpointed base frame.
+    # base keeps the raw (float) vector; the double cast happens per
+    # element inside each fold — bit-identical, half the checkpoint and
+    # join-shuffle bytes (the two-level lesson)
     v = F.col(vec_col).cast("array<double>")
     base = (
         df.repartition(n_tasks)
-        .select(F.col(id_col), v.alias("_v"), norm(v).alias("_nm"))
+        .select(F.col(id_col), F.col(vec_col).alias("_v"), norm(v).alias("_nm"))
         .localCheckpoint(eager=False)
     )
+    _vd = F.col("_v").cast("array<double>")
     cur = (
         base.crossJoin(
             F.broadcast(
@@ -619,7 +632,7 @@ def ivf_assign_hierarchical(
         .select(
             id_col,
             "_pid",
-            _sim(F.col("_v"), F.col("_nm"), F.col("_pv"), F.col("_pnm")).alias(
+            _sim(_vd, F.col("_nm"), F.col("_pv"), F.col("_pnm")).alias(
                 "_s"
             ),
         )
@@ -641,9 +654,9 @@ def ivf_assign_hierarchical(
             .select(
                 id_col,
                 F.col("_nid"),
-                _sim(
-                    F.col("_v"), F.col("_nm"), F.col("_cv"), F.col("_cnm")
-                ).alias("_s"),
+                _sim(_vd, F.col("_nm"), F.col("_cv"), F.col("_cnm")).alias(
+                    "_s"
+                ),
             )
             .groupBy(id_col)
             .agg(

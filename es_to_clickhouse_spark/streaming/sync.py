@@ -56,6 +56,15 @@ class StreamingSync:
     #: the FULL batch's watermark (wm is computed before the screen),
     #: so all-dup micro-batches cannot stall the stream's progress.
     neardup: object | None = None
+    #: compact the near-dup store's append-round small files every N
+    #: micro-batches (the streaming twin of SyncEngine.sync_continuous
+    #: compact_every — a year of hourly appends is ~140k store files
+    #: otherwise). Runs at the END of _handle_batch, after the store
+    #: append, so no append is in flight during the directory swap.
+    #: Keyed on batch_id (durable in the streaming checkpoint), so a
+    #: replayed batch re-triggers the same idempotent compaction
+    #: instead of drifting the cadence.
+    compact_store_every: int | None = None
 
     def _handle_batch(self, table: str, source_name: str, batch: DataFrame, batch_id: int) -> None:
         """One micro-batch: flatten → append → state commit (the streaming
@@ -107,6 +116,13 @@ class StreamingSync:
         if nd_novel is not None:
             # store append LAST — see the ordering comment above
             nd.append(nd_novel)
+        if (
+            nd is not None
+            and self.compact_store_every
+            and (batch_id + 1) % self.compact_store_every == 0
+            and hasattr(nd, "compact")
+        ):
+            nd.compact(self.spark)
 
     def file_stream(
         self,

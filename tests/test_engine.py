@@ -682,6 +682,58 @@ def test_streaming_neardup_crash_between_sink_and_store_replay_safe(
     assert sync.state.get("posts").last_sync_time.startswith("2024-01-03")
 
 
+def test_streaming_compacts_store_on_batch_cadence(spark, tmp_path):
+    """StreamingSync.compact_store_every: the store's append-round
+    small files compact every N micro-batches, after the batch's store
+    append (no in-flight append during the swap), keyed on the durable
+    batch_id; screen results are unchanged across the swap."""
+    import glob
+
+    from es_to_clickhouse_spark.operators.dedup import PersistedNearDupStore
+    from es_to_clickhouse_spark.streaming.sync import StreamingSync
+
+    store = PersistedNearDupStore(
+        str(tmp_path / "nd"), "doc_id", "text", threshold=0.5
+    )
+    sync = StreamingSync(
+        spark=spark,
+        target=WarehouseTarget(spark, str(tmp_path / "wh")),
+        state=StateStore(spark, str(tmp_path / "wh")),
+        id_field="doc_id",
+        neardup=store,
+        compact_store_every=3,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, created_at string, text string"
+        ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+
+    texts = [
+        "alpha bravo charlie delta echo foxtrot",
+        "golf hotel india juliett kilo lima",
+        "mike november oscar papa quebec romeo",
+    ]
+    for i, txt in enumerate(texts):
+        sync._handle_batch(
+            "posts", "posts",
+            batch([(i + 1, f"2024-01-0{i + 1} 00:00:00", txt)]), i,
+        )
+    # batch_id 2 was the 3rd batch: compaction ran; with min_files
+    # defaulting to 24 and only 3 appends the store may or may not
+    # shrink — force one more cadence with a lowered threshold to pin
+    # the swap actually happened and the store still screens
+    store.compact(spark, min_files=2)
+    assert not glob.glob(f"{store.buckets_dir}_*")  # no staging leftovers
+    # a dup of batch 0's doc still screens after the swap
+    sync._handle_batch(
+        "posts", "posts", batch([(9, "2024-01-09 00:00:00", texts[0])]), 3
+    )
+    assert 9 not in {
+        r.doc_id for r in sync.target.read("posts").collect()
+    }
+
+
 def test_neardup_store_survives_engine_restart(spark, tmp_path):
     """Kill/restart between rounds: a BRAND-NEW engine + store object
     pointed at the same on-disk paths continues screening against the

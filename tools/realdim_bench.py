@@ -246,6 +246,10 @@ def main() -> None:
         if "--scales" in argv
         else SCALES
     )
+    # the 100x corpus is 2M x 768 floats (~12 GB of raw vectors) in ONE
+    # local JVM with 32 executor threads — the 8g default heap OOMs in
+    # the parquet scan before any operator runs
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("realdim_bench")
     spark.sparkContext.setLogLevel("ERROR")
     for s in scales:
