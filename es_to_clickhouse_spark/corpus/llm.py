@@ -271,8 +271,12 @@ def d18_embedding_neardup_cell(spark, sf_dir):
         "_blk",
         F.concat(F.col("label"), F.lit("|"), F.col("cent_id").cast("string")),
     )
+    # block hint: (label x cell) blocks number at least the cell count —
+    # a conservative lower bound keeps the adaptive salting safe
+    k_cells = max(8, emb.count() // 256)
     return embedding_neardup_pairs(
-        base, "vec_id", "embedding", "_blk", threshold=0.4
+        base, "vec_id", "embedding", "_blk", threshold=0.4,
+        n_blocks_hint=k_cells,
     )
 
 

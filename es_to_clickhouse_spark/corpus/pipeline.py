@@ -585,9 +585,15 @@ def d14_semantic_dedup(spark, sf_dir):
     base = emb.join(cell, "vec_id")
     # threshold 0.4 is calibrated to the synthetic corpus (its max pairwise
     # cosine is ~0.51 — no planted exact dups); on a real embedding model
-    # SemDeDup's 0.9+ applies, and the threshold is just this parameter
+    # SemDeDup's 0.9+ applies, and the threshold is just this parameter.
+    # Block hint = the cell count (metadata-fast count + arithmetic), so
+    # the pair stage's salting adapts: many cells -> no payload
+    # replication through the pair exchange (operators/dedup.py
+    # adaptive_salts — the r13 dim-768 disk autopsy).
+    k_cells = max(8, emb.count() // 256)
     pairs = embedding_neardup_pairs(
-        base, "vec_id", "embedding", "cent_id", threshold=0.4
+        base, "vec_id", "embedding", "cent_id", threshold=0.4,
+        n_blocks_hint=k_cells,
     ).select("id_a", "id_b")
     clusters = connected_components(
         pairs, "id_a", "id_b", out_node="vec_id", out_label="cluster_id"

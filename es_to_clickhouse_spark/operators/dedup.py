@@ -344,12 +344,32 @@ def simhash16(text: Column) -> Column:
     return out
 
 
+def adaptive_salts(n_blocks: int, n_tasks: int, cap: int = 16) -> int:
+    """Salt count for :func:`salted_block_pairs` from the BLOCK COUNT:
+    salting exists to split few-large-block skew across tasks, and its
+    price is ~(n_salts+1)/2 x payload replication through the pair
+    join's exchange. With many blocks the join is already parallel and
+    the replication is pure waste — measured r13: d18 at 2M x dim-768
+    has ~62k (label x cell) blocks of ~32 rows, and the fixed 16-salt
+    replication pushed ~100 GB of vector bytes through the exchange
+    (disk overflow); one salt moves 12 GB and the block count alone
+    feeds all 32 cores. Rule: no salt once blocks >= 4x tasks; below
+    that, enough salts that block_count * n_salts^2/2 spreads ~4x the
+    task count (pair-key population ~ B * s(s+1)/2)."""
+    import math
+
+    if n_blocks >= 4 * n_tasks:
+        return 1
+    return min(cap, max(2, math.ceil(math.sqrt(4 * n_tasks / max(n_blocks, 1)))))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     block_col: str,
     threshold: float = 0.9,
+    n_blocks_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked (label / coarse quantizer /
     LSH bucket) to avoid the global cross join.
@@ -387,7 +407,17 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_v"),
         norm(v).alias("_nm"),
     )
-    pairs = salted_block_pairs(base, id_col, ["_v", "_nm"])
+    # adaptive salting (see adaptive_salts): callers that KNOW their
+    # block population (d14: k cells; d18: >= k label-x-cell blocks)
+    # pass it so a many-block corpus skips the payload replication
+    # entirely; without the hint the measured-safe 16 stands (few-label
+    # blocking like d6 needs the splits)
+    n_salts = (
+        adaptive_salts(n_blocks_hint, n_tasks)
+        if n_blocks_hint is not None
+        else 16
+    )
+    pairs = salted_block_pairs(base, id_col, ["_v", "_nm"], n_salts=n_salts)
     cos = F.round(
         dot(
             F.col("_v_a").cast("array<double>"),

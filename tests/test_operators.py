@@ -1658,6 +1658,45 @@ def test_persisted_store_band_key_bucketed_files(spark, tmp_path):
             )
 
 
+def test_adaptive_salts_and_pairing_invariance(spark):
+    """adaptive_salts: no replication once blocks >= 4x tasks (the r13
+    dim-768 disk autopsy — 16 fixed salts pushed ~100 GB of vector
+    payload through the pair exchange that ~62k blocks never needed);
+    few blocks still split. And the pairing contract — every unordered
+    in-block pair EXACTLY once — holds at every salt count, so the
+    adaptive choice can never change results."""
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.operators.dedup import (
+        adaptive_salts,
+        salted_block_pairs,
+    )
+
+    n_tasks = spark.sparkContext.defaultParallelism
+    assert adaptive_salts(4 * n_tasks, n_tasks) == 1
+    assert adaptive_salts(62_000, n_tasks) == 1
+    assert adaptive_salts(1, n_tasks) == 16
+    few = adaptive_salts(10, n_tasks)
+    assert 2 <= few <= 16
+
+    rows = [(i, chr(97 + i % 3), i * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, _block string, val long")
+    expect = sorted(
+        (min(a, b), max(a, b))
+        for a, ba, _ in rows
+        for b, bb, _ in rows
+        if a < b and ba == bb
+    )
+    for n_salts in (1, 2, 7, 16):
+        got = sorted(
+            (min(r._ida, r._idb), max(r._ida, r._idb))
+            for r in salted_block_pairs(
+                df, "id", ["val"], n_salts=n_salts
+            ).collect()
+        )
+        assert got == expect, f"n_salts={n_salts}"
+
+
 def test_largest_remainder_allocation(spark):
     """Hamilton apportionment invariants: sum(alloc) == budget exactly,
     every group within one unit of its exact real-valued share, floors

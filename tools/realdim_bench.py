@@ -147,8 +147,10 @@ def d18_pipeline(spark, src: str):
         "_blk",
         F.concat(F.col("label"), F.lit("|"), F.col("cent_id").cast("string")),
     )
+    k_cells = max(8, emb.count() // 256)
     return embedding_neardup_pairs(
-        base, "vec_id", "embedding", "_blk", threshold=THRESHOLD
+        base, "vec_id", "embedding", "_blk", threshold=THRESHOLD,
+        n_blocks_hint=k_cells,
     )
 
 
