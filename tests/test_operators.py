@@ -1672,10 +1672,15 @@ def test_adaptive_salts_and_pairing_invariance(spark):
         salted_block_pairs,
     )
 
+    import math
+
     n_tasks = spark.sparkContext.defaultParallelism
     assert adaptive_salts(4 * n_tasks, n_tasks) == 1
     assert adaptive_salts(62_000, n_tasks) == 1
-    assert adaptive_salts(1, n_tasks) == 16
+    assert adaptive_salts(1, n_tasks) == min(
+        16, max(2, math.ceil(math.sqrt(4 * n_tasks)))
+    )
+    assert adaptive_salts(1, 64) == 16  # 32-core production shape
     few = adaptive_salts(10, n_tasks)
     assert 2 <= few <= 16
 
