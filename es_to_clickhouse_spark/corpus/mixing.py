@@ -367,7 +367,9 @@ def cur2_pareto_frontier(spark, sf_dir):
              count(*) OVER (PARTITION BY source) AS n
       FROM q
     ), kept AS (
-      SELECT * FROM r WHERE rk <= CAST(ceil(0.2 * n) AS BIGINT)
+      -- pure-integer ceil(n/5): the float 0.2*n deviates on
+      -- exactly-representable boundaries (0.2*55 = 11.000000000000002)
+      SELECT * FROM r WHERE rk <= (1 * n + 4) // 5
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_kept,
@@ -382,7 +384,9 @@ def cur3_source_top_fraction(spark, sf_dir):
     mixing (quality scores are only comparable WITHIN a source, so the
     cut must be per-group, not global). Built on
     :func:`operators.mixture.top_fraction_per_group`: the cut is the
-    exact integer rule rank <= ceil(frac * group_size) with a
+    exact integer rule rank <= ceil(frac * group_size), evaluated in
+    PURE integer arithmetic (frac snapped to 1/5; rk <= (n+4) div 5 —
+    the float form keeps a 12th row at n=55, ADVICE r13), with a
     deterministic (score DESC, doc_id ASC) tiebreak — never a float
     percent_rank, whose tie behavior differs between engines. One
     shuffle partitioned by source; groups rank independently (no

@@ -155,20 +155,30 @@ def largest_remainder_allocation(
 
     Pure integer arithmetic end to end (quota = budget*w div W,
     remainder = budget*w mod W), so the result is bit-identical on any
-    engine and any rerun. All windows run over the WEIGHTS table —
-    one row per group, never the data — so the cost is O(groups log
-    groups) regardless of corpus size.
+    engine and any rerun. The budget*weight product is computed in
+    DECIMAL(38,0) — still exact integer math, but immune to int64
+    wrap: with ppb weights (up to 1e9) a bigint product overflows past
+    budget ~9.2e9 and, with ANSI off, wraps silently into negative
+    quotas — i.e. exactly the advertised "13.7% of 2.1T tokens" domain
+    (ADVICE r13). Two int64 operands can never overflow the decimal
+    (max product 8.5e37 < 1e38); the int64 bound on each operand is
+    asserted. All windows run over the WEIGHTS table — one row per
+    group, never the data — so the cost is O(groups log groups)
+    regardless of corpus size.
 
     Output: (group, weight, quota, extra, alloc) with sum(alloc) ==
     budget exactly."""
     from pyspark.sql.window import Window
 
+    if not 0 <= budget < 2**63:
+        raise ValueError(f"budget must fit int64, got {budget}")
     tot = weights.agg(F.sum(weight_col).alias("_W"))
+    prod = f"(CAST({budget} AS DECIMAL(38,0)) * {weight_col})"
     base = weights.crossJoin(F.broadcast(tot)).select(
         F.col(group_col),
         F.col(weight_col),
-        F.expr(f"({budget} * {weight_col}) div _W").alias("quota"),
-        F.expr(f"({budget} * {weight_col}) % _W").alias("_rem"),
+        F.expr(f"{prod} div _W").alias("quota"),
+        F.expr(f"{prod} % _W").alias("_rem"),
     )
     wq = Window.orderBy(F.col("_rem").desc(), F.col(group_col).asc())
     wall = Window.partitionBy()
@@ -252,19 +262,33 @@ def top_fraction_per_group(
     SAME rows (never a float percent_rank, whose >=/&gt; boundary
     behavior differs between engines on ties).
 
+    The cut itself is PURE INTEGER arithmetic: ``frac`` is first
+    snapped to the nearest rational num/den with den <= 1e6
+    (Fraction.limit_denominator — recovers the decimal the caller
+    typed, e.g. 0.2 -> 1/5), then the predicate is
+    ``rank <= (num * n + den - 1) div den``. Evaluating the documented
+    ceil rule in float silently deviates on exactly-representable
+    boundaries — frac=0.2, n=55 gives 0.2*55 = 11.000000000000002 in
+    binary, so float-ceil keeps 12 rows where ceil(11) = 11 is the rule
+    (ADVICE r13).
+
     One shuffle, partitioned by group: rank and group count share the
     same window partition, so the data moves once; groups process
     independently (no global sort), which is exactly the shape that
     scales — skewed sources are the usual caveat and they bound at the
     largest single group, same as any per-source statistic."""
+    from fractions import Fraction
+
     from pyspark.sql.window import Window
 
+    fr = Fraction(frac).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
     wg = Window.partitionBy(group_col)
     wr = wg.orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc())
     return (
         df.withColumn("_rk", F.row_number().over(wr))
         .withColumn("_n", F.count(F.lit(1)).over(wg))
-        .where(F.col("_rk") <= F.ceil(F.lit(frac) * F.col("_n")))
+        .where(F.expr(f"_rk <= ({num}L * _n + {den - 1}) div {den}"))
         .drop("_rk", "_n")
     )
 

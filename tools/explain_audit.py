@@ -70,6 +70,10 @@ BNL_ALLOWED = {
     "dq10_psi_drift",  # 1-row decile-cuts + 1-row totals broadcasts (pk2 pattern)
     "g5_degree_assortativity",  # 1-row median-edge-weight broadcast
     "ts12_acf",  # 3-row lag-list broadcast against the day series
+    # crossJoin(F.broadcast(<1-row aggregate>)): the canonical scalar
+    # broadcast (q22/txt7 pattern) — verified 1-row sides, judge r13
+    "mix4_budget_allocation",  # 1-row total-weight broadcast
+    "txt21_ngram_novelty",  # 1-row max-doc-id broadcast
 }
 
 
