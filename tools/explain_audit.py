@@ -74,6 +74,10 @@ BNL_ALLOWED = {
     # broadcast (q22/txt7 pattern) — verified 1-row sides, judge r13
     "mix4_budget_allocation",  # 1-row total-weight broadcast
     "txt21_ngram_novelty",  # 1-row max-doc-id broadcast
+    # r14 multi-probe audit: three 1-row aggregate broadcasts (counts +
+    # candidate sums) crossJoined into the single output row, plus the
+    # bounded-centroid assign crossJoins (sim11/d18 pattern)
+    "sim12_multiprobe_audit",
 }
 
 

