@@ -282,7 +282,11 @@ def d18_embedding_neardup_cell(spark, sf_dir):
     cell = ivf_assign_probes(emb, cents, n_probes=2).select(
         "vec_id", "cent_id"
     )
-    base = emb.join(cell, "vec_id").withColumn(
+    # hash-join hint: the default SMJ SORTS the vector side (6+ GB at
+    # 2M x dim-768) just to attach a 16-byte cell id; building the
+    # scalar cell map instead costs ~MBs per partition (r14 realdim
+    # disk autopsy, operators/dedup.salted_block_pairs)
+    base = emb.join(cell.hint("SHUFFLE_HASH"), "vec_id").withColumn(
         "_blk",
         F.concat(F.col("label"), F.lit("|"), F.col("cent_id").cast("string")),
     )
@@ -293,6 +297,93 @@ def d18_embedding_neardup_cell(spark, sf_dir):
         base, "vec_id", "embedding", "_blk", threshold=0.4,
         n_blocks_hint=k_cells,
     ).distinct()
+
+
+@query(
+    "d21_crosslabel_leakage",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE ('0x'||substr(md5('cent'||CAST(vec_id AS VARCHAR)),1,8))::BIGINT
+            < (4294967296 * greatest(8, (SELECT count(*) FROM embeddings) // 256))
+              // (SELECT count(*) FROM embeddings)
+    ), cell AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(c.cv AS DOUBLE[])), 6) DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1
+    ), p AS (
+      SELECT least(a.label, b.label) AS label_lo,
+             greatest(a.label, b.label) AS label_hi,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4)
+               AS cos
+      FROM embeddings a
+      JOIN cell ca ON ca.vec_id = a.vec_id
+      JOIN embeddings b ON a.vec_id < b.vec_id AND a.label != b.label
+      JOIN cell cb ON cb.vec_id = b.vec_id AND cb.cent_id = ca.cent_id
+    )
+    SELECT label_lo, label_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           max(cos) AS max_cos
+    FROM p WHERE cos >= 0.4
+    GROUP BY label_lo, label_hi
+    """,
+)
+def d21_crosslabel_leakage(spark, sf_dir):
+    """Cross-label near-dup leakage audit: the pairs d18's label
+    scoping DELIBERATELY ignores — high-cosine pairs sharing an IVF
+    cell but carrying different labels. A dedup-within-language
+    pipeline needs this number before trusting the scoping: near-dups
+    across language/source labels mean either mislabeled documents or
+    translated/mirrored content, and at 100 TB each is an upstream bug
+    this audit surfaces per label pair (count + worst cosine). Same
+    bounded-cell pair shape as d14's in-cell stage (single-probe assign
+    is enough for an audit; the blocks are cells of ~256, candidates
+    corpus-linear), with the label inequality keeping only the
+    cross-label candidates d6/d18 never see."""
+    from es_to_clickhouse_spark.operators.dedup import embedding_neardup_pairs
+    from es_to_clickhouse_spark.operators.similarity import (
+        ivf_assign_auto,
+        sampled_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb)
+    cell = ivf_assign_auto(emb, cents).select("vec_id", "cent_id")
+    base = emb.join(cell.hint("SHUFFLE_HASH"), "vec_id")
+    k_cells = max(8, emb.count() // 256)
+    pairs = embedding_neardup_pairs(
+        base, "vec_id", "embedding", "cent_id", threshold=0.4,
+        n_blocks_hint=k_cells,
+    )
+    lab = emb.select("vec_id", "label")
+    return (
+        pairs.join(
+            lab.select(F.col("vec_id").alias("id_a"),
+                       F.col("label").alias("_la")), "id_a"
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("id_b"),
+                       F.col("label").alias("_lb")), "id_b"
+        )
+        .where(F.col("_la") != F.col("_lb"))
+        .select(
+            F.least("_la", "_lb").alias("label_lo"),
+            F.greatest("_la", "_lb").alias("label_hi"),
+            "cos",
+        )
+        .groupBy("label_lo", "label_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
 
 
 # ------------------------------------------------------------- similarity

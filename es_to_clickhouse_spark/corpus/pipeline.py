@@ -582,7 +582,8 @@ def d14_semantic_dedup(spark, sf_dir):
     # 23.6x-decade autopsy; judge r11 #5)
     cents = sampled_centroids(emb)
     cell = ivf_assign_auto(emb, cents).select("vec_id", "cent_id")
-    base = emb.join(cell, "vec_id")
+    # scalar build side; SMJ would sort the vector side (r14 autopsy)
+    base = emb.join(cell.hint("SHUFFLE_HASH"), "vec_id")
     # threshold 0.4 is calibrated to the synthetic corpus (its max pairwise
     # cosine is ~0.51 — no planted exact dups); on a real embedding model
     # SemDeDup's 0.9+ applies, and the threshold is just this parameter.

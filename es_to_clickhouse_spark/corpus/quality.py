@@ -963,6 +963,75 @@ def emb3_matryoshka_fidelity(spark, sf_dir):
 
 
 @query(
+    "emb4_quantization_error",
+    """
+    WITH b AS (
+      SELECT label,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS s
+      FROM embeddings
+    ), q AS (
+      SELECT label, v,
+             list_transform(v, x -> round(x * 127.0 / s)) AS qv
+      FROM b WHERE s > 0
+    ), e AS (
+      SELECT label,
+             CAST(round(1e6 * (1 - list_cosine_similarity(v, qv)))
+               AS BIGINT) AS err
+      FROM q
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(err) // count(*) AS BIGINT) AS mean_err_ppm,
+           CAST(max(err) AS BIGINT) AS max_err_ppm
+    FROM e GROUP BY label
+    """,
+)
+def emb4_quantization_error(spark, sf_dir):
+    """INT8 symmetric-quantization fidelity audit: quantize every
+    embedding to q_i = round(127 * x_i / max|x|) and report, per label,
+    the cosine error between the vector and its own quantized form —
+    the go/no-go measurement behind shipping int8 vectors (4x smaller
+    scans, 4x less shuffle) for a 100 TB embedding store. The
+    per-vector scale cancels in the cosine, so the error needs only
+    (v, q) — no dequantized copy is materialized. Errors quantize to
+    integer ppm BEFORE aggregation (order-free exact sums — the emb3 /
+    a21 float lesson); everything is one map-side projection plus a
+    |labels|-row groupBy, linear at any corpus size with no shuffle of
+    vector payloads."""
+    from es_to_clickhouse_spark.operators.similarity import dot, norm
+
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = (
+        e.select("label", v.alias("_v"))
+        .withColumn(
+            "_s", F.array_max(F.transform("_v", lambda x: F.abs(x)))
+        )
+        .where(F.col("_s") > 0)
+    )
+    qv = F.transform(
+        "_v", lambda x: F.round(x * F.lit(127.0) / F.col("_s"))
+    )
+    cos = dot(F.col("_v"), F.col("_q")) / (
+        norm(F.col("_v")) * norm(F.col("_q"))
+    )
+    err = F.round(F.lit(1e6) * (F.lit(1.0) - cos)).cast("bigint")
+    return (
+        base.withColumn("_q", qv)
+        .select("label", err.alias("_e"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr("sum(_e) div count(1)").cast("bigint")
+            .alias("mean_err_ppm"),
+            F.max("_e").alias("max_err_ppm"),
+        )
+    )
+
+
+@query(
     "f23_url_parse",
     """
     SELECT doc_id,

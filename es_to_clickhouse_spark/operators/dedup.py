@@ -141,7 +141,18 @@ def salted_block_pairs(
     )
     n_tasks = base.sparkSession.sparkContext.defaultParallelism
     a = a.repartition(n_tasks, "_block", "_salt_lo", "_salt_hi")
-    return a.join(b, on=["_block", "_salt_lo", "_salt_hi"]).where(
+    # SHUFFLE_HASH, not the default sort-merge: both join inputs carry
+    # the full payload (vectors / token arrays), and SMJ SORTS both
+    # replicated sides — at 2M x dim-768 x 2 probes that sort spilled
+    # >34 GB on top of the exchange and filled the disk (r14 realdim
+    # autopsy). A shuffled hash join streams one side against a
+    # per-partition build map (~bytes/partitions resident, spillable
+    # since Spark 3.1), so the pair stage pays the exchange ONCE with
+    # no sort copies. Pair-key uniformity (the salt-pair design above)
+    # is exactly what makes per-partition builds safe.
+    return a.join(
+        b.hint("SHUFFLE_HASH"), on=["_block", "_salt_lo", "_salt_hi"]
+    ).where(
         # same-salt bucket (lo == hi): id order dedups; cross-salt: every
         # pair appears exactly once (a.salt == lo < hi == b.salt)
         (F.col("_salt_a") != F.col("_salt_b")) | (F.col("_ida") < F.col("_idb"))

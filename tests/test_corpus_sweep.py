@@ -72,6 +72,10 @@ def _all_oracles():
     return all_oracles()
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _bnl_allowed():
     import importlib.util
 

@@ -148,7 +148,7 @@ def d18_pipeline(spark, src: str):
     cell = ivf_assign_probes(emb, cents, n_probes=2).select(
         "vec_id", "cent_id"
     )
-    base = emb.join(cell, "vec_id").withColumn(
+    base = emb.join(cell.hint("SHUFFLE_HASH"), "vec_id").withColumn(
         "_blk",
         F.concat(F.col("label"), F.lit("|"), F.col("cent_id").cast("string")),
     )
@@ -179,7 +179,7 @@ def d14_pipeline(spark, src: str):
     emb = spark.read.parquet(src)
     cents = sampled_centroids(emb)
     cell = ivf_assign_auto(emb, cents).select("vec_id", "cent_id")
-    base = emb.join(cell, "vec_id")
+    base = emb.join(cell.hint("SHUFFLE_HASH"), "vec_id")
     k_cells = max(8, emb.count() // 256)
     pairs = embedding_neardup_pairs(
         base, "vec_id", "embedding", "cent_id", threshold=THRESHOLD,
