@@ -78,6 +78,10 @@ BNL_ALLOWED = {
     # candidate sums) crossJoined into the single output row, plus the
     # bounded-centroid assign crossJoins (sim11/d18 pattern)
     "sim12_multiprobe_audit",
+    # r14 cross-label audit: the dense-tier bounded-centroid broadcast
+    # crossJoin inside ivf_assign_auto (verified BuildRight = the
+    # centroid table — the sim4/d18 pattern)
+    "d21_crosslabel_leakage",
 }
 
 
