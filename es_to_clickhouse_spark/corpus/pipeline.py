@@ -1246,7 +1246,17 @@ def d17_signal_agreement(spark, sf_dir):
         .cast("long")
         .alias("j_ppm"),
     )
-    joined = jall.join(wp, ["id_a", "id_b"], "left")
+    # SHUFFLE_HASH: the default sort-merge sorted BOTH sides, and the
+    # jall side is the quadratic frame (~n²/2 rows of the sampled
+    # universe) — at scale that sort is the avoidable cost (the r14
+    # realdim autopsy's lesson for pair-stage joins; here it spills
+    # past memory long before the small side's hash build would). The
+    # build side is the aggregated winnowing-agreement table (bounded
+    # by pairs sharing >= 10 fingerprints), spillable per-partition
+    # since Spark 3.1. At sf0.1 the A/B is flat (medians 2.9 vs 3.0 s
+    # — the pair stage dominates locally); the hint buys the plan
+    # shape, not the local bench.
+    joined = jall.join(wp.hint("SHUFFLE_HASH"), ["id_a", "id_b"], "left")
     return joined.groupBy(
         F.when(F.col("in_w").isNotNull(), 1).otherwise(0).alias("in_winnowing"),
         F.when(F.col("j_ppm") >= 5000, 1).otherwise(0).alias("in_jaccard"),

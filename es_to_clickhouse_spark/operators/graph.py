@@ -21,8 +21,10 @@ edge set itself, so the frame SHRINKS every round (edges collapse into
 stars) and the round count is logarithmic with a proven bound.
 
 Scale design:
-- each round is two groupBy-min + two (map-side-combinable) joins over
-  the CURRENT — monotonically shrinking — edge set;
+- each round is two per-key-min windows over the CURRENT —
+  monotonically shrinking — edge set (one exchange per phase; the
+  earlier groupBy-min + join-back formulation paid a second pass over
+  the edges per phase — see the phase docstrings for the r14 numbers);
 - per-round frames are lazily localCheckpoint()ed so lineage stays flat
   and rounds between convergence probes schedule no jobs at all;
 - convergence is detected by a distributed symmetric-difference count
@@ -34,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -42,19 +45,32 @@ def _large_star(e: DataFrame) -> DataFrame:
     canonical (lo, hi) with lo < hi; output m <= u < v keeps that
     invariant for free. Preserves connectivity, never merges components
     (Kiveris et al. Lemma 1). The output is NOT deduplicated — the
-    small-star groupBy that always follows absorbs duplicates, and the
+    small-star pass that always follows absorbs duplicates, and the
     convergence probe uses presence (not count) semantics, so skipping
-    the distinct saves one full shuffle per round."""
+    the distinct saves one full shuffle per round.
+
+    The per-neighborhood minimum is a WINDOW over u, not the earlier
+    groupBy-min + join-back (r14): both need every (u, v) row hash-
+    clustered on u, but the window does it with ONE exchange of the
+    edge set where groupBy + join paid the exchange AND a per-round
+    join (broadcast build job locally; a second full edge shuffle on
+    clusters whenever the min table outgrows the broadcast threshold).
+    Measured (same result sets, r14): d9's near-dup graph at sf0.1
+    5.37 s -> 4.17 s end-to-end; single-component path graphs — the
+    giant-star worst case, where every round funnels the component's
+    rows into one u group — 1e6 edges 75.9 s -> 41.5 s, 4e6 edges
+    264.2 s -> 143.1 s. The window group IS a single task per u (no
+    AQE split, unlike a join probe), but the join routed the same
+    rows to the same partition anyway below the 256 MB skew-split
+    threshold, and the fixpoint star costs one O(C log C) in-task
+    sort vs the join's O(C) probe — dominated by the saved exchange
+    at every measured scale."""
     sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
         e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
     )
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("_mn"))
-        .select("u", F.least("_mn", "u").alias("m"))
-    )
+    w = Window.partitionBy("u")
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .where(F.col("v") > F.col("u"))
         .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
     )
@@ -64,16 +80,29 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Small-star: every node connects its smaller-or-equal neighbors —
     and itself — to the minimum among them. On canonical (lo, hi) edges
     the "smaller neighbors of u" are exactly the lo values grouped by
-    hi = u, so one groupBy-min + one join implements it. Output IS
-    deduplicated (each round's resting state stays a set)."""
-    mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
-    neighbors_to_min = (
-        e.join(mins, "hi")
-        .where(F.col("lo") != F.col("m"))
-        .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+    hi = u. Output IS deduplicated (each round's resting state stays a
+    set).
+
+    One window over hi + a per-row branch replaces the groupBy-min +
+    join + union (r14, same device as _large_star): a row whose lo IS
+    the group minimum m rewrites to the center edge (m, hi) — every
+    group has at least one such row, and duplicates collapse in the
+    distinct — while every other row rewrites to the member edge
+    (m, lo). Exactly one output row per input row, one exchange + the
+    distinct instead of groupBy + join + union's two passes over the
+    edge set."""
+    w = Window.partitionBy("hi")
+    m = F.min("lo").over(w)
+    return (
+        e.withColumn("m", m)
+        .select(
+            F.col("m").alias("lo"),
+            F.when(F.col("lo") == F.col("m"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("hi"),
+        )
+        .distinct()
     )
-    center_to_min = mins.select(F.col("m").alias("lo"), F.col("hi"))
-    return neighbors_to_min.unionByName(center_to_min).distinct()
 
 
 def _both_phases_unchanged(
