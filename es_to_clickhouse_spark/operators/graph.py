@@ -288,6 +288,23 @@ def pagerank(
     ``nodes`` defaults to the union of edge endpoints; pass the full node
     frame (one column named like ``src``) to include isolated nodes.
     """
+    # materialize the edge frame ONCE before ANYTHING dereferences it:
+    # each power iteration references `edges` in its plan, so an
+    # un-materialized edge frame re-executes its whole upstream plan
+    # (g1: a 5-way lineitem join) every iteration — measured
+    # 3.2 s -> 2.6 s at sf0.1 with 3 iterations (the residual is
+    # per-iteration job overhead on a 25-node graph; at a real edge
+    # scale the saving is x iterations). The checkpoint must come
+    # BEFORE the default-nodes derivation below (r14): the node frame
+    # unions two selects of `edges` and is immediately count()ed, so
+    # deriving it from the raw plan executed the upstream join three
+    # times (once per union branch + once for the checkpoint) before
+    # the first iteration ran. localCheckpoint stores partitions on
+    # executors and flattens lineage (the same device GraphX uses for
+    # iterative graph state; for edge sets past executor storage this
+    # becomes a spill-backed cache, still the right trade for >= 2
+    # iterations).
+    edges = edges.localCheckpoint(eager=True)
     if nodes is None:
         nodes = (
             edges.select(F.col(src).alias("node"))
@@ -297,17 +314,6 @@ def pagerank(
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
     n = nodes.count()
-    # materialize the edge frame ONCE before iterating: each power
-    # iteration references `edges` in its plan, so an un-materialized
-    # edge frame re-executes its whole upstream plan (g1: a 5-way
-    # lineitem join) every iteration — measured 3.2 s -> 2.6 s at sf0.1
-    # with 3 iterations (the residual is per-iteration job overhead on a
-    # 25-node graph; at a real edge scale the saving is x iterations).
-    # localCheckpoint stores partitions on executors
-    # and flattens lineage (the same device GraphX uses for iterative
-    # graph state; for edge sets past executor storage this becomes a
-    # spill-backed cache, still the right trade for >= 2 iterations).
-    edges = edges.localCheckpoint(eager=True)
     out_w = edges.groupBy(src).agg(F.sum(weight).alias("_out_w"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
