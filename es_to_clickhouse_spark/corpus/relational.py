@@ -1313,7 +1313,19 @@ def rj2_interval_coverage(spark, sf_dir):
             "e"
         ),
     )
-    cov = interval_coverage(points, intervals, "d", "s", "e")
+    # cut points are table statistics (same contract as j9's cache): the
+    # coverage lookup's bucket cuts sample the truncated point column,
+    # and recomputing them cost one driver quantile job per invocation
+    from es_to_clickhouse_spark.operators.asof import quantile_cuts
+
+    key = (sf_dir, "orders_dates_trunc", "d")
+    if key not in _STATS_CACHE:
+        _STATS_CACHE[key] = quantile_cuts(
+            points.select(F.date_trunc("day", F.col("d")).alias("_bd")), "_bd"
+        )
+    cov = interval_coverage(
+        points, intervals, "d", "s", "e", cuts=_STATS_CACHE[key]
+    )
     return cov.select(F.date_format("d", "yyyy-MM-dd").alias("d"), "n_covering")
 
 

@@ -538,22 +538,6 @@ def screen_against_store(
         k,
         bands,
     )
-    # A re-ingest of an overlapping batch can append the same doc id to
-    # the store twice; duplicated token rows would multiply the verify
-    # join (inflating n_hist_matches) and duplicated bucket rows would
-    # inflate the cap's population count (ADVICE r11). Idempotent
-    # screening: collapse the store to one row per identity first.
-    store_buckets = store_buckets.dropDuplicates(
-        ["band_id", "band_key", id_col]
-    )
-    # dropDuplicates([id]) keeps an ARBITRARY row when a re-ingested doc
-    # id appears with different tok_hashes (its text changed between
-    # appends), making verify-join jaccards flap across runs (ADVICE
-    # r12). max over the orderable array is a deterministic tiebreak:
-    # same store -> same token row -> same screen result, every run.
-    store_tokens = store_tokens.groupBy(id_col).agg(
-        F.max("tok_hashes").alias("tok_hashes")
-    )
     # the batch's band rows feed both the touched-key build side and
     # the union below — checkpoint so the batch minhash derives once
     batch_buckets = batch_buckets.localCheckpoint(eager=False)
@@ -571,6 +555,16 @@ def screen_against_store(
     # and their population was never consulted for touched ones).
     touched = bb.select("band_id", "band_key").distinct()
     hb = hb.join(F.broadcast(touched), ["band_id", "band_key"], "semi")
+    # A re-ingest of an overlapping batch can append the same doc id to
+    # the store twice; duplicated token rows would multiply the verify
+    # join (inflating n_hist_matches) and duplicated bucket rows would
+    # inflate the cap's population count (ADVICE r11). Idempotent
+    # screening: collapse the store to one row per identity — AFTER the
+    # touched-keys prune (r14): the dedup is (band_id, band_key, id)-
+    # local, so deduping only the pruned rows returns identical rows
+    # for every touched bucket while the exchange covers batch-bounded
+    # rows instead of the whole store.
+    hb = hb.dropDuplicates(["band_id", "band_key", "_hid"])
     both = hb.unionByName(bb)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key")
@@ -595,12 +589,30 @@ def screen_against_store(
         )
         .select("_bid", "_hid")
         .distinct()
+        # referenced twice below (verify join + token-side prune)
+        .localCheckpoint(eager=False)
     )
     bt = batch_tokens.select(
         F.col(id_col).alias("_bid"), F.col("tok_hashes").alias("_ta")
     ).localCheckpoint(eager=False)
-    ht = store_tokens.select(
-        F.col(id_col).alias("_hid"), F.col("tok_hashes").alias("_tb")
+    # Prune the store token table to candidate ids BEFORE the
+    # idempotency dedup (r14): dropDuplicates([id]) keeps an ARBITRARY
+    # row when a re-ingested doc id appears with different tok_hashes
+    # (its text changed between appends), making verify-join jaccards
+    # flap across runs (ADVICE r12) — max over the orderable array is a
+    # deterministic per-id tiebreak, so pruning by id first returns the
+    # identical token row for every id the verify join will read. The
+    # dedup is an ARRAY-buffer aggregate (SortAggregate — arrays demote
+    # hash aggregation, the r13 realdim lesson), and running it over
+    # the WHOLE store sorted the entire token table once per append;
+    # candidate ids are batch-bounded, so this broadcast semi-join
+    # keeps the per-append cost candidate-sized at any store size.
+    cand_ids = cand.select(F.col("_hid").alias(id_col)).distinct()
+    ht = (
+        store_tokens.join(F.broadcast(cand_ids), id_col, "semi")
+        .groupBy(id_col)
+        .agg(F.max("tok_hashes").alias("tok_hashes"))
+        .select(F.col(id_col).alias("_hid"), F.col("tok_hashes").alias("_tb"))
     )
     verified = (
         cand.join(bt, "_bid")

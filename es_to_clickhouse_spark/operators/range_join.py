@@ -103,6 +103,7 @@ def interval_coverage(
     end_col: str,
     granularity: str = "day",
     out_col: str = "n_covering",
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Count, for every point, how many intervals cover it — WITHOUT
     materializing point-interval pairs (range_join would produce
@@ -119,6 +120,14 @@ def interval_coverage(
 
     Interval ends are inclusive; boundaries are truncated to
     ``granularity``, so points are expected at that granularity too.
+
+    ``cuts``: precomputed :func:`operators.asof.quantile_cuts` over the
+    truncated point column, passed through to the global as-of join —
+    without them every invocation pays one driver quantile job to
+    sample cut points that are pure table statistics (any cut list is
+    correct; placement only affects bucket balance). Callers that run
+    repeatedly over the same point domain should compute once and
+    cache, the same contract as ``asof_join(cuts=...)``.
     """
     from pyspark.sql.window import Window
 
@@ -146,5 +155,7 @@ def interval_coverage(
         .alias(out_col),
     )
     pts = points.withColumn("_bd", F.date_trunc(granularity, F.col(point_col)))
-    looked = asof_join(pts, run, on="_bd", right_cols=[out_col], suffix="")
+    looked = asof_join(
+        pts, run, on="_bd", right_cols=[out_col], suffix="", cuts=cuts
+    )
     return looked.where(F.col(out_col) > 0).drop("_bd")
