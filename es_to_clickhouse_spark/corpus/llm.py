@@ -278,7 +278,8 @@ def d18_embedding_neardup_cell(spark, sf_dir):
     # rule assumed dense ids and saturated on any strided/sparse id
     # layout (operators/similarity.sampled_centroids has the measured
     # 23.6x-decade autopsy; judge r11 #5)
-    cents = sampled_centroids(emb)
+    n_emb = emb.count()  # one metadata job: centroid cut + block hint
+    cents = sampled_centroids(emb, n=n_emb)
     cell = ivf_assign_probes(emb, cents, n_probes=2).select(
         "vec_id", "cent_id"
     )
@@ -292,7 +293,7 @@ def d18_embedding_neardup_cell(spark, sf_dir):
     )
     # block hint: (label x cell) blocks number at least the cell count —
     # a conservative lower bound keeps the adaptive salting safe
-    k_cells = max(8, emb.count() // 256)
+    k_cells = max(8, n_emb // 256)
     return embedding_neardup_pairs(
         base, "vec_id", "embedding", "_blk", threshold=0.4,
         n_blocks_hint=k_cells,
@@ -354,10 +355,11 @@ def d21_crosslabel_leakage(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    cents = sampled_centroids(emb)
+    n_emb = emb.count()  # one metadata job: centroid cut + block hint
+    cents = sampled_centroids(emb, n=n_emb)
     cell = ivf_assign_auto(emb, cents).select("vec_id", "cent_id")
     base = emb.join(cell.hint("SHUFFLE_HASH"), "vec_id")
-    k_cells = max(8, emb.count() // 256)
+    k_cells = max(8, n_emb // 256)
     pairs = embedding_neardup_pairs(
         base, "vec_id", "embedding", "cent_id", threshold=0.4,
         n_blocks_hint=k_cells,

@@ -576,22 +576,24 @@ def d14_semantic_dedup(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings")
+    # ONE corpus count feeds the centroid cut AND the block hint below
+    # (parquet metadata job; r14 — was two)
+    n_emb = emb.count()
     # hash-sampled centroids, NOT `vec_id < n/256`: the value-threshold
     # rule assumed dense ids and saturated on any strided/sparse id
     # layout (operators/similarity.sampled_centroids has the measured
     # 23.6x-decade autopsy; judge r11 #5)
-    cents = sampled_centroids(emb)
+    cents = sampled_centroids(emb, n=n_emb)
     cell = ivf_assign_auto(emb, cents).select("vec_id", "cent_id")
     # scalar build side; SMJ would sort the vector side (r14 autopsy)
     base = emb.join(cell.hint("SHUFFLE_HASH"), "vec_id")
     # threshold 0.4 is calibrated to the synthetic corpus (its max pairwise
     # cosine is ~0.51 — no planted exact dups); on a real embedding model
     # SemDeDup's 0.9+ applies, and the threshold is just this parameter.
-    # Block hint = the cell count (metadata-fast count + arithmetic), so
-    # the pair stage's salting adapts: many cells -> no payload
-    # replication through the pair exchange (operators/dedup.py
-    # adaptive_salts — the r13 dim-768 disk autopsy).
-    k_cells = max(8, emb.count() // 256)
+    # Block hint = the cell count, so the pair stage's salting adapts:
+    # many cells -> no payload replication through the pair exchange
+    # (operators/dedup.py adaptive_salts — the r13 dim-768 disk autopsy).
+    k_cells = max(8, n_emb // 256)
     pairs = embedding_neardup_pairs(
         base, "vec_id", "embedding", "cent_id", threshold=0.4,
         n_blocks_hint=k_cells,

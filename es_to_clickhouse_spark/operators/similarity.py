@@ -135,6 +135,7 @@ def ivf_assign_two_level(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    k: int | None = None,
 ) -> DataFrame:
     """ANN-assisted IVF assignment (VERDICT r10 item 3): two-level
     coarse quantization. The dense assign (:func:`ivf_assign`) scores
@@ -179,7 +180,8 @@ def ivf_assign_two_level(
     cents = centroids.select(
         F.col("cent_id"), cv.alias("_cv"), norm(cv).alias("_cnm")
     )
-    k = cents.count()  # bounded driver scalar: centroids are small
+    if k is None:
+        k = cents.count()  # bounded driver scalar: centroids are small
     import math
 
     m = max(2, math.isqrt(k))
@@ -432,6 +434,24 @@ ASSIGN_DENSE_MAX_WORK = 200_000  # k * dim
 ASSIGN_TWO_LEVEL_MAX_K = 100_000
 
 
+def _k_dim(
+    centroids: DataFrame, k: int | None, dim: int | None
+) -> tuple[int, int]:
+    """Fill in the centroid count / dimensionality tier-routing scalars
+    the caller didn't supply — in ONE bounded aggregate job (r14: the
+    separate count() + first(size) probes cost two driver jobs per
+    assign construction; every corpus pass pays them). min(size) over a
+    uniform-dim table equals the old first-row size; an empty table
+    yields (0, 0) exactly as before."""
+    row = centroids.agg(
+        F.count(F.lit(1)).alias("_k"), F.min(F.size("cv")).alias("_d")
+    ).first()
+    return (
+        k if k is not None else int(row["_k"]),
+        dim if dim is not None else int(row["_d"] or 0),
+    )
+
+
 def ivf_assign_auto(
     df: DataFrame,
     centroids: DataFrame,
@@ -452,17 +472,14 @@ def ivf_assign_auto(
 
     ``k``/``dim``: pass when the caller already knows them (e.g.
     sampled_centroids sizes k = max(8, n/256) from a count it already
-    ran) to skip the two bounded probe jobs."""
-    if k is None:
-        k = centroids.count()  # bounded driver scalar, centroids are small
-    if dim is None:
-        row = centroids.select(F.size("cv")).first()
-        dim = row[0] if row else 0
+    ran) to skip the bounded probe job."""
+    if k is None or dim is None:
+        k, dim = _k_dim(centroids, k, dim)
     if k * max(dim, 1) <= ASSIGN_DENSE_MAX_WORK:
         return ivf_assign(df, centroids, id_col, vec_col, round_digits)
     if k <= ASSIGN_TWO_LEVEL_MAX_K:
         return ivf_assign_two_level(
-            df, centroids, id_col, vec_col, round_digits
+            df, centroids, id_col, vec_col, round_digits, k=k
         )
     return ivf_assign_hierarchical(
         df, centroids, id_col, vec_col, round_digits
@@ -507,7 +524,7 @@ def refined_centroids(
     apply)."""
     from es_to_clickhouse_spark.operators.sketch import hash32
 
-    k = centroids.count()  # bounded driver scalar
+    k, dim = _k_dim(centroids, None, None)
     n = df.count()
     if k == 0 or n == 0:
         return centroids
@@ -516,8 +533,6 @@ def refined_centroids(
     sample = df.where(hash32(F.col(id_col), "lloyd") < cut).select(
         id_col, vec_col
     ).localCheckpoint(eager=False)
-    dim_row = centroids.select(F.size("cv")).first()
-    dim = dim_row[0] if dim_row else 0
     for _ in range(iters):
         assigned = ivf_assign_auto(
             sample, centroids, id_col, vec_col, round_digits, k=k, dim=dim
@@ -605,11 +620,8 @@ def ivf_assign_probes(
     population stays bounded by n*per_cell. Deterministic end-to-end
     (rank split, argmax id tie-breaks, fixed rounding): the oracle
     mirrors it as one argmax subquery per rank-parity group."""
-    if k is None:
-        k = centroids.count()  # bounded driver scalar, centroids are small
-    if dim is None:
-        row = centroids.select(F.size("cv")).first()
-        dim = row[0] if row else 0
+    if k is None or dim is None:
+        k, dim = _k_dim(centroids, k, dim)
     if k < n_probes:
         raise ValueError(f"need >= {n_probes} centroids, got {k}")
     from pyspark.sql.window import Window
@@ -636,6 +648,7 @@ def sampled_centroids(
     vec_col: str = "embedding",
     per_cell: int = 256,
     floor: int = 8,
+    n: int | None = None,
 ) -> DataFrame:
     """Deterministic corpus-scaled centroid sample for IVF/SemDeDup:
     ~n/per_cell centroids chosen by KEY HASH, not by id VALUE.
@@ -655,7 +668,10 @@ def sampled_centroids(
     DuckDB (same md5 device as hash_sample/sk2)."""
     from es_to_clickhouse_spark.operators.sketch import hash32
 
-    n = df.count()  # bounded driver scalar (same as the old rule's)
+    if n is None:
+        # bounded driver scalar (same as the old rule's); callers that
+        # already counted the corpus pass it in to skip the job
+        n = df.count()
     if n == 0:
         # empty corpus: the value-threshold rule this replaced returned
         # an empty frame gracefully; without the guard the cut below
