@@ -188,3 +188,63 @@ def test_upper_bound_index_matches_bisect(spark):
         assert row["nullkey"] == 0
 
     check()
+
+
+def test_upper_bound_index_sql_matches_column_form(spark):
+    """upper_bound_index_sql (r14: the same binary-search CASE tree
+    parsed from ONE SQL string — the as-of bucketize construction-cost
+    fix) evaluates identically to the Column-built form on arbitrary
+    cut lists and keys, including dup cuts, boundary keys, empty cuts,
+    and NULL keys (bucket 0). One Spark job evaluates every generated
+    case through BOTH forms side by side."""
+    import bisect
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.functions import (
+        upper_bound_index,
+        upper_bound_index_sql,
+    )
+
+    finite = st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    )
+
+    @given(
+        st.lists(
+            st.tuples(st.lists(finite, max_size=12), finite),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(cases):
+        cols = [F.lit(None).cast("double").alias("_nullk")]
+        for i, (cuts, key) in enumerate(cases):
+            cols.append(F.lit(float(key)).alias(f"_k{i}"))
+        base = spark.range(1).select(*cols)
+        out_cols = []
+        for i, (cuts, key) in enumerate(cases):
+            out_cols.append(
+                upper_bound_index(cuts, F.col(f"_k{i}")).alias(f"c{i}")
+            )
+            out_cols.append(
+                F.expr(upper_bound_index_sql(cuts, f"`_k{i}`")).alias(f"s{i}")
+            )
+        if cases:
+            cuts0 = cases[0][0]
+            out_cols.append(
+                F.expr(upper_bound_index_sql(cuts0, "`_nullk`")).alias("sn")
+            )
+        row = base.select(*out_cols).collect()[0]
+        for i, (cuts, key) in enumerate(cases):
+            want = bisect.bisect_right(sorted(cuts), key)
+            assert row[f"c{i}"] == want, (cuts, key)
+            assert row[f"s{i}"] == want, (cuts, key)
+        assert row["sn"] == 0
+
+    check()
+    # empty cuts: the SQL form is the literal "0"
+    assert upper_bound_index_sql([], "`x`") == "0"
