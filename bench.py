@@ -283,10 +283,13 @@ def _compute_floor_median(rec: dict) -> float | None:
     cf = flat.get("compute_floor")
     if isinstance(cf, dict) and isinstance(cf.get("median"), (int, float)):
         return float(cf["median"]) or None
+    # compact stdout records (r15+) carry the median as a flat scalar
+    if isinstance(flat.get("compute_floor_median"), (int, float)):
+        return float(flat["compute_floor_median"]) or None
     if isinstance(rec.get("tail"), str):
         hit = re.search(
             r'"compute_floor":\s*\{[^{}]*"median":\s*([0-9.]+)', rec["tail"]
-        )
+        ) or re.search(r'"compute_floor_median":\s*([0-9.]+)', rec["tail"])
         if hit:
             return float(hit.group(1)) or None
     return None
@@ -302,10 +305,13 @@ def _noise_floor_median(rec: dict) -> float | None:
     nf = flat.get("noise_floor")
     if isinstance(nf, dict) and isinstance(nf.get("median"), (int, float)):
         return float(nf["median"]) or None
+    # compact stdout records (r15+) carry the median as a flat scalar
+    if isinstance(flat.get("noise_floor_median"), (int, float)):
+        return float(flat["noise_floor_median"]) or None
     if isinstance(rec.get("tail"), str):
         hit = re.search(
             r'"noise_floor":\s*\{[^{}]*"median":\s*([0-9.]+)', rec["tail"]
-        )
+        ) or re.search(r'"noise_floor_median":\s*([0-9.]+)', rec["tail"])
         if hit:
             return float(hit.group(1)) or None
     return None
@@ -564,6 +570,45 @@ def adjudicate_flags(
             entry["remeasured"] = min(entry["remeasured"], rm2["min"])
 
 
+def compact_line(full: dict) -> str:
+    """The one-line stdout contract, printed LAST and kept COMPACT
+    (< 2000 chars: the contract fields + per-query medians + scalar
+    summaries + per-flag verdicts). The round artifact keeps only the
+    last 2000 chars of stdout, and r13's ~6 KB single line truncated
+    past recovery — the entire r13->r14 round-over-round comparison was
+    lost to it (judge r14 #2). Optional keys are dropped in order if
+    the line would ever outgrow the tail window; the contract fields
+    (metric/value/unit/queries/sf) never are."""
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "cpus": full["cpus"],
+        "warm_passes": full["warm_passes"],
+        "min_total": full["min_total"],
+        "heavy_total": full["heavy_total"],
+        "heavy_min_total": full["heavy_min_total"],
+        "heavy_warm_passes": full["heavy_warm_passes"],
+        "floor_stable": full["floor_stable"],
+        "noise_floor_median": full["noise_floor"]["median"],
+        "compute_floor_median": full["compute_floor"]["median"],
+        "n_flags": len(full["regressions"]),
+        "flag_verdicts": {
+            n: e.get("verdict", "?") for n, e in full["regressions"].items()
+        },
+    }
+    line = json.dumps(compact)
+    for drop in ("flag_verdicts", "heavy_warm_passes", "warm_passes",
+                 "heavy_min_total", "min_total"):
+        if len(line) < 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--remeasure":
         remeasure_main([n for n in sys.argv[2].split(",") if n])
@@ -751,41 +796,55 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": mins,
-                "queries_stddev": stddevs,
-                "min_total": round(sum(mins.values()), 3),
-                "cold_total": round(sum(cold.values()), 3),
-                "warm_passes": WARM_PASSES,
-                # heavy set reported separately: `value` stays comparable
-                # to r1's 28-query contract while the real cost centers
-                # get their own attributable series (and feed the same
-                # regression gate via best_prior_per_query's union scan)
-                "heavy_total": round(sum(h_timings.values()), 3),
-                "heavy_queries": h_timings,
-                "heavy_queries_min": h_mins,
-                "heavy_queries_stddev": h_stddevs,
-                "heavy_min_total": round(sum(h_mins.values()), 3),
-                "heavy_cold_total": round(sum(h_cold.values()), 3),
-                "heavy_warm_passes": HEAVY_WARM_PASSES,
-                "cpus": DEFAULT_CPUS,
-                "regressions": regressions,
-                # False = the floor was bursty across the window; treat
-                # any flags above as host noise until a stable-floor
-                # run reproduces them
-                "floor_stable": floor_stable,
-                "noise_floor": noise_floor,
-                "compute_floor": compute_floor,
-                "sf": sf_num,
-            }
-        )
+    full = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": mins,
+        "queries_stddev": stddevs,
+        "min_total": round(sum(mins.values()), 3),
+        "cold_total": round(sum(cold.values()), 3),
+        "warm_passes": WARM_PASSES,
+        # heavy set reported separately: `value` stays comparable
+        # to r1's 28-query contract while the real cost centers
+        # get their own attributable series (and feed the same
+        # regression gate via best_prior_per_query's union scan)
+        "heavy_total": round(sum(h_timings.values()), 3),
+        "heavy_queries": h_timings,
+        "heavy_queries_min": h_mins,
+        "heavy_queries_stddev": h_stddevs,
+        "heavy_min_total": round(sum(h_mins.values()), 3),
+        "heavy_cold_total": round(sum(h_cold.values()), 3),
+        "heavy_warm_passes": HEAVY_WARM_PASSES,
+        "cpus": DEFAULT_CPUS,
+        "regressions": regressions,
+        # False = the floor was bursty across the window; treat
+        # any flags above as host noise until a stable-floor
+        # run reproduces them
+        "floor_stable": floor_stable,
+        "noise_floor": noise_floor,
+        "compute_floor": compute_floor,
+        "sf": sf_num,
+    }
+    # Full record (the mins/stddev/heavy/regressions/floors maps) goes to
+    # a SIDE FILE, not stdout: the round artifact keeps only the last
+    # 2000 chars of stdout, and r13's ~6 KB single line truncated past
+    # recovery — the whole r13->r14 round-over-round comparison was lost
+    # to it (judge r14 #2). The builder commits this file as
+    # bench_r{N}_local.json, which best_prior_per_query already reads.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full_last.json"),
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"full record -> {full_path}", file=sys.stderr)
+    except OSError as e:  # read-only checkout: stdout line still stands
+        print(f"full record write failed: {e!r}", file=sys.stderr)
+    print(compact_line(full))
 
 
 if __name__ == "__main__":

@@ -3083,25 +3083,36 @@ def txt21_ngram_novelty(spark, sf_dir):
     def gram(i):
         return F.xxhash64(F.slice(F.col("_ts"), i, F.lit(w)))
 
-    grams = (
-        tok.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(F.sequence(F.lit(1), F.size("_ts") - (w - 1)), gram)
-            ).alias("_gs"),
-        )
-        .localCheckpoint(eager=False)  # barrier before the explode
-        .select("doc_id", F.explode("_gs").alias("_gh"))
-    )
-    first = grams.groupBy("_gh").agg(F.min("doc_id").alias("_first"))
-    nov = (
-        grams.join(first, "_gh")
+    arrs = tok.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size("_ts") - (w - 1)), gram)
+        ).alias("_gs"),
+    ).localCheckpoint(eager=False)  # barrier before the explode; shared
+    grams = arrs.select("doc_id", F.explode("_gs").alias("_gh"))
+    # r15 (guide §2.3 — shuffle/probe fewer bytes): the old shape joined
+    # the GRAM-SIZED frame back to its own first-seen aggregate on _gh
+    # and re-aggregated gram rows by doc_id. Neither pass needs gram
+    # rows: per-doc gram counts are size(_gs) straight off the shared
+    # array frame (zero shuffle), and per-doc NOVEL counts are a
+    # doc-keyed count over the first-seen aggregate itself (a gram is
+    # novel for exactly its min doc_id). The gram-sized join probe and
+    # the gram-sized second exchange are gone; the only join left is
+    # doc-sized. Results identical: same per-doc (n_grams, n_novel) —
+    # docs whose grams are all re-seen coalesce to 0.
+    per_doc = arrs.select("doc_id", F.size("_gs").alias("n_grams"))
+    novel = (
+        grams.groupBy("_gh")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    nov = (
+        per_doc.join(novel.hint("SHUFFLE_HASH"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
         )
     )
     mx = d.agg(F.max("doc_id").alias("_m"))

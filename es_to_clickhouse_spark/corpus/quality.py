@@ -937,10 +937,23 @@ def emb3_matryoshka_fidelity(spark, sf_dir):
         return F.round(dot(va, vb) / (norm(va) * norm(vb)), 6)
 
     ea, eb = F.col("_ea"), F.col("_eb")
-    full = cos(ea, eb)
-    errs = j.select(
+    # Fold each cosine ONCE (r15): the error projection references the
+    # full-vector cosine in all three prefix errors, and the
+    # construction inlined its dot+norm folds 3x — interpreted HOF
+    # lambdas get no cross-expression CSE (the simhash16 lesson), so
+    # every pair paid the full-dim fold three times. Project the four
+    # cosines as columns behind a lazy checkpoint barrier (the txt21
+    # device — without the barrier CollapseProject may re-inline), then
+    # difference the columns: identical values (each cosine is rounded
+    # to 6 digits BEFORE the difference, exactly as before), ~2.4x less
+    # fold work per pair at dim 64 and ~3x at real dims.
+    cosines = j.select(
+        cos(ea, eb).alias("_cf"),
+        *[cos(ea, eb, p).alias(f"_c{p}") for p in (8, 16, 32)],
+    ).localCheckpoint(eager=False)
+    errs = cosines.select(
         *[
-            F.round(1e6 * F.abs(full - cos(ea, eb, p)))
+            F.round(1e6 * F.abs(F.col("_cf") - F.col(f"_c{p}")))
             .cast("bigint")
             .alias(f"_e{p}")
             for p in (8, 16, 32)

@@ -1315,7 +1315,15 @@ def rj2_interval_coverage(spark, sf_dir):
     )
     # cut points are table statistics (same contract as j9's cache): the
     # coverage lookup's bucket cuts sample the truncated point column,
-    # and recomputing them cost one driver quantile job per invocation
+    # and recomputing them cost one driver quantile job per invocation.
+    # Staleness trade (ADVICE r14): the entry is keyed on sf_dir and
+    # never invalidated, so if the files under sf_dir are REWRITTEN
+    # within one process lifetime the cuts reflect the first snapshot —
+    # still correct (cut placement only moves bucket balance, any cut
+    # list yields identical results) but potentially unbalanced. The
+    # bench/oracle drivers read immutable fixture dirs, so a process
+    # never observes a rewrite; long-lived services ingesting mutable
+    # paths should key on a table fingerprint instead.
     from es_to_clickhouse_spark.operators.asof import quantile_cuts
 
     key = (sf_dir, "orders_dates_trunc", "d")

@@ -105,10 +105,10 @@ def upper_bound_index_sql(cuts: list[float], key_sql: str) -> str:
         r = repr(v)
         # repr is shortest-round-trip; the D suffix needs a plain
         # mantissa[.fraction][Ee±exp] shape, which repr of a finite
-        # float always is — guard anyway and fall back to a folded cast
-        if r.replace(".", "").replace("-", "").replace("e", "").replace(
-            "+", ""
-        ).isdigit():
+        # float always is — guard anyway (ANCHORED, so malformed shapes
+        # like '1-2' or '3.4.5' fall through — ADVICE r14) and fall
+        # back to a folded cast
+        if re.fullmatch(r"-?\d+(\.\d+)?([eE][+-]?\d+)?", r):
             return f"{r}D"
         return f"CAST('{r}' AS DOUBLE)"
 

@@ -287,7 +287,14 @@ def _global_asof(
         # side is the small index side by assumption).
         rights = rights.persist()
 
-    ub_sql = upper_bound_index_sql(cuts, "`_ub_k`")
+    # collision-free temp name (ADVICE r14): a caller column literally
+    # named `_ub_k` would be silently overwritten by the projected key
+    # and dropped — suffix until free instead of corrupting it.
+    ub_key = "_ub_k"
+    taken = set(lefts.columns) | set(rights.columns)
+    while ub_key in taken:
+        ub_key += "_"
+    ub_sql = upper_bound_index_sql(cuts, f"`{ub_key}`")
 
     def with_bucket(df: DataFrame) -> DataFrame:
         """Attach the upper-bound index of the ordering value in the
@@ -305,9 +312,9 @@ def _global_asof(
         if not cuts:  # constant / all-null ordering column: single bucket
             return df.withColumn("_bucket", F.lit(0))
         return (
-            df.withColumn("_ub_k", _ordering_key(df, on))
+            df.withColumn(ub_key, _ordering_key(df, on))
             .withColumn("_bucket", F.expr(ub_sql))
-            .drop("_ub_k")
+            .drop(ub_key)
         )
 
     b = with_bucket(lefts).unionByName(with_bucket(rights))

@@ -93,6 +93,7 @@ def salted_block_pairs(
     id_col: str,
     payload: list[str],
     n_salts: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Balanced within-block self-pairing on uniform salt-pair buckets.
 
@@ -119,9 +120,19 @@ def salted_block_pairs(
     The explicit repartition pins the exchange: a single-file source
     scans as one partition and AQE will not widen it on byte-size
     grounds — the cost here is compute, invisible to size heuristics.
+
+    ``salt_col`` (r15): name of an int column on ``base`` holding a
+    PER-ROW salt count that must be CONSTANT WITHIN EACH BLOCK (it is a
+    function of the block, e.g. ceil(block_population / target) — see
+    :func:`sized_block_salts`). Both pair sides then derive the same
+    per-block salt space, so the unordered-pair-exactly-once guarantee
+    is unchanged while a skewed block histogram gets per-block split
+    granularity: uniform small blocks pay zero replication, oversized
+    blocks alone fan out. Overrides ``n_salts`` when given.
     """
+    ns = F.col(salt_col) if salt_col else F.lit(n_salts)
     base = base.withColumn(
-        "_salt", F.abs(F.hash(F.col(id_col))) % n_salts
+        "_salt", F.abs(F.hash(F.col(id_col))) % ns
     )
     a = base.select(
         F.col(id_col).alias("_ida"), "_block",
@@ -129,7 +140,7 @@ def salted_block_pairs(
         F.col("_salt").alias("_salt_a"),
         F.col("_salt").alias("_salt_lo"),
         F.explode(
-            F.sequence(F.col("_salt"), F.lit(n_salts - 1))
+            F.sequence(F.col("_salt"), ns - 1)
         ).alias("_salt_hi"),
     )
     b = base.select(
@@ -366,12 +377,81 @@ def adaptive_salts(n_blocks: int, n_tasks: int, cap: int = 16) -> int:
     (disk overflow); one salt moves 12 GB and the block count alone
     feeds all 32 cores. Rule: no salt once blocks >= 4x tasks; below
     that, enough salts that block_count * n_salts^2/2 spreads ~4x the
-    task count (pair-key population ~ B * s(s+1)/2)."""
+    task count (pair-key population ~ B * s(s+1)/2).
+
+    SUPERSEDED for the embedding pair stage (r15): a COUNT-keyed rule
+    is blind to per-block SIZE skew — the r14 realdim autopsy measured
+    d14's first decade at 41.8x because low-rank geometry concentrates
+    vectors into a few giant cells that a many-cells-no-salt verdict
+    leaves on single straggler tasks. :func:`sized_block_salts` salts
+    each block by its OBSERVED population instead; this function
+    remains for count-only callers and its pinned tests."""
     import math
 
     if n_blocks >= 4 * n_tasks:
         return 1
     return min(cap, max(2, math.ceil(math.sqrt(4 * n_tasks / max(n_blocks, 1)))))
+
+
+#: per-salt-bucket row target for sized_block_salts: a block at or
+#: under the target keeps one salt (zero replication); an oversized
+#: block gets ceil(population/target) salts, so every salt-pair key
+#: carries ~target^2 candidate pairs — the same per-task granularity a
+#: UNIFORM SemDeDup cell histogram (expected cell population 256, the
+#: k = n/256 rule) already runs at, i.e. the skewed histogram is split
+#: down to the granularity the uniform case measured healthy.
+SALT_TARGET_ROWS = 256
+#: explode-width bound: a row in a block of population P fans out to at
+#: most ceil(P/target) salt rows; the cap bounds the per-row sequence
+#: array. Replication through the exchange stays ~pairs/target rows
+#: TOTAL either way; 4096 covers a 1M-row block before clamping.
+SALT_CAP = 4096
+
+
+def sized_block_salts(
+    base: DataFrame,
+    target: int = SALT_TARGET_ROWS,
+    cap: int = SALT_CAP,
+    out_col: str = "_ns",
+) -> DataFrame:
+    """Attach a per-row salt count ``out_col`` derived from each block's
+    OBSERVED population: ceil(population / target), 1 for blocks at or
+    under target (guide §2.5 — skew; the r14 realdim autopsy).
+
+    ``base`` must carry ``_block``. The population scan is one
+    payload-free aggregate over the checkpointed base (the checkpoint
+    also stops the pair join's two sides re-running the upstream plan),
+    and only the OVERSIZED blocks' counts travel: they are broadcast
+    back as a left join, absent rows default to 1 salt. The oversized
+    list is bounded by total_rows/target rows by construction — in the
+    skew regime it is a handful; in the uniform regime it is ~the cell
+    count (key + count only, e.g. ~50 MB per 1e9 rows at target 256).
+
+    Salt choice never changes the pair SET (every unordered in-block
+    pair still meets exactly once — :func:`salted_block_pairs`), only
+    how it spreads over tasks."""
+    base = base.localCheckpoint(eager=False)
+    over = (
+        base.groupBy("_block")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > target)
+    )
+    return (
+        base.join(F.broadcast(over), "_block", "left")
+        .withColumn(
+            out_col,
+            # coalesce BEFORE least: least() skips NULL operands, so
+            # least(cap, NULL) would hand every under-target block the
+            # cap instead of 1
+            F.least(
+                F.lit(cap),
+                F.coalesce(
+                    F.ceil(F.col("_bn") / F.lit(target)), F.lit(1)
+                ),
+            ).cast("int"),
+        )
+        .drop("_bn")
+    )
 
 
 def embedding_neardup_pairs(
@@ -418,17 +498,20 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_v"),
         norm(v).alias("_nm"),
     )
-    # adaptive salting (see adaptive_salts): callers that KNOW their
-    # block population (d14: k cells; d18: >= k label-x-cell blocks)
-    # pass it so a many-block corpus skips the payload replication
-    # entirely; without the hint the measured-safe 16 stands (few-label
-    # blocking like d6 needs the splits)
-    n_salts = (
-        adaptive_salts(n_blocks_hint, n_tasks)
-        if n_blocks_hint is not None
-        else 16
-    )
-    pairs = salted_block_pairs(base, id_col, ["_v", "_nm"], n_salts=n_salts)
+    # SIZE-AWARE salting (r15, guide §2.5): each block is salted by its
+    # OBSERVED population (sized_block_salts), replacing the r13
+    # count-keyed rule (adaptive_salts) that was blind to per-block
+    # size skew — the r14 realdim autopsy: low-rank geometry piles
+    # vectors into a few giant IVF cells, the many-cells verdict chose
+    # no salt, and d14's quadratic stage ran on single straggler tasks
+    # (first decade 41.8x). Population-keyed salts split exactly the
+    # oversized blocks while uniform histograms (d18's label x cell)
+    # keep the zero-replication plan the r13 disk autopsy demanded.
+    # `n_blocks_hint` is retained for API compatibility; the observed
+    # histogram subsumes it (count says nothing about skew).
+    del n_blocks_hint
+    base = sized_block_salts(base)
+    pairs = salted_block_pairs(base, id_col, ["_v", "_nm"], salt_col="_ns")
     cos = F.round(
         dot(
             F.col("_v_a").cast("array<double>"),

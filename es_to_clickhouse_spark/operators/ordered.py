@@ -161,6 +161,16 @@ def global_running_sum(
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # Materialize the input ONCE (r15, guide §5): three separate query
+    # executions read `df` — the split-point sample, the per-bucket
+    # totals collect, and the caller's eventual action — and exchanges
+    # are not reused across executions, so an expensive upstream (pk1:
+    # the full-corpus tokenize) ran once per execution. The checkpoint
+    # rows are (order_cols, val_col)-sized — for a running sum that is
+    # a few longs per row at any corpus size — so the storage cost is
+    # trivial next to re-running the upstream twice. Lazy: the sample
+    # job below is the first materializer.
+    df = df.localCheckpoint(eager=False)
     bounds = _split_points(df, order_cols, n)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     part = df.withColumn("_pid", _bucket_expr(order_cols, bounds, dtypes))

@@ -21,6 +21,9 @@ from __future__ import annotations
 
 import pytest
 
+#: r15: driver test-gate budget — chaos soaks are ~175 s combined
+pytestmark = pytest.mark.slow
+
 from es_to_clickhouse_spark.sources.chaos_fixture import Chaos
 
 MAX_ROUNDS = 40

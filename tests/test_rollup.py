@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import glob
 import os
 
@@ -276,6 +277,7 @@ def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
     assert got_sk == want_sk
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_topk_partial_bounds_and_determinism(spark, tmp_path):
     """Heavy-hitter partial (v_topk/v_topk_err — the topKState analog):
     after a multi-batch refresh over a skewed stream, (a) every stored
@@ -349,6 +351,7 @@ def test_topk_partial_small_grain_is_exact(spark, tmp_path):
     assert {e.key: e.cnt for e in r.v_topk} == {"a": 31, "b": 30, "c": 30}
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_sketch_merge_exact_under_arbitrary_splits(spark, tmp_path):
     """Hypothesis over batch split points: however a 600-row stream is
     cut into refresh_rollup batches, the maintained v_qsk and v_hllr
@@ -482,6 +485,7 @@ def _funnel_conds():
     return [F.col("et") == s for s in ("a", "b", "c")]
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_funnel_rollup_incremental_equals_recompute_randomized(spark, tmp_path):
     """The mergeable funnel state must reproduce window_funnel exactly
     when the same events arrive split into time-ordered micro-batches —

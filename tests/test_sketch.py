@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from es_to_clickhouse_spark.operators.sketch import (
@@ -119,6 +121,7 @@ def test_connected_components_pathological_chain_olog_rounds(spark):
     assert (agg.n, agg.labs, agg.mn) == (n, 1, 0)
 
 
+@pytest.mark.slow  # r15: driver test-gate budget
 def test_connected_components_topology_round_pins(spark):
     """Round-count pins across the three cc_scale_bench topologies
     (small instances of tools/cc_scale_bench.py's generators): star

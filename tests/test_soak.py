@@ -21,6 +21,8 @@ warehouse contents match the source of truth.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -62,6 +64,7 @@ def _state_key(st):
     return (st.last_sync_time, st.last_update_time, st.last_id, st.last_sync_count)
 
 
+@pytest.mark.slow  # r15: driver test-gate budget (99 s)
 def test_twenty_round_soak(spark, tmp_path):
     source = tmp_path / "source"
     os.makedirs(source)

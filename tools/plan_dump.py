@@ -20,6 +20,9 @@ from es_to_clickhouse_spark.session import get_spark
 
 
 def main() -> None:
+    if len(sys.argv) < 3:  # ADVICE r14: usage, not a bare IndexError
+        print(__doc__.strip(), file=sys.stderr)
+        raise SystemExit(2)
     out_dir, suffix = sys.argv[1], sys.argv[2]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(sys.argv) > 3 and sys.argv[3] != "--bench":
