@@ -407,6 +407,14 @@ SALT_TARGET_ROWS = 256
 #: TOTAL either way; 4096 covers a 1M-row block before clamping.
 SALT_CAP = 4096
 
+#: minimum vector dim for the Cauchy-Schwarz prefix-bound prefilter in
+#: :func:`embedding_neardup_pairs`: below this, the p = dim/6 prefix
+#: fold costs more than the full folds it prunes (dim-64 A/B flat to
+#: slightly negative; dim-768 2.3x — see the in-function comment), so
+#: small-dim rows carry an empty prefix and the pair conjunct
+#: short-circuits on one int compare.
+_PREFIX_MIN_DIM = 256
+
 
 def sized_block_salts(
     base: DataFrame,
@@ -487,16 +495,52 @@ def embedding_neardup_pairs(
 
     n_tasks = df.sparkSession.sparkContext.defaultParallelism
     v = F.col(vec_col).cast("array<double>")
+    # Cauchy-Schwarz prefix-bound prefilter (r15, guide §2.3/§1.2 "per-
+    # task work"): split each vector into a prefix of p = dim/6 elements
+    # and a tail; for any pair, dot(a, b) <= dot(a_p, b_p) +
+    # ||a_tail||*||b_tail|| exactly (Cauchy-Schwarz on the tails), so a
+    # pair whose BOUND is below the threshold — minus the round(.,4)
+    # margin — cannot pass the exact test and skips the full-dim fold.
+    # The folds are interpreted HOF lambdas (the dominant per-pair
+    # cost), so pruning with a p-element fold cuts per-pair work to
+    # ~p/dim on the pruned mass. Measured on the realdim fixture
+    # (dim 768, rank 128, threshold 0.9, d14's composition at 20k):
+    # pair pipeline 28.1 s -> 12.1 s median (p = dim/6; p = dim/4
+    # 16.7 s, p = dim/8 17.0 s — the dim/6 bound still prunes ~99% and
+    # costs least). GATED per row at dim >= 256: at dim 64 the prune
+    # rate does not pay for the prefix fold (d14/d6/d18 measured flat,
+    # d21 slightly worse), so small-dim rows carry an empty prefix and
+    # the pair conjunct short-circuits on one int compare. The CASE
+    # sits in the per-row projection BELOW the pair exchange (never
+    # inlined into the join condition — the d5 CaseWhen lesson applies
+    # only to pair-level expressions); the pair-level keep-conjunct is
+    # comparisons and one OR only. Results are identical BY BOUND, not
+    # by luck: prune requires bound < threshold - 6e-5 while the exact
+    # test passes only when cos >= threshold - 5e-5 (HALF_UP round to
+    # 4 digits), and computed-float error on the bound is ~1e-12.
+    vr = F.col(vec_col)
+    plen = F.when(
+        F.size(vr) >= _PREFIX_MIN_DIM, (F.size(vr) / 6).cast("int")
+    ).otherwise(F.lit(0))
     # the vector rides the pair join in its RAW (float) width — the
     # double cast happens per element inside the dot fold, which is
     # bit-identical (every float is exactly representable) and halves
     # the bytes through the quadratic stage's shuffles (the r13
-    # dim-768 disk-overflow lesson, operators/similarity.py)
+    # dim-768 disk-overflow lesson, operators/similarity.py). The
+    # prefix rides raw for the same reason (~dim/6 extra floats/row).
+    tail_d = F.slice(
+        vr, plen + 1, F.greatest(F.size(vr) - plen, F.lit(0))
+    ).cast("array<double>")
     base = df.repartition(n_tasks).select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
         F.col(vec_col).alias("_v"),
         norm(v).alias("_nm"),
+        F.slice(vr, 1, plen).alias("_vp"),
+        plen.alias("_pl"),
+        F.sqrt(
+            F.aggregate(tail_d, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_rn"),
     )
     # SIZE-AWARE salting (r15, guide §2.5): each block is salted by its
     # OBSERVED population (sized_block_salts), replacing the r13
@@ -511,7 +555,27 @@ def embedding_neardup_pairs(
     # histogram subsumes it (count says nothing about skew).
     del n_blocks_hint
     base = sized_block_salts(base)
-    pairs = salted_block_pairs(base, id_col, ["_v", "_nm"], salt_col="_ns")
+    pairs = salted_block_pairs(
+        base, id_col, ["_v", "_nm", "_vp", "_pl", "_rn"], salt_col="_ns"
+    )
+    if threshold > 0:
+        # cheap conjuncts first: Catalyst inlines this filter into the
+        # join condition where && short-circuits in codegen, so the
+        # prefix fold runs only on large-dim pairs and the full-dim
+        # fold only on bound survivors (the d5 conjunct-order device)
+        tm = float(threshold) - 0.00006
+        pairs = pairs.where(
+            (F.col("_pl_a") <= 0)
+            | (F.col("_pl_a") != F.col("_pl_b"))
+            | (
+                dot(
+                    F.col("_vp_a").cast("array<double>"),
+                    F.col("_vp_b").cast("array<double>"),
+                )
+                + F.col("_rn_a") * F.col("_rn_b")
+                >= F.lit(tm) * F.col("_nm_a") * F.col("_nm_b")
+            )
+        )
     cos = F.round(
         dot(
             F.col("_v_a").cast("array<double>"),

@@ -2309,3 +2309,69 @@ def test_sampled_centroids_density_independent(spark):
     a = sorted(r.cent_id for r in dense.collect())
     b = sorted(r.cent_id for r in sampled_centroids(emb, per_cell=4).collect())
     assert a == b
+
+
+def test_embedding_neardup_prefix_bound_prunes_exactly(spark):
+    """r15: the Cauchy-Schwarz prefix-bound prefilter (dim >= 256 rows
+    only) must never change the output pair set — pruning uses
+    dot(a,b) <= dot(a_p,b_p) + ||a_tail||*||b_tail|| with a margin
+    tighter than the round(.,4) pass bar. Brute-force comparison on a
+    dim-384 fixture engineered with knife-edge cosines right at the
+    threshold (both sides of it), where the prefilter demonstrably
+    fires (most cross pairs sit far below threshold)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from es_to_clickhouse_spark.operators.dedup import (
+        _PREFIX_MIN_DIM,
+        embedding_neardup_pairs,
+    )
+
+    dim = 384
+    assert dim >= _PREFIX_MIN_DIM
+    rng = random.Random(20260818)
+    base_vecs = []
+    for i in range(40):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nm = math.sqrt(sum(x * x for x in v))
+        base_vecs.append([x / nm for x in v])
+    rows = []
+    for i, v in enumerate(base_vecs):
+        rows.append((i, v, "b"))
+    # knife-edge near-dups: w = cos0*v + sqrt(1-cos0^2)*u for cosines
+    # straddling the threshold, incl. within the 5e-5 rounding margin
+    for j, cos0 in enumerate((0.9002, 0.90004, 0.89996, 0.8998, 0.85)):
+        v = base_vecs[j]
+        u = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        d = sum(a * b for a, b in zip(u, v))
+        u = [a - d * b for a, b in zip(u, v)]
+        nu = math.sqrt(sum(x * x for x in u))
+        w = [cos0 * a + math.sqrt(1 - cos0 * cos0) * b / nu
+             for a, b in zip(v, u)]
+        rows.append((100 + j, w, "b"))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = sorted(
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", "label", threshold=0.9
+        ).collect()
+    )
+    # brute force in float-promoted double, same fold order as the op
+    vals = {i: [float(__import__("numpy").float32(x)) for x in v] for i, v, _ in rows}
+    exp = []
+    ids = sorted(vals)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = vals[ids[x]], vals[ids[y]]
+            dp = 0.0
+            for p, q in zip(a, b):
+                dp += p * q
+            na = math.sqrt(sum(t * t for t in a))
+            nb = math.sqrt(sum(t * t for t in b))
+            c = round(dp / (na * nb), 4)
+            if c >= 0.9:
+                exp.append((ids[x], ids[y], c))
+    assert got == sorted(exp)
+    assert len(got) >= 3  # the knife-edge pairs actually exercised the bar
