@@ -94,6 +94,7 @@ def salted_block_pairs(
     payload: list[str],
     n_salts: int = 16,
     salt_col: str | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Balanced within-block self-pairing on uniform salt-pair buckets.
 
@@ -129,6 +130,16 @@ def salted_block_pairs(
     is unchanged while a skewed block histogram gets per-block split
     granularity: uniform small blocks pay zero replication, oversized
     blocks alone fan out. Overrides ``n_salts`` when given.
+
+    ``n_parts`` (r15): pair-exchange partition count; defaults to
+    ``defaultParallelism``. The pair join is a forced SHUFFLE_HASH (see
+    below) whose per-partition build map holds ~build_bytes/n_parts: a
+    count pinned to the LOCAL core count OOMs once the replicated
+    payload outgrows execution memory (measured: d14's realdim pipeline
+    at 2M x dim-768 dies in the hash build at 32 partitions). Callers
+    that can bound the replicated volume pass a data-derived count
+    (:func:`embedding_neardup_pairs` sizes it to ~64 MB of build per
+    partition from the salt histogram).
     """
     ns = F.col(salt_col) if salt_col else F.lit(n_salts)
     base = base.withColumn(
@@ -150,7 +161,7 @@ def salted_block_pairs(
         F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_salt_lo"),
         F.col("_salt").alias("_salt_hi"),
     )
-    n_tasks = base.sparkSession.sparkContext.defaultParallelism
+    n_tasks = n_parts or base.sparkSession.sparkContext.defaultParallelism
     a = a.repartition(n_tasks, "_block", "_salt_lo", "_salt_hi")
     # SHUFFLE_HASH, not the default sort-merge: both join inputs carry
     # the full payload (vectors / token arrays), and SMJ SORTS both
@@ -421,6 +432,8 @@ def sized_block_salts(
     target: int = SALT_TARGET_ROWS,
     cap: int = SALT_CAP,
     out_col: str = "_ns",
+    stats: dict | None = None,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Attach a per-row salt count ``out_col`` derived from each block's
     OBSERVED population: ceil(population / target), 1 for blocks at or
@@ -437,13 +450,40 @@ def sized_block_salts(
 
     Salt choice never changes the pair SET (every unordered in-block
     pair still meets exactly once — :func:`salted_block_pairs`), only
-    how it spreads over tasks."""
+    how it spreads over tasks.
+
+    ``stats`` (r15): optional dict; when given, ONE extra scalar
+    aggregate over the block histogram (a driver job returning 3
+    numbers — the j9/rj2 bounded-probe pattern) records
+    ``stats["replicated_rows"]`` (exact post-salt row count per pair
+    side: rows + oversized-block excess), ``stats["n_rows"]`` and
+    ``stats["max_width"]`` (max array size of ``size_col``), so the
+    caller can size the pair exchange to the REPLICATED volume instead
+    of a core-count constant (the 2M realdim hash-build OOM)."""
     base = base.localCheckpoint(eager=False)
-    over = (
-        base.groupBy("_block")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .where(F.col("_bn") > target)
+    hist = base.groupBy("_block").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        *(
+            [F.max(F.size(F.col(size_col))).alias("_wd")]
+            if size_col
+            else []
+        ),
     )
+    if stats is not None:
+        ns_of = F.least(F.lit(cap), F.ceil(F.col("_bn") / F.lit(target)))
+        row = hist.agg(
+            F.sum("_bn").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("_bn") > target, F.col("_bn") * (ns_of - 1)
+                ).otherwise(F.lit(0))
+            ).alias("excess"),
+            *([F.max("_wd").alias("w")] if size_col else []),
+        ).first()
+        stats["n_rows"] = int(row["n"] or 0)
+        stats["replicated_rows"] = int((row["n"] or 0) + (row["excess"] or 0))
+        stats["max_width"] = int(row["w"] or 0) if size_col else 0
+    over = hist.select("_block", "_bn").where(F.col("_bn") > target)
     return (
         base.join(F.broadcast(over), "_block", "left")
         .withColumn(
@@ -554,9 +594,30 @@ def embedding_neardup_pairs(
     # `n_blocks_hint` is retained for API compatibility; the observed
     # histogram subsumes it (count says nothing about skew).
     del n_blocks_hint
-    base = sized_block_salts(base)
+    # Pair-exchange partition count from the OBSERVED replicated volume
+    # (r15, guide §2.2/§5): the forced SHUFFLE_HASH join builds
+    # ~build_bytes/n_parts per partition, and the old defaultParallelism
+    # pin — a LOCAL core-count constant — OOM'd the hash build at
+    # 2M x dim-768 (~30 GB replicated build side over 32 partitions).
+    # sized_block_salts' one bounded scalar probe yields the exact
+    # post-salt row count and max vector width; target ~64 MB of raw
+    # build payload per partition (floats ride raw; x6 bytes/element
+    # covers the double-cast prefix, scalars and row framing), clamped
+    # to [defaultParallelism, 32768]. At bench scale the estimate stays
+    # under one partition's budget and the plan is unchanged (n_parts =
+    # defaultParallelism).
+    stats: dict = {}
+    base = sized_block_salts(base, stats=stats, size_col="_v")
+    est_bytes = stats["replicated_rows"] * (stats["max_width"] * 6 + 64)
+    pair_parts = max(
+        n_tasks, min(32768, -(-est_bytes // (64 << 20)))
+    )
     pairs = salted_block_pairs(
-        base, id_col, ["_v", "_nm", "_vp", "_pl", "_rn"], salt_col="_ns"
+        base,
+        id_col,
+        ["_v", "_nm", "_vp", "_pl", "_rn"],
+        salt_col="_ns",
+        n_parts=pair_parts,
     )
     if threshold > 0:
         # cheap conjuncts first: Catalyst inlines this filter into the
